@@ -1,13 +1,324 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{MetricSink, Profiler, ProfileConfig}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is a thin wrapper over a library operator
+  * (graft.core / graft.catalog / graft.operators / ...); [[oracleSql]] holds
+  * the DuckDB-equivalent ANSI SQL for the driver's correctness gate.
+  * Column aliases are kept identical on both sides, results are
+  * deterministically ordered on both sides, and floating aggregates are
+  * rounded on both sides (sum/avg to 2-4 decimals) so double accumulation
+  * order can't flip the hash.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship: end-to-end monitor run (profile lineitem → metric rows). */
+  def entry(spark: SparkSession): DataFrame = {
+    val sink = MetricSink("entry-smoke")
+    val li = t(spark, "/root/testdata/sf0.001", "lineitem")
+    Profiler.profileTo(sink, "lineitem", li)
+    sink.toDf(spark)
+  }
+
+  // ---------------------------------------------------------------------
+  // Relational core (SURVEY §2.2-§2.5)
+  // ---------------------------------------------------------------------
+
+  private val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A7-A11: grouped multi-aggregate (TPC-H Q1 shape), one scan,
+    // partial agg map-side; 6 groups → no skew at any scale.
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // P1-P4 + L1: filter + projection + limit. Predicate and column set
+    // push down to the Parquet scan (PushedFilters / ReadSchema).
+    "q02_filter_project" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_totalprice") > 200000 && col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+        .limit(100)
+    }),
+
+    // J1/J2: two broadcast hash joins (dims are tiny at every scale —
+    // nation/region are bounded), then grouped rollup.
+    "q03_join_broadcast" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("cnt"), round(avg("c_acctbal"), 4).as("avg_bal"))
+        .orderBy("r_name")
+    }),
+
+    // J1 at fact scale: orders⋈lineitem shuffle join on the natural key;
+    // AQE picks SMJ/SHJ; aggregation is partial map-side.
+    "q04_join_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // W1/L1: top-k by aggregate — TakeOrderedAndProject, no global sort.
+    "q05_topk" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // A12 argmax: deterministic row-of-max via window with full tiebreak
+    // (price desc, then unique (orderkey, linenumber)).
+    "q06_argmax" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("l_returnflag", "l_extendedprice", "l_orderkey")
+        .orderBy("l_returnflag")
+    }),
+
+    // W1: per-group top-1 (largest order per customer).
+    "q07_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    }),
+
+    // A3/A4: distinct counts per group (exact here; approx_count_distinct
+    // is the 100 TB toggle in Profiler).
+    "q08_distinct_count" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), count_distinct(col("l_partkey")).as("distinct_parts"))
+        .orderBy("l_returnflag")
+    }),
+
+    // S10: sampling. Spark .sample() is seed-dependent and can't match an
+    // external oracle, so the conformance query uses a deterministic
+    // hash-mod sample (same arithmetic both sides); the library also
+    // exposes df.sample(fraction) for production use.
+    "q09_sample_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter((col("l_orderkey") * lit(2654435761L)) % 97 < 2)
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(min("l_extendedprice"), 2).as("min_price"),
+          round(max("l_extendedprice"), 2).as("max_price"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+    }),
+
+    // A6: per-column null/NaN counts, all columns, one pass.
+    "q10_null_counts" -> ((s, dir) => Profiler.nullCounts(t(s, dir, "lineitem"))),
+
+    // A15 (the dense profiling block): every numeric column's stats in one
+    // aggregation job, reshaped long.
+    "q11_numeric_profile" -> ((s, dir) => Profiler.numericProfile(t(s, dir, "lineitem"))),
+
+    // A14 numeric histogram: two jobs (bounds, then bucket counts).
+    "q12_histogram" -> ((s, dir) =>
+      Profiler.numericHistogram(t(s, dir, "lineitem"), "l_extendedprice", 10)),
+
+    // A14 categorical histogram.
+    "q13_cat_histogram" -> ((s, dir) =>
+      Profiler.categoricalHistogram(t(s, dir, "lineitem"), "l_returnflag", 50)
+        .withColumnRenamed("l_returnflag", "category")),
+
+    // A5: duplicate-record stats on a projected key set.
+    "q14_dupes" -> ((s, dir) =>
+      Profiler.duplicateStats(t(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"))),
+
+    // Rollup extension (SURVEY §2.4 note): DB-monitor + table-monitor
+    // rollups in one pass.
+    "q15_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("flag", "status")
+    }),
+
+    // E1-adjacent: anti join (customers with no orders).
+    "q16_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_customers_no_orders"))
+    }),
+
+    // E2: unionByName fan-in then keyed aggregate.
+    "q17_union" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val high = o.filter(col("o_totalprice") > 300000).withColumn("tag", lit("high"))
+      val low = o.filter(col("o_totalprice") <= 100000).withColumn("tag", lit("low"))
+      high.unionByName(low)
+        .groupBy("tag")
+        .agg(count(lit(1)).as("cnt"), round(avg("o_totalprice"), 4).as("avg_price"))
+        .orderBy("tag")
+    }))
+
+  private val relationalOracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |WHERE o_totalprice > 200000 AND o_orderstatus = 'F'
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "q03_join_broadcast" ->
+      """SELECT r_name, count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q04_join_agg" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS cnt
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q05_topk" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q06_argmax" ->
+      """SELECT l_returnflag, l_extendedprice, l_orderkey FROM (
+        |  SELECT l_returnflag, l_extendedprice, l_orderkey,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    "q07_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q08_distinct_count" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  count(DISTINCT l_partkey) AS distinct_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q09_sample_stats" ->
+      """SELECT count(*) AS cnt, round(avg(l_quantity), 4) AS avg_qty,
+        |  round(min(l_extendedprice), 2) AS min_price,
+        |  round(max(l_extendedprice), 2) AS max_price,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem WHERE (l_orderkey * 2654435761) % 97 < 2""".stripMargin,
+    "q10_null_counts" -> {
+      val dbl = Set("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val ordered = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      val exprs = ordered.map { c =>
+        val cond = if (dbl(c)) s"$c IS NULL OR isnan($c)" else s"$c IS NULL"
+        s"CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS null_$c"
+      }
+      s"SELECT ${exprs.mkString(", ")} FROM lineitem"
+    },
+    "q11_numeric_profile" -> numericProfileOracle("lineitem",
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    "q12_histogram" ->
+      """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
+        |SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 10)), 9) AS BIGINT) AS bucket,
+        |  count(*) AS cnt
+        |FROM lineitem, b WHERE l_extendedprice IS NOT NULL
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q13_cat_histogram" ->
+      """SELECT l_returnflag AS category, count(*) AS cnt FROM lineitem
+        |GROUP BY category ORDER BY cnt DESC, category LIMIT 50""".stripMargin,
+    "q14_dupes" ->
+      """WITH g AS (SELECT l_partkey, l_suppkey, count(*) AS cnt
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS row_count,
+        |  CAST(count(*) AS BIGINT) AS distinct_count,
+        |  CAST(sum(cnt) - count(*) AS BIGINT) AS duplicate_count,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS duplicate_groups
+        |FROM g""".stripMargin,
+    "q15_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q16_anti_join" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_customers_no_orders FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q17_union" ->
+      """SELECT tag, count(*) AS cnt, round(avg(o_totalprice), 4) AS avg_price
+        |FROM (
+        |  SELECT o_totalprice, 'high' AS tag FROM orders WHERE o_totalprice > 300000
+        |  UNION ALL
+        |  SELECT o_totalprice, 'low' AS tag FROM orders WHERE o_totalprice <= 100000)
+        |GROUP BY tag ORDER BY tag""".stripMargin)
+
+  /** DuckDB oracle for Profiler.numericProfile: one UNION ALL block per
+    * (column, metric), deterministically ordered like the Spark output.
+    */
+  private def numericProfileOracle(table: String, cols: Seq[String]): String = {
+    val blocks = cols.flatMap { c =>
+      val v = s"CAST($c AS DOUBLE)"
+      Seq(
+        ("count", s"CAST(count($v) AS DOUBLE)"),
+        ("null_count", s"CAST(sum(CASE WHEN $v IS NULL THEN 1 ELSE 0 END) AS DOUBLE)"),
+        ("distinct_count", s"CAST(count(DISTINCT $v) AS DOUBLE)"),
+        ("min", s"round(min($v), 4)"),
+        ("max", s"round(max($v), 4)"),
+        ("mean", s"round(avg($v), 4)"),
+        ("stddev", s"round(stddev_samp($v), 4)"),
+        ("p25", s"round(quantile_cont($v, 0.25), 4)"),
+        ("median", s"round(quantile_cont($v, 0.5), 4)"),
+        ("p75", s"round(quantile_cont($v, 0.75), 4)")
+      ).map { case (m, e) =>
+        s"SELECT '$c' AS col_name, '$m' AS metric, $e AS value FROM $table"
+      }
+    }
+    s"SELECT * FROM (${blocks.mkString(" UNION ALL ")}) ORDER BY col_name, metric"
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = relational
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = relationalOracle
 }

@@ -1,0 +1,187 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Profiling configuration.
+  *
+  * @param exact          exact median/percentile/distinct (oracle parity) vs
+  *                       approx sketches (`percentile_approx`,
+  *                       `approx_count_distinct`) for the 100 TB path. The
+  *                       reference always computes exact pandas stats on a
+  *                       sample (`/root/reference/AWS_Redshift/redshift_table_monitor.py:63-73`);
+  *                       at scale, sketches are the only sane default.
+  * @param histogramBins  numeric histogram bin count.
+  * @param statColumnsPerJob cap on stat expressions per aggregation job so a
+  *                       5 000-column table doesn't build one giant codegen
+  *                       unit (JIT bailout / 64KB method limit).
+  */
+case class ProfileConfig(
+    exact: Boolean = true,
+    histogramBins: Int = 10,
+    approxRsd: Double = 0.05,
+    statColumnsPerJob: Int = 64,
+    previewRows: Int = 20)
+
+/** One-pass, whole-stage-codegen-friendly DataFrame profiler.
+  *
+  * Re-expresses the reference's per-column pandas loops
+  * (`/root/reference/AWS_Redshift/redshift_table_monitor.py:61-73`,
+  * `/root/reference/Snowflake/snowflake_table_monitor.py:116-128`,
+  * `/root/reference/DataFrames/databand_tracking_template.py:21-31`) as a
+  * SINGLE Spark aggregation over all columns: the pandas code makes one pass
+  * per column per statistic; here Catalyst fuses every statistic of every
+  * column into one partial+final HashAggregate, so a 100 TB table is scanned
+  * exactly once (and Parquet column pruning means only profiled columns are
+  * read at all).
+  *
+  * pandas-semantics notes (SURVEY §7.4):
+  *  - `std` is sample stddev (ddof=1) → `stddev_samp`.
+  *  - pandas `mean`/`std` skip NaN; Spark aggregates skip NULL but not NaN →
+  *    doubles are normalized NaN→NULL via `nanvl`-style guard first.
+  *  - `median`/percentiles interpolate linearly → Spark `percentile`
+  *    (exact mode) matches pandas & DuckDB `quantile_cont`.
+  */
+object Profiler {
+
+  /** Statistic names emitted per numeric column, in emission order. */
+  val numericMetrics: Seq[String] =
+    Seq("count", "null_count", "distinct_count", "min", "max", "mean",
+      "stddev", "p25", "median", "p75")
+
+  def isNumeric(f: StructField): Boolean = f.dataType.isInstanceOf[NumericType]
+
+  def numericColumns(df: DataFrame): Seq[String] =
+    df.schema.fields.filter(isNumeric).map(_.name).toSeq
+
+  /** NaN→NULL normalization for floating columns (pandas-skipna parity). */
+  private def cleaned(df: DataFrame, c: String): Column = {
+    val col0 = col(c)
+    df.schema(c).dataType match {
+      case DoubleType | FloatType => when(isnan(col0), lit(null)).otherwise(col0)
+      case _ => col0
+    }
+  }
+
+  /** All stat expressions for one numeric column (cast to double, rounded). */
+  private def statExprs(df: DataFrame, c: String, cfg: ProfileConfig): Seq[Column] = {
+    val v = cleaned(df, c).cast(DoubleType)
+    val distinct =
+      if (cfg.exact) count_distinct(v) else approx_count_distinct(v, cfg.approxRsd)
+    def pct(p: Double) =
+      if (cfg.exact) percentile(v, lit(p)) else percentile_approx(v, lit(p), lit(10000))
+    Seq(
+      count(v).cast(DoubleType).as(s"${c}__count"),
+      sum(when(v.isNull, 1L).otherwise(0L)).cast(DoubleType).as(s"${c}__null_count"),
+      distinct.cast(DoubleType).as(s"${c}__distinct_count"),
+      round(min(v), 4).as(s"${c}__min"),
+      round(max(v), 4).as(s"${c}__max"),
+      round(avg(v), 4).as(s"${c}__mean"),
+      round(stddev_samp(v), 4).as(s"${c}__stddev"),
+      round(pct(0.25), 4).as(s"${c}__p25"),
+      round(pct(0.5), 4).as(s"${c}__median"),
+      round(pct(0.75), 4).as(s"${c}__p75"))
+  }
+
+  /** Long-format numeric profile: (col_name, metric, value) — one scan per
+    * batch of `statColumnsPerJob` columns, usually one scan total.
+    */
+  def numericProfile(df: DataFrame, cfg: ProfileConfig = ProfileConfig()): DataFrame = {
+    val cols = numericColumns(df)
+    require(cols.nonEmpty, "no numeric columns to profile")
+    val batches = cols.grouped(cfg.statColumnsPerJob).toSeq.map { batch =>
+      val wide = df.agg(statExprs(df, batch.head, cfg).head,
+        batch.flatMap(c => statExprs(df, c, cfg)).tail: _*)
+      // wide (1 row, cols*metrics columns) -> long via stack()
+      val stackArgs = batch.flatMap { c =>
+        numericMetrics.map(m => s"'$c', '$m', `${c}__$m`")
+      }.mkString(", ")
+      val n = batch.length * numericMetrics.length
+      wide.select(expr(s"stack($n, $stackArgs) as (col_name, metric, value)"))
+    }
+    batches.reduce(_ unionByName _).orderBy("col_name", "metric")
+  }
+
+  /** Per-column null counts over ALL columns in one pass (SURVEY A6).
+    * Returns a single wide row `null_<col>` per column.
+    */
+  def nullCounts(df: DataFrame): DataFrame = {
+    val exprs = df.schema.fields.toSeq.map { f =>
+      val isMissing = f.dataType match {
+        case DoubleType | FloatType => col(f.name).isNull || isnan(col(f.name))
+        case _ => col(f.name).isNull
+      }
+      sum(when(isMissing, 1L).otherwise(0L)).as(s"null_${f.name}")
+    }
+    df.agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Duplicate-record count (SURVEY A5):
+    * `shape[0] - drop_duplicates().shape[0]`
+    * (`/root/reference/AWS_Redshift/redshift_table_monitor.py:62`).
+    * One job: groupBy all key columns (map-side partial agg), then count
+    * rows minus groups — no driver-side second scan, no global distinct
+    * shuffle of raw rows beyond the keyed aggregate.
+    */
+  def duplicateStats(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+      .agg(
+        sum("cnt").cast(LongType).as("row_count"),
+        count(lit(1)).cast(LongType).as("distinct_count"),
+        (sum("cnt") - count(lit(1))).cast(LongType).as("duplicate_count"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).cast(LongType).as("duplicate_groups"))
+  }
+
+  /** Equi-width numeric histogram (SURVEY A14): two jobs — (min,max), then
+    * bucket counts. The bounds row is broadcast, so the second job is a
+    * shuffle-free map + tiny aggregation; at 100 TB this is two sequential
+    * scans and no wide shuffle.
+    */
+  def numericHistogram(df: DataFrame, c: String, bins: Int = 10): DataFrame = {
+    val v = cleaned(df, c).cast(DoubleType)
+    val bounds = df.agg(min(v).as("lo"), max(v).as("hi"))
+    df.select(v.as("v")).where(col("v").isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(
+        least(floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / bins)),
+          lit(bins - 1)).cast(LongType).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+  }
+
+  /** Top-k categorical histogram (SURVEY A14, categorical arm). */
+  def categoricalHistogram(df: DataFrame, c: String, k: Int = 50): DataFrame =
+    df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(c).asc)
+      .limit(k)
+
+  /** Schema report (SURVEY S16 `with_schema=True`): one row per column. */
+  def schemaReport(df: DataFrame): Seq[(String, String, Boolean)] =
+    df.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString, f.nullable))
+
+  /** Full profile emitted to a MetricSink: shape, schema, numeric stats,
+    * null counts, preview — the `log_dataframe(...)` equivalent
+    * (`/root/reference/DataFrames/databand_tracking_template.py:21-29`).
+    */
+  def profileTo(sink: MetricSink, name: String, df: DataFrame,
+      cfg: ProfileConfig = ProfileConfig()): Unit = {
+    val rowCount = df.count()
+    sink.log(s"$name.rows", rowCount.toDouble)
+    sink.log(s"$name.columns", df.columns.length.toDouble)
+    schemaReport(df).foreach { case (c, t, _) => sink.logString(s"$name.schema.$c", t) }
+    val numeric = numericColumns(df)
+    if (numeric.nonEmpty)
+      numericProfile(df, cfg).collect().foreach { r =>
+        val v = r.get(2)
+        if (v != null) sink.log(s"$name.${r.getString(0)}.${r.getString(1)}",
+          v.asInstanceOf[Double])
+      }
+    nullCounts(df).collect().headOption.foreach { r =>
+      df.columns.zipWithIndex.foreach { case (c, i) =>
+        sink.log(s"$name.$c.nulls", r.getLong(i).toDouble)
+      }
+    }
+    df.limit(cfg.previewRows).collect() // preview (S16 with_preview)
+  }
+}
