@@ -4,7 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.catalog.CatalogMonitor
 import graft.core.{MetricSink, Profiler, ProfileConfig}
+import graft.state.ChangeDetection
+import graft.storage.StorageMonitor
+import graft.streaming.ContinuousMonitor
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -291,6 +295,142 @@ object SparkEntry {
         |  SELECT o_totalprice, 'low' AS tag FROM orders WHERE o_totalprice <= 100000)
         |GROUP BY tag ORDER BY tag""".stripMargin)
 
+  // ---------------------------------------------------------------------
+  // Catalog / state / storage / streaming monitors (SURVEY §2.1, §2.7, §2.8)
+  // ---------------------------------------------------------------------
+
+  private val streamCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val monitors: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S5/S6: information_schema.tables analogue — per-table row counts.
+    "q18_catalog_rowcounts" -> ((s, dir) => CatalogMonitor.tableRowCounts(s, dir)),
+
+    // S4/S7 + A2/J2: table shapes (rows × columns) via broadcast left join.
+    "q19_table_shapes" -> ((s, dir) => CatalogMonitor.tableShapes(s, dir)),
+
+    // The database-monitor metric block (A7-A9, A11, corrected min/max).
+    "q20_db_summary" -> ((s, dir) =>
+      CatalogMonitor.databaseSummary(CatalogMonitor.tableRowCounts(s, dir))),
+
+    // A12 argmax over the catalog: largest table.
+    "q21_largest_table" -> ((s, dir) =>
+      CatalogMonitor.largestTable(CatalogMonitor.tableRowCounts(s, dir))),
+
+    // S17 + D1: cross-run row-count delta (prev run simulated as a
+    // deterministic subset; semantics corrected to current - previous).
+    "q22_state_delta" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val prev = orders.filter(col("o_orderkey") % 7 =!= 0).count()
+      val cur = orders.count()
+      ChangeDetection.rowDelta("orders", prev, cur, s)
+    }),
+
+    // E1: schema drift — full symmetric difference of column sets.
+    "q23_schema_drift" -> ((s, dir) => {
+      val cols = t(s, dir, "lineitem").columns.toSeq
+      ChangeDetection.schemaDrift(cols.filterNot(_ == "l_tax"),
+        cols.filterNot(_ == "l_quantity"), s)
+    }),
+
+    // F12: JSON extraction from the events props column.
+    "q24_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), round(avg("k"), 4).as("avg_k"),
+          max("k").as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    // Event-time tumbling window (batch form).
+    "q25_time_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"),
+          round(avg("value"), 4).as("avg_value"))
+        .orderBy("window_start")
+    }),
+
+    // O4/§2.8: the SAME hourly aggregate as a Structured Streaming query,
+    // drained with Trigger.AvailableNow — streaming output must equal the
+    // batch oracle.
+    "q26_streaming_hourly" -> ((s, dir) => {
+      val streaming = ContinuousMonitor.hourlyEventCounts(s, Tables.path(dir, "events"))
+      val name = s"streaming_hourly_${streamCounter.incrementAndGet()}"
+      ContinuousMonitor.runToCompletion(s, streaming, name)
+        .orderBy("window_start", "event_type")
+    }),
+
+    // S12/S13: distributed object-store inventory over the fixture dir
+    // (path/size/mtime relation). No SQL oracle — DuckDB can't stat files;
+    // covered by StorageMonitorSpec + driver rows-only check.
+    "q27_storage_inventory" -> ((s, dir) => {
+      StorageMonitor.inventory(s, Seq(dir))
+        .select("file_name", "size_bytes", "content_type", "storage_class")
+        .orderBy("file_name")
+    }),
+
+    // A17/A11/A12: the prefix-monitor aggregate block.
+    "q28_storage_summary" -> ((s, dir) => {
+      StorageMonitor.prefixSummary(StorageMonitor.inventory(s, Seq(dir)))
+        .select("num_objects", "total_bytes", "max_bytes", "avg_bytes", "largest_file")
+    }))
+
+  private def catalogCountsCte: String =
+    "WITH counts(table_name, row_count) AS (" +
+      Tables.all.map(tn => s"SELECT '$tn', count(*) FROM $tn").mkString(" UNION ALL ") + ")"
+
+  private val monitorsOracle: Map[String, String] = Map(
+    "q18_catalog_rowcounts" ->
+      s"$catalogCountsCte SELECT table_name, row_count FROM counts ORDER BY table_name",
+    "q19_table_shapes" ->
+      Tables.all.map(tn =>
+        s"SELECT '$tn' AS table_name, (SELECT count(*) FROM $tn) AS row_count, " +
+        s"(SELECT count(*) FROM (DESCRIBE $tn)) AS column_count")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY table_name"),
+    "q20_db_summary" ->
+      s"""$catalogCountsCte, m AS (SELECT
+         |  CAST(count(*) AS DOUBLE) AS table_count,
+         |  CAST(sum(row_count) AS DOUBLE) AS total_rows,
+         |  CAST(max(row_count) AS DOUBLE) AS max_rows,
+         |  CAST(min(row_count) AS DOUBLE) AS min_rows,
+         |  round(avg(row_count), 4) AS avg_rows,
+         |  round(quantile_cont(CAST(row_count AS DOUBLE), 0.5), 4) AS median_rows
+         |FROM counts)
+         |SELECT metric, value FROM (
+         |  SELECT 'table_count' AS metric, table_count AS value FROM m
+         |  UNION ALL SELECT 'total_rows', total_rows FROM m
+         |  UNION ALL SELECT 'max_rows', max_rows FROM m
+         |  UNION ALL SELECT 'min_rows', min_rows FROM m
+         |  UNION ALL SELECT 'avg_rows', avg_rows FROM m
+         |  UNION ALL SELECT 'median_rows', median_rows FROM m)
+         |ORDER BY metric""".stripMargin,
+    "q21_largest_table" ->
+      s"$catalogCountsCte SELECT table_name, row_count FROM counts ORDER BY row_count DESC, table_name LIMIT 1",
+    "q22_state_delta" ->
+      """SELECT 'orders' AS entity,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 7 <> 0) AS prev_count,
+        |  (SELECT count(*) FROM orders) AS cur_count,
+        |  (SELECT count(*) FROM orders)
+        |    - (SELECT count(*) FROM orders WHERE o_orderkey % 7 <> 0) AS delta""".stripMargin,
+    "q23_schema_drift" ->
+      """SELECT * FROM (VALUES ('added', 'l_tax'), ('removed', 'l_quantity'))
+        |  AS t(change, column_name) ORDER BY change, column_name""".stripMargin,
+    "q24_json_extract" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  round(avg(CAST(props->>'k' AS INTEGER)), 4) AS avg_k,
+        |  max(CAST(props->>'k' AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q25_time_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, count(*) AS cnt,
+        |  round(sum(value), 2) AS sum_value, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY window_start ORDER BY window_start""".stripMargin,
+    "q26_streaming_hourly" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin)
+
   /** DuckDB oracle for Profiler.numericProfile: one UNION ALL block per
     * (column, metric), deterministically ordered like the Spark output.
     */
@@ -316,9 +456,10 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = relational
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    relational ++ monitors
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = relationalOracle
+  def oracleSql: Map[String, String] = relationalOracle ++ monitorsOracle
 }

@@ -24,8 +24,27 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(path(dir, name))
+  /** `events.ts` is Parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects outright. We read it as a long (legacy nanosAsLong
+    * conf) and convert with *integer* division — epoch-nanos ≈ 1.7e18
+    * exceeds a double's 2^53 exact-integer range, so a floating-point
+    * path would silently corrupt timestamps.
+    */
+  private val nanoTsCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeNanoTs(spark.read.parquet(path(dir, name)), name)
+  }
+
+  /** Convert legacy-read nano-long columns back to proper timestamps. */
+  def normalizeNanoTs(df: DataFrame, name: String): DataFrame =
+    nanoTsCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      if (d.schema.fieldNames.contains(c) &&
+          d.schema(c).dataType == org.apache.spark.sql.types.LongType)
+        d.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
+      else d
+    }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

@@ -1,0 +1,85 @@
+package graft.storage
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Object-store inventory monitor (SURVEY S11-S13, §3.3).
+  *
+  * The reference walks S3 with boto3 on a single worker — HEAD per key
+  * (`/root/reference/AWS_S3/s3_key_monitor.py:66-86`), paginated prefix
+  * listing with a hand-rolled single-pass max
+  * (`/root/reference/AWS_S3/s3_key_monitor.py:111-123`), and a full-bucket
+  * loop its own docs warn is "naive ... not suitable for large buckets"
+  * (`/root/reference/AWS_S3/s3_bucket_monitor.py:44,69`).
+  *
+  * Here listing is DISTRIBUTED: roots are parallelized across executors and
+  * each task walks its subtree via the Hadoop FileSystem API (works for
+  * file://, hdfs://, s3a://). A 100M-object bucket splits into prefixes so
+  * no single task lists more than one subtree, and every downstream
+  * aggregate is a partial+final agg — the reference's manual streaming max
+  * and driver-side dict transposition collapse into one `groupBy`.
+  */
+object StorageMonitor {
+
+  /** One row per object: the S3-key-metadata relation. `content_type` is
+    * derived from the extension (the HDFS API has no MIME metadata —
+    * SURVEY S11); `storage_class` defaults like the reference's
+    * `"s3 standard"` fallback (`s3_key_monitor.py:82-86`).
+    */
+  def inventory(spark: SparkSession, roots: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val inv = spark.sparkContext
+      .parallelize(roots, math.max(1, roots.size))
+      .flatMap { root =>
+        val conf = new Configuration()
+        val rootPath = new Path(root)
+        val fs = rootPath.getFileSystem(conf)
+        val it = fs.listFiles(rootPath, true)
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, String, Long, Long)]
+        while (it.hasNext) {
+          val st = it.next()
+          val p = st.getPath
+          buf += ((root, p.toString, p.getName, st.getLen, st.getModificationTime))
+        }
+        buf
+      }
+      .toDF("root", "path", "file_name", "size_bytes", "modification_ms")
+    inv.withColumn("extension",
+        when(col("file_name").contains("."),
+          element_at(split(col("file_name"), "\\."), -1)).otherwise(lit("")))
+      .withColumn("content_type",
+        when(col("extension") === "parquet", lit("application/vnd.apache.parquet"))
+          .when(col("extension") === "json", lit("application/json"))
+          .when(col("extension") === "csv", lit("text/csv"))
+          .otherwise(lit("application/octet-stream")))
+      .withColumn("storage_class", lit("s3 standard"))
+  }
+
+  /** Per-root (prefix) aggregate block — the whole `monitor_S3_prefix`
+    * body (`s3_key_monitor.py:113-133`) as one aggregation: object count,
+    * total/max/mean size, largest key (deterministic argmax).
+    */
+  def prefixSummary(inventory: DataFrame): DataFrame =
+    inventory.groupBy("root").agg(
+      count(lit(1)).as("num_objects"),
+      sum("size_bytes").as("total_bytes"),
+      max("size_bytes").as("max_bytes"),
+      round(avg("size_bytes"), 4).as("avg_bytes"),
+      max_by(col("file_name"), struct(col("size_bytes"), col("file_name"))).as("largest_file"))
+
+  /** Largest object per root with a deterministic tiebreak (path asc) —
+    * the fan-in argmax (`s3_key_monitor.py:179-184,209-220`).
+    */
+  def largestObjects(inventory: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("root")
+      .orderBy(col("size_bytes").desc, col("path").asc)
+    inventory.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("root", "path", "file_name", "size_bytes")
+      .orderBy("root")
+  }
+}
