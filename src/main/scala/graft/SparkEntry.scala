@@ -455,11 +455,13 @@ object SparkEntry {
     s"SELECT * FROM (${blocks.mkString(" UNION ALL ")}) ORDER BY col_name, metric"
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 + the LLM
+    * training-data extensions (LlmQueries). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational ++ monitors
+    relational ++ monitors ++ LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = relationalOracle ++ monitorsOracle
+  def oracleSql: Map[String, String] =
+    relationalOracle ++ monitorsOracle ++ LlmQueries.oracleSql
 }

@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines: exact,
+  * n-gram-Jaccard, MinHash+LSH and SimHash near-dup detection over a
+  * `documents(doc_id, text, ...)` corpus.
+  *
+  * Scale design (the point of each variant):
+  *  - exact: one hash-groupBy on a 32-byte fingerprint — a single shuffle
+  *    of (fingerprint, doc_id), never of text bodies.
+  *  - Jaccard: quadratic, so it only ever runs on candidate pairs produced
+  *    by a blocking key (here) or by MinHash LSH buckets (below) — at
+  *    100 TB the join is banded, not a cross join.
+  *  - MinHash/LSH: signatures are k mins over shingle hashes (linear
+  *    scan); the band-bucket self-join shuffles only (band_key, doc_id)
+  *    pairs, and true-Jaccard verification touches only candidates.
+  *  - SimHash: one 32-bit signature per doc; near-dup = small Hamming
+  *    distance, again joined within blocks.
+  *
+  * All hashes are the deterministic mod-every-step rolling hash from
+  * [[TextOps.rollingHash]] so the DuckDB oracle reproduces every value.
+  */
+object Dedup {
+
+  import TextOps.HashMod
+
+  // -------------------------------------------------------------------
+  // Exact dedup
+  // -------------------------------------------------------------------
+
+  /** Per-fingerprint groups: (fingerprint, n_docs, keep_doc_id) with
+    * keep = min doc_id (the canonical survivor).
+    */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(TextOps.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_doc_id"))
+
+  /** Corpus-level exact-dedup stats. */
+  def exactStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    exactGroups(docs, idCol, textCol).agg(
+      sum("n_docs").cast("long").as("total_docs"),
+      count(lit(1)).cast("long").as("unique_docs"),
+      (sum("n_docs") - count(lit(1))).cast("long").as("duplicate_docs"),
+      sum(when(col("n_docs") > 1, 1L).otherwise(0L)).cast("long").as("duplicate_groups"))
+
+  /** The deduplicated corpus: keep the min-id doc per fingerprint. */
+  def dropExactDuplicates(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(TextOps.fingerprint(col(textCol)))
+      .orderBy(col(idCol).asc)
+    docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // -------------------------------------------------------------------
+  // n-gram Jaccard near-dup (blocked pairwise)
+  // -------------------------------------------------------------------
+
+  /** (doc_id, block, shingles) — distinct bigram shingles per doc. */
+  def shingled(docs: DataFrame, blockCol: String, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+      TextOps.bigrams(col(textCol)).as("shingles"))
+
+  /** Near-duplicate pairs by bigram Jaccard within a blocking key.
+    * Emits (doc_a, doc_b, jaccard) for jaccard ≥ threshold, doc_a < doc_b.
+    * The rounded value is thresholded so the oracle cut is identical.
+    */
+  def jaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val s = shingled(docs, blockCol, idCol, textCol)
+    val a = s.select(col("doc_id").as("doc_a"), col("block"), col("shingles").as("sa"))
+    val b = s.select(col("doc_id").as("doc_b"), col("block"), col("shingles").as("sb"))
+    a.join(b, Seq("block")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sa"), col("sb"))).cast("double")
+          / size(array_union(col("sa"), col("sb"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // -------------------------------------------------------------------
+  // MinHash + LSH
+  // -------------------------------------------------------------------
+
+  /** Universal-hash parameters for the k MinHash functions: deterministic,
+    * odd multipliers, matching the oracle's generated SQL.
+    */
+  def minhashParams(k: Int): Seq[(Long, Long)] =
+    (0 until k).map(i => (2L * i + 3, 7919L * i + 13))
+
+  /** (doc_id, sig) — MinHash signature (array of k longs) per doc:
+    * sig_i = min over shingles s of (a_i * rollingHash(s) + b_i) mod p.
+    *
+    * Shape: explode shingles → hash each ONCE → groupBy(doc_id) with k
+    * `min` aggregates. The naive all-in-one-projection version re-evaluates
+    * the char-level hash fold k times per shingle (Catalyst collapses
+    * projections, so no reuse) — ~10× slower. Here partial aggregation
+    * collapses each partition to one row per doc before the shuffle, so
+    * only (doc_id, k mins) ever move. Empty shingle sets (explode_outer)
+    * get sig_i = p, which never collides with a real hash.
+    */
+  def minhashSignatures(docs: DataFrame, k: Int = 16, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val exploded = docs
+      .select(col(idCol).as("doc_id"),
+        explode_outer(TextOps.bigrams(col(textCol))).as("s"))
+      .withColumn("h", TextOps.rollingHash(col("s")))
+    val aggs = minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % HashMod).as(s"s$i")
+    }
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => coalesce(col(s"s$i"), lit(HashMod))): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: docs sharing at least one band of the signature.
+    * Bands of `rowsPerBand` signature slots are hashed to a band key; the
+    * (band_idx, band_key) self-join is the only shuffle, and its keys are
+    * tiny. Pairs are distinct (a pair may share several bands).
+    */
+  def lshCandidates(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    val banded = signatures.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), (size(col("sig")) / rowsPerBand).cast("int") - 1),
+        bIdx => array_join(slice(col("sig"), bIdx * rowsPerBand + 1, lit(rowsPerBand)), ","))))
+      .toDF("doc_id", "band_idx", "band_key")
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures → band buckets →
+    * candidate pairs → verify true bigram Jaccard ≥ threshold. Only the
+    * candidates are re-shingled (join back to text), so the quadratic
+    * verify cost is proportional to the collision count, not the corpus.
+    */
+  def minhashNearDups(docs: DataFrame, k: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val cands = lshCandidates(minhashSignatures(docs, k, idCol, textCol), rowsPerBand)
+    val sh = docs.select(col(idCol).as("doc_id"), TextOps.bigrams(col(textCol)).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sa"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sb"), "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sa"), col("sb"))).cast("double")
+          / size(array_union(col("sa"), col("sb"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // -------------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------------
+
+  /** 32-bit SimHash signature over token hashes: bit b is set iff the
+    * sum over tokens of ±1 (sign of token-hash bit b) is ≥ 0.
+    */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    val hs = transform(TextOps.tokens(text), w => TextOps.rollingHash(w))
+    val terms = (0 until bits).map { b =>
+      when(aggregate(hs, lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(1) * 2 - 1)) >= 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }
+    // empty token list → signature 0 (not all-bits-set from the >=0 ties)
+    when(size(hs) === 0, lit(0L)).otherwise(terms.reduce(_ + _))
+  }
+
+  /** (doc_id, block, sh) SimHash signatures via the same explode →
+    * hash-once → groupBy-aggregate shape as [[minhashSignatures]]: one
+    * `sum` of ±1 per bit position, then the bits are assembled from the
+    * aggregated sums. Empty docs aggregate to all-NULL sums → signature 0.
+    */
+  def simhashSignatures(docs: DataFrame, blockCol: String, bits: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val exploded = docs
+      .select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+        explode_outer(TextOps.tokens(col(textCol))).as("w"))
+      .withColumn("h", TextOps.rollingHash(col("w")))
+    val sums = (0 until bits).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"b$b")
+    }
+    val sig = (0 until bits).map { b =>
+      when(col(s"b$b").isNotNull && col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    exploded.groupBy("doc_id", "block").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), col("block"), sig.as("sh"))
+  }
+
+  /** SimHash near-dup pairs within a blocking key: Hamming distance of the
+    * signatures ≤ maxHamming. Signatures are computed once (linear), the
+    * pairwise XOR/bit_count runs only within blocks.
+    */
+  def simhashPairs(docs: DataFrame, blockCol: String, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val s = simhashSignatures(docs, blockCol, 32, idCol, textCol)
+    val a = s.select(col("doc_id").as("doc_a"), col("block"), col("sh").as("ha"))
+    val b = s.select(col("doc_id").as("doc_b"), col("block"), col("sh").as("hb"))
+    a.join(b, Seq("block")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

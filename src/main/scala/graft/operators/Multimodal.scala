@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, plus a batched per-partition
+  * feature-extraction pipeline.
+  *
+  * The media decode itself is STUBBED (this environment has no image/audio
+  * codecs): [[FakeDecoder]] derives deterministic pseudo-features from the
+  * bytes. Everything Spark-side is real and is what matters at 100 TB —
+  * the schema contract, the `mapPartitions` batch shape (decoder state
+  * initialized once per partition, rows streamed through it), and the
+  * fact that payload bytes never shuffle: features are extracted in the
+  * scan stage and only (id, metadata, features) move on.
+  */
+object Multimodal {
+
+  /** Metadata struct carried alongside every binary payload. */
+  val metadataType: StructType = StructType(Seq(
+    StructField("size_bytes", LongType),
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("size_bytes", LongType),
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_byte", DoubleType),
+    StructField("feature", ArrayType(DoubleType))))
+
+  /** STUB decoder — stands in for a real image/audio codec binding.
+    * Deterministic: dimensions and features are pure functions of the
+    * payload bytes, so tests and reruns agree. A production build replaces
+    * exactly this object (same signatures) with e.g. a JNI codec.
+    */
+  object FakeDecoder {
+    def dimensions(bytes: Array[Byte]): (Int, Int) = {
+      val h = bytes.foldLeft(17L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000003)
+      (64 + (h % 193).toInt, 64 + ((h / 193) % 129).toInt)
+    }
+    def meanByte(bytes: Array[Byte]): Double =
+      if (bytes.isEmpty) 0.0
+      else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+    /** 8-dim "embedding": byte-value histogram over 8 buckets, normalized. */
+    def features(bytes: Array[Byte]): Array[Double] = {
+      val hist = new Array[Double](8)
+      bytes.foreach(b => hist((b & 0xff) / 32) += 1.0)
+      val n = math.max(bytes.length, 1)
+      hist.map(_ / n)
+    }
+  }
+
+  /** Build a multimodal table from the documents fixture: text bytes stand
+    * in for a media payload; mime is derived from the source column. The
+    * schema contract (binary + typed metadata struct) is the real thing.
+    */
+  def synthesizePayloads(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        length(encode(col("text"), "UTF-8")).cast("long").as("size_bytes"),
+        concat(lit("image/"), col("source")).as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height")).as("metadata"))
+
+  /** Batched decode/feature-extract: one decoder per partition, rows
+    * streamed. This is the `mapPartitions` shape a real codec needs
+    * (expensive init amortized, bounded memory, no payload shuffle).
+    */
+  def extractFeatures(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    val rdd = payloads.select("doc_id", "payload", "metadata.size_bytes", "metadata.mime")
+      .rdd.mapPartitions { rows =>
+        // decoder/codec init would happen here, once per partition
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val (w, h) = FakeDecoder.dimensions(bytes)
+          Row(id, r.getLong(2), r.getString(3), w, h,
+            FakeDecoder.meanByte(bytes), FakeDecoder.features(bytes).toSeq)
+        }
+      }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** Per-mime rollup of extracted features — the profiling hook that makes
+    * multimodal columns first-class in the monitor pipeline.
+    */
+  def featureSummary(features: DataFrame): DataFrame =
+    features.groupBy("mime")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum("size_bytes").as("total_bytes"),
+        round(avg("mean_byte"), 4).as("avg_mean_byte"),
+        round(avg("width"), 4).as("avg_width"),
+        round(avg("height"), 4).as("avg_height"))
+      .orderBy("mime")
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Brute-force cosine top-k is the exactness baseline; the hyperplane-LSH
+  * variant is the 100 TB path: each vector maps to a small bucket key, the
+  * candidate join is per-bucket, and recall trades off against probe count.
+  *
+  * All math stays in Catalyst higher-order expressions (`zip_with` +
+  * `aggregate` folds) — no UDF, so the dot products run inside codegen'd
+  * stages and only (id, bucket/score) pairs ever shuffle. Vectors are cast
+  * float→double before any arithmetic so results are reproducible against
+  * the DuckDB oracle (`::DOUBLE[]` + `list_cosine_similarity`).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force cosine top-k: for each query vector (vec_id in queryIds),
+    * the k nearest neighbors among all other vectors.
+    *
+    * Plan shape: the query set is tiny → broadcast nested-loop against the
+    * corpus (ONE scan of the big side, no shuffle of vectors), then a
+    * per-query top-k window over (query_id, score) pairs. Ranking uses the
+    * 4-dp-rounded score with vec_id tiebreak so ordering is identical in
+    * the oracle.
+    */
+  def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val corpus = embeddings.select(col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("v"))
+    val queries = corpus.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 4).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
+  // -------------------------------------------------------------------
+  // Hyperplane LSH (random-projection signs)
+  // -------------------------------------------------------------------
+
+  /** Deterministic pseudo-random hyperplanes: plane p, dim j ↦ an integer
+    * weight in [-105, 105] from a fixed affine-mod formula — reproducible
+    * in SQL on both engines (no RNG state).
+    */
+  def planeWeight(p: Int, j: Int): Int = ((p * 131 + j * 137) % 211) - 105
+
+  /** Bucket key: the sign-bit string of `nPlanes` projections. */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val weights = array((0 until dim).map(j => lit(planeWeight(p, j).toDouble)): _*)
+      when(dot(vec, weights) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN top-k: brute-force ranking *within* each bucket.
+    * The corpus is scanned once to compute buckets, then the per-bucket
+    * self-join replaces the full cross join — at 1000× scale the bucket
+    * count grows with nPlanes and each bucket stays joinable. Recall vs
+    * [[bruteForceTopK]] is measured in SimilaritySpec.
+    */
+  def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nPlanes: Int = 6, dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val corpus = embeddings.select(col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
+    val queries = corpus.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+    val scored = corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 4).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold within a blocking
+    * column (label here; an LSH bucket at scale). Thresholds compare the
+    * 4-dp-rounded value so the oracle cut is identical.
+    */
+  def nearDupPairs(embeddings: DataFrame, blockCol: String, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(col(idCol).as("vec_id"), col(blockCol).as("block"),
+      asDouble(col(vecCol)).as("v"))
+    val a = e.select(col("vec_id").as("vec_a"), col("block"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("block"), col("v").as("vb"))
+    a.join(b, Seq("block")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("cos_sim") >= threshold)
+      .select("vec_a", "vec_b", "cos_sim")
+  }
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines.
+  *
+  * The reference profiles tabular data only; these extend the same
+  * profile-and-emit pattern (`/root/reference/DataFrames/databand_tracking_template.py:21-31`)
+  * to a document corpus: tokenization, quality scoring, language ID and
+  * fingerprinting over `documents.text`.
+  *
+  * Everything here is built from Spark SQL built-in + higher-order
+  * expressions (no UDFs): each helper returns a [[Column]], so the whole
+  * pipeline stays inside Catalyst, columns prune down to `text` at the
+  * Parquet scan, and per-row work distributes with no shuffle until the
+  * final aggregate.
+  *
+  * Cross-engine determinism: the DuckDB oracle mirrors each expression
+  * 1:1 (`regexp_extract_all`, list lambdas, `md5`). The rolling hash takes
+  * `% 1000000007` at every fold step — DuckDB BIGINT arithmetic *errors*
+  * on overflow rather than wrapping, so an end-only modulus would diverge.
+  */
+object TextOps {
+
+  /** Word tokens: lowercased alphanumeric runs. The regex doubles as a
+    * cheap BPE-ish pre-tokenizer — punctuation splits, case-folds.
+    */
+  val TokenPattern = "[a-z0-9]+"
+
+  val HashMod = 1000000007L
+
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Adjacent-word bigram shingles (distinct), the dedup unit.
+    * Guarded for <2 tokens: Spark's `sequence(1, 0)` yields a DESCENDING
+    * [1, 0] (unlike DuckDB's empty `range(1, 1)`), and `element_at(_, 0)`
+    * throws.
+    */
+  def bigrams(text: Column): Column = {
+    val ws = tokens(text)
+    when(size(ws) < 2, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(1), size(ws) - 1),
+          i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))))
+  }
+
+  /** Polynomial rolling hash of a string → [0, 1e9+7). Matches the DuckDB
+    * `list_reduce(list_prepend(0, ...))` form exactly (mod every step).
+    */
+  def rollingHash(s: Column): Column =
+    aggregate(
+      transform(regexp_extract_all(s, lit("."), lit(0)), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % HashMod)
+
+  /** Content fingerprint: md5 over the sorted distinct token set — robust
+    * to word order and repetition, the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  // -------------------------------------------------------------------
+  // Quality scoring (length / punctuation / stopword ratios)
+  // -------------------------------------------------------------------
+
+  val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordRatio(text: Column): Column = {
+    val ws = tokens(text)
+    when(size(ws) === 0, lit(0.0)).otherwise(
+      size(filter(ws, w => w.isin(Stopwords.map(x => x: Any): _*))).cast("double")
+        / size(ws))
+  }
+
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
+        / length(text))
+
+  def meanTokenLen(text: Column): Column = {
+    val ws = tokens(text)
+    when(size(ws) === 0, lit(0.0)).otherwise(
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(ws))
+  }
+
+  /** Composite quality score in [0,1]: long enough, words not too short /
+    * too long, some (but not only) stopwords, little punctuation. A
+    * heuristic filter in the C4/Gopher-rules tradition, deterministic and
+    * oracle-expressible.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctScore = greatest(lit(1.0) - punctRatio(text) * 10.0, lit(0.0))
+    round((lenScore + stopScore + punctScore) / 3.0, 4)
+  }
+
+  // -------------------------------------------------------------------
+  // Language ID (marker-token heuristic)
+  // -------------------------------------------------------------------
+
+  /** Per-language marker tokens (function-word unigrams — the degenerate
+    * n=1 case of n-gram language ID; real corpora would extend the lists).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "and", "is", "of", "to"),
+    "es" -> Seq("el", "la", "los", "que", "es", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "zh" -> Seq("de5", "shi4", "le5", "bu4", "wo3", "ni3"))
+
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isin(markers.map(x => x: Any): _*)))
+
+  /** Predicted language: argmax marker-hit count, ties broken by language
+    * code ascending, no hits at all → "und" (undetermined).
+    */
+  def predictedLang(text: Column): Column = {
+    // array_max over (hits, -listIndex, code) structs is lexicographic, so
+    // the winner has the highest hit count and, on ties, the smallest list
+    // index — i.e. first-in-LangMarkers-order, matching the oracle's CASE
+    // WHEN chain.
+    val withIdx = LangMarkers.zipWithIndex.map { case ((code, markers), i) =>
+      struct(markerHits(text, markers).as("hits"),
+        lit(-i).as("negIdx"), lit(code).as("code"))
+    }
+    val winner = array_max(array(withIdx: _*))
+    when(winner.getField("hits") === 0, lit("und"))
+      .otherwise(winner.getField("code"))
+  }
+}
