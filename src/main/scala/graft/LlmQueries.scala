@@ -256,7 +256,8 @@ object LlmQueries {
          |    THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
          |  FROM d GROUP BY vec_id),
          |eb AS (SELECT e.vec_id, v, bucket FROM e JOIN bk ON e.vec_id = bk.vec_id),
-         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb
+         |q AS (SELECT vec_id AS query_id, v AS qv, xor(bucket, m) AS bucket
+         |  FROM eb, (VALUES (0), (1), (2), (4), (8), (16), (32)) AS probes(m)
          |  WHERE vec_id IN $annIdsSql),
          |s AS (SELECT query_id, eb.vec_id,
          |    round(list_cosine_similarity(qv, v), 4) AS cos_sim

@@ -73,11 +73,14 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** LSH-bucketed ANN top-k: brute-force ranking *within* each bucket.
-    * The corpus is scanned once to compute buckets, then the per-bucket
-    * self-join replaces the full cross join — at 1000× scale the bucket
-    * count grows with nPlanes and each bucket stays joinable. Recall vs
-    * [[bruteForceTopK]] is measured in SimilaritySpec.
+  /** LSH-bucketed ANN top-k with multi-probe: each query searches its own
+    * bucket plus every Hamming-1 neighbor bucket (flip one hyperplane
+    * sign), i.e. nPlanes+1 probes — single-probe recall on random vectors
+    * is poor because true neighbors often differ in exactly one marginal
+    * plane. The corpus is scanned once to compute buckets; the probe set
+    * (tiny — queries × probes) broadcasts, so the candidate join replaces
+    * the full cross join and scales with bucket occupancy, not corpus².
+    * Recall vs [[bruteForceTopK]] is measured in SimilaritySpec.
     */
   def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       nPlanes: Int = 6, dim: Int = 64, idCol: String = "vec_id",
@@ -85,8 +88,10 @@ object Similarity {
     val corpus = embeddings.select(col(idCol).as("vec_id"),
       asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
+    val probeSet = array(lit(0L) +: (0 until nPlanes).map(p => lit(1L << p)): _*)
     val queries = corpus.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(transform(probeSet, m => col("bucket").bitwiseXOR(m))).as("bucket"))
     val scored = corpus.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.catalog.CatalogMonitor
+import graft.core.{MetricSink, Profiler}
+import graft.operators.Multimodal
+import graft.state.{ChangeDetection, StateStore}
+import graft.storage.StorageMonitor
+import graft.streaming.ContinuousMonitor
+
+class MonitorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("catalog row counts cover all fixture tables with positive counts") {
+    val counts = CatalogMonitor.tableRowCounts(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Tables.all.toSet)
+    assert(counts.values.forall(_ > 0))
+    assert(counts("region") == 5L)
+  }
+
+  test("table shapes joins row and column counts") {
+    val shapes = CatalogMonitor.tableShapes(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val li = shapes.find(_._1 == "lineitem").get
+    assert(li._3 == 11L)
+  }
+
+  test("state store: put/get/overwrite survives reopen") {
+    val dir = Files.createTempDirectory("graft-state").toString + "/state"
+    val store = new StateStore(dir)
+    store.put(spark, "orders", "row_count", "100")
+    store.put(spark, "orders", "row_count", "120")
+    store.put(spark, "lineitem", "row_count", "500")
+    assert(store.get(spark, "orders", "row_count") == Some("120"))
+    val reopened = new StateStore(dir)
+    assert(reopened.get(spark, "lineitem", "row_count") == Some("500"))
+    assert(reopened.read(spark).count() == 2)
+  }
+
+  test("change detection: corrected delta sign and symmetric drift") {
+    val d = ChangeDetection.rowDelta("t", prevCount = 10, curCount = 25, spark)
+      .collect().head
+    assert(d.getAs[Long]("delta") == 15L)
+    val drift = ChangeDetection.schemaDrift(Seq("a", "b"), Seq("b", "c"), spark)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(drift.toSet == Set(("removed", "a"), ("added", "c")))
+  }
+
+  test("storage inventory lists files with sizes and mime mapping") {
+    val inv = StorageMonitor.inventory(spark, Seq(sf)).collect()
+    assert(inv.length == Tables.all.size)
+    val byName = inv.map(r => r.getAs[String]("file_name") -> r).toMap
+    assert(byName.keySet.contains("lineitem.parquet"))
+    assert(byName("lineitem.parquet").getAs[Long]("size_bytes") > 0)
+    assert(byName("lineitem.parquet").getAs[String]("content_type")
+      == "application/vnd.apache.parquet")
+  }
+
+  test("prefix summary: counts, totals and deterministic largest file") {
+    val r = StorageMonitor.prefixSummary(StorageMonitor.inventory(spark, Seq(sf)))
+      .collect().head
+    assert(r.getAs[Long]("num_objects") == Tables.all.size.toLong)
+    assert(r.getAs[Long]("total_bytes") > r.getAs[Long]("max_bytes"))
+  }
+
+  test("streaming hourly aggregate equals the batch aggregate") {
+    val streaming = ContinuousMonitor.hourlyEventCounts(spark, Tables.path(sf, "events"))
+    val streamed = ContinuousMonitor
+      .runToCompletion(spark, streaming, "spec_stream_" + System.nanoTime())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
+  test("multimodal: payload schema contract and deterministic stub features") {
+    val docs = Tables.load(spark, sf, "documents").limit(50)
+    val payloads = Multimodal.synthesizePayloads(docs)
+    assert(payloads.schema("payload").dataType.typeName == "binary")
+    assert(payloads.schema("metadata").dataType.typeName == "struct")
+    val feats = Multimodal.extractFeatures(payloads)
+    assert(feats.schema == Multimodal.featureSchema)
+    val row = feats.orderBy("doc_id").collect().head
+    assert(row.getAs[Int]("width") >= 64 && row.getAs[Int]("height") >= 64)
+    assert(row.getSeq[Double](row.fieldIndex("feature")).length == 8)
+    // determinism: extracting twice yields identical features
+    val again = Multimodal.extractFeatures(payloads).orderBy("doc_id").collect().head
+    assert(again == row)
+  }
+
+  test("metric sink buffers typed points and round-trips via DataFrame") {
+    val sink = MetricSink("test-run")
+    sink.log("rows", 42.0)
+    sink.logString("schema.a", "bigint")
+    assert(sink.size == 2)
+    val df = sink.toDf(spark)
+    assert(df.filter(col("key") === "rows").select("valueDouble")
+      .collect().head.getDouble(0) == 42.0)
+  }
+
+  test("profileTo emits the documented metric key families") {
+    val sink = MetricSink("profile-run")
+    val df = Seq((1, 2.0), (2, 3.0)).toDF("a", "b")
+    Profiler.profileTo(sink, "t", df)
+    val keys = sink.keys
+    assert(keys.contains("t.rows"))
+    assert(keys.contains("t.columns"))
+    assert(keys.exists(_.startsWith("t.schema.")))
+    assert(keys.contains("t.a.median"))
+    assert(keys.contains("t.b.nulls"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  // 4-dim corpus with an obvious structure: 1≈0 (same direction),
+  // 2 orthogonal, 3 opposite, 4 nearly aligned with 0.
+  private val embeddings = Seq(
+    (0L, vec(1, 0, 0, 0), 0),
+    (1L, vec(2, 0, 0, 0), 0),
+    (2L, vec(0, 1, 0, 0), 0),
+    (3L, vec(-1, 0, 0, 0), 1),
+    (4L, vec(0.9, 0.1, 0, 0), 1))
+    .toDF("vec_id", "embedding", "label")
+
+  test("cosine: aligned=1, orthogonal=0, opposite=-1") {
+    val r = embeddings.as("a").crossJoin(embeddings.as("b"))
+      .filter(col("a.vec_id") === 0 && col("b.vec_id").isin(1, 2, 3))
+      .select(col("b.vec_id"),
+        round(Similarity.cosine(
+          col("a.embedding").cast("array<double>"),
+          col("b.embedding").cast("array<double>")), 6).as("c"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) == 1.0)
+    assert(r(2L) == 0.0)
+    assert(r(3L) == -1.0)
+  }
+
+  test("bruteForceTopK ranks by cosine with deterministic ties") {
+    val top = Similarity.bruteForceTopK(embeddings, Seq(0L), k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(top.head == (1L, 1))      // same direction → rank 1
+    assert(top(1) == (4L, 2))        // nearly aligned → rank 2
+    assert(top(2) == (2L, 3))        // orthogonal beats opposite
+  }
+
+  test("lshTopK: results are a subset of brute-force candidates, same-direction vectors share a bucket") {
+    val brute = Similarity.bruteForceTopK(embeddings, Seq(0L), 4, vecCol = "embedding")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    val lsh = Similarity.lshTopK(embeddings, Seq(0L), 4, nPlanes = 4, dim = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(lsh.nonEmpty)
+    // identical-direction vector must land in the same hyperplane bucket
+    assert(lsh.map(_._1).contains(1L))
+    // every LSH score equals the brute-force score for that vec
+    lsh.foreach { case (id, c) => assert(brute(id) == c) }
+  }
+
+  test("lshTopK recall on the fixture corpus is reasonable") {
+    val sf = "/root/testdata/sf0.001"
+    val embs = Tables.load(spark, sf, "embeddings")
+    val qids = Seq(0L, 1L, 2L)
+    val brute = Similarity.bruteForceTopK(embs, qids, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(embs, qids, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // single-probe 6-plane LSH: recall well above random (64 buckets)
+    assert(recall > 0.2, s"recall=$recall")
+  }
+
+  test("nearDupPairs finds aligned pairs within label blocks only") {
+    val pairs = Similarity.nearDupPairs(embeddings, "label", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L))) // 3,4 share label 1 but are anti-aligned
+  }
+}

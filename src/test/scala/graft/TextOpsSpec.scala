@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c.as("r")).collect().head.getAs[T]("r")
+
+  private def strs(c: org.apache.spark.sql.Column, text: String): List[String] =
+    Seq(text).toDF("text").select(c.as("r")).collect().head.getSeq[String](0).toList
+
+  test("tokens lowercase and split on non-alphanumerics") {
+    assert(strs(TextOps.tokens(col("text")), "Hello, World! x2")
+      == List("hello", "world", "x2"))
+  }
+
+  test("bigrams of a 4-token doc") {
+    assert(strs(TextOps.bigrams(col("text")), "a b c d")
+      == List("a b", "b c", "c d"))
+  }
+
+  test("bigrams guard: <2 tokens gives empty, not a sequence error") {
+    assert(strs(TextOps.bigrams(col("text")), "solo") == Nil)
+    assert(strs(TextOps.bigrams(col("text")), "") == Nil)
+  }
+
+  test("rollingHash matches the hand-computed polynomial") {
+    // "ab": ((0*31+97)%M)*31 + 98 = 3105
+    assert(one[Long](TextOps.rollingHash(col("text")), "ab") == 3105L)
+    assert(one[Long](TextOps.rollingHash(col("text")), "") == 0L)
+  }
+
+  test("fingerprint is order- and repetition-invariant") {
+    val df = Seq("the cat sat", "sat THE cat cat", "the dog sat").toDF("text")
+    val fps = df.select(TextOps.fingerprint(col("text")).as("f"))
+      .collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("quality score stays in [0,1] and rewards stopword-bearing prose") {
+    val good = one[Double](TextOps.qualityScore(col("text")),
+      ("the quick brown fox jumps over the lazy dog and it is a fine day " * 4))
+    val junk = one[Double](TextOps.qualityScore(col("text")), "@@@ ### !!!")
+    assert(good > junk)
+    assert(good >= 0.0 && good <= 1.0 && junk >= 0.0 && junk <= 1.0)
+  }
+
+  test("predictedLang picks marker-matching language, und for no hits") {
+    assert(one[String](TextOps.predictedLang(col("text")),
+      "der hund und die katze ist da") == "de")
+    assert(one[String](TextOps.predictedLang(col("text")),
+      "el que es la casa y los") == "es")
+    assert(one[String](TextOps.predictedLang(col("text")), "xyzzy qwerty") == "und")
+    // tie (zero-overlap marker counts equal) → first language in list order
+    assert(one[String](TextOps.predictedLang(col("text")), "und le") == "de")
+  }
+}
