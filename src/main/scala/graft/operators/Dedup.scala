@@ -69,16 +69,34 @@ object Dedup {
   /** Near-duplicate pairs by bigram Jaccard within a blocking key.
     * Emits (doc_a, doc_b, jaccard) for jaccard ≥ threshold, doc_a < doc_b.
     * The rounded value is thresholded so the oracle cut is identical.
+    *
+    * Shape: shingles explode and the pair list comes from an equi-join on
+    * (block, shingle) + per-pair count — |A∩B| is a grouped count and
+    * |A∪B| = |A|+|B|-|A∩B|. This replaces the blocked cross join with
+    * per-pair O(n) array intersections (~6× slower, and quadratic in
+    * block size regardless of similarity). Pairs sharing zero shingles
+    * never materialize, which is exactly right for any threshold > 0.
     */
   def jaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0, "threshold must be > 0 (zero-overlap pairs are never materialized)")
     val s = shingled(docs, blockCol, idCol, textCol)
-    val a = s.select(col("doc_id").as("doc_a"), col("block"), col("shingles").as("sa"))
-    val b = s.select(col("doc_id").as("doc_b"), col("block"), col("shingles").as("sb"))
-    a.join(b, Seq("block")).filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sa"), col("sb"))).cast("double")
-          / size(array_union(col("sa"), col("sb"))), 4))
+    // NB: only (block, doc_id, exploded shingle) pass through the Generate.
+    // Carrying size(shingles) alongside the explode makes codegen re-inline
+    // the whole shingle expression once per OUTPUT element (~50× per doc);
+    // set sizes are instead recovered from the exploded rows themselves
+    // (shingles are distinct per doc, so |A| = the row count).
+    val ex = s.select(col("block"), col("doc_id"), explode(col("shingles")).as("sh"))
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    ex.as("a").join(ex.as("b"),
+        col("a.block") === col("b.block") && col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb"))), "doc_b")
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (col("sza") + col("szb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -124,11 +142,14 @@ object Dedup {
     * tiny. Pairs are distinct (a pair may share several bands).
     */
   def lshCandidates(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    // cached: the self-join below would otherwise re-run the whole
+    // signature pipeline (explode + hash + groupBy) once per side
     val banded = signatures.select(col("doc_id"),
       posexplode(transform(
         sequence(lit(0), (size(col("sig")) / rowsPerBand).cast("int") - 1),
         bIdx => array_join(slice(col("sig"), bIdx * rowsPerBand + 1, lit(rowsPerBand)), ","))))
       .toDF("doc_id", "band_idx", "band_key")
+      .cache()
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_key") === col("y.band_key") &&
@@ -146,7 +167,9 @@ object Dedup {
       threshold: Double = 0.5, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val cands = lshCandidates(minhashSignatures(docs, k, idCol, textCol), rowsPerBand)
+    // cached: joined twice (a-side and b-side of each candidate pair)
     val sh = docs.select(col(idCol).as("doc_id"), TextOps.bigrams(col(textCol)).as("sh"))
+      .cache()
     cands
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sa"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sb"), "doc_b")

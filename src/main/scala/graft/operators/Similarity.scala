@@ -39,14 +39,17 @@ object Similarity {
     */
   def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // norms are precomputed per vector (not per pair): the pairwise stage
+    // then folds only the dot product — 3× less interpreted-lambda work
     val corpus = embeddings.select(col(idCol).as("vec_id"),
       asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm(col("v")))
     val queries = corpus.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nqv"))
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 4).as("cos_sim"))
+        round(dot(col("qv"), col("v")) / (col("nqv") * col("nv")), 4).as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -88,14 +91,15 @@ object Similarity {
     val corpus = embeddings.select(col(idCol).as("vec_id"),
       asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
+      .withColumn("nv", norm(col("v")))
     val probeSet = array(lit(0L) +: (0 until nPlanes).map(p => lit(1L << p)): _*)
     val queries = corpus.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nqv"),
         explode(transform(probeSet, m => col("bucket").bitwiseXOR(m))).as("bucket"))
     val scored = corpus.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 4).as("cos_sim"))
+        round(dot(col("qv"), col("v")) / (col("nqv") * col("nv")), 4).as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -111,10 +115,14 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val e = embeddings.select(col(idCol).as("vec_id"), col(blockCol).as("block"),
       asDouble(col(vecCol)).as("v"))
-    val a = e.select(col("vec_id").as("vec_a"), col("block"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("vec_b"), col("block"), col("v").as("vb"))
+      .withColumn("nv", norm(col("v")))
+    val a = e.select(col("vec_id").as("vec_a"), col("block"), col("v").as("va"),
+      col("nv").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("block"), col("v").as("vb"),
+      col("nv").as("nb"))
     a.join(b, Seq("block")).filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("cos_sim",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos_sim") >= threshold)
       .select("vec_a", "vec_b", "cos_sim")
   }

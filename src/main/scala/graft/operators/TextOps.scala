@@ -36,16 +36,22 @@ object TextOps {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Adjacent-word bigram shingles (distinct), the dedup unit.
-    * Guarded for <2 tokens: Spark's `sequence(1, 0)` yields a DESCENDING
-    * [1, 0] (unlike DuckDB's empty `range(1, 1)`), and `element_at(_, 0)`
-    * throws.
+    *
+    * Built with `zip_with(tokens, tokens[2..], concat)` — NOT
+    * `transform(sequence(1, n-1), i -> element_at(ws, i) ...)`: an
+    * expression referenced inside a lambda body is re-evaluated per
+    * element, so the indexed form re-runs the regex tokenizer twice per
+    * bigram (~100× per doc — it made shingling the dominant cost of every
+    * dedup pipeline). zip_with evaluates each array argument once.
+    * zip_with pads the shorter side with NULL, concat propagates the NULL,
+    * and the filter drops it — which also yields [] for 0/1-token docs.
     */
   def bigrams(text: Column): Column = {
     val ws = tokens(text)
-    when(size(ws) < 2, array().cast("array<string>")).otherwise(
-      array_distinct(
-        transform(sequence(lit(1), size(ws) - 1),
-          i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))))
+    val nxt = slice(ws, lit(2), greatest(size(ws) - 1, lit(0)))
+    array_distinct(filter(
+      zip_with(ws, nxt, (cur, nx) => concat(cur, lit(" "), nx)),
+      x => x.isNotNull))
   }
 
   /** Polynomial rolling hash of a string → [0, 1e9+7). Matches the DuckDB

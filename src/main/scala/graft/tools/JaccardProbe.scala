@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+object JaccardProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.{Dedup, TextOps}
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    docs.count()
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"TIME $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    val s = Dedup.shingled(docs, "source")
+    time("shingled")(s.count())
+    val ex = s.select(col("block"), col("doc_id"),
+      size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
+    time("exploded")(ex.count())
+    time("join")(ex.as("a").join(ex.as("b"),
+      col("a.block") === col("b.block") && col("a.sh") === col("b.sh") &&
+      col("a.doc_id") < col("b.doc_id")).count())
+    time("full")(Dedup.jaccardPairs(docs, "source", 0.5).count())
+    spark.stop()
+  }
+}

@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc single-query timing + plan dump: runMain graft.tools.QueryProbe <sfDir> <q1> [q2...] */
+object QueryProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val names = args.tail
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Tables.all.foreach(t => graft.Tables.load(spark, sfDir, t).count())
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      if (sys.env.contains("PROBE_EXPLAIN")) fn(spark, sfDir).explain("formatted")
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"PROBE $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+      }
+    }
+    spark.stop()
+  }
+}
