@@ -70,6 +70,23 @@ object StorageMonitor {
       round(avg("size_bytes"), 4).as("avg_bytes"),
       max_by(col("file_name"), struct(col("size_bytes"), col("file_name"))).as("largest_file"))
 
+  /** Filesystem capacity stats (SURVEY S8): the `stv_partitions`
+    * capacity/used/free-GB block
+    * (`/root/reference/AWS_Redshift/redshift_database_monitor.py:50-57,111-116`)
+    * re-expressed over the Hadoop FileSystem status API.
+    */
+  def diskStats(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val p = new Path(root)
+    val st = p.getFileSystem(spark.sessionState.newHadoopConf()).getStatus(p)
+    val gb = 1024.0 * 1024 * 1024
+    val (cap, used, free) = (st.getCapacity / gb, st.getUsed / gb, st.getRemaining / gb)
+    Seq((math.rint(cap * 100) / 100, math.rint(used * 100) / 100,
+      math.rint(free * 100) / 100,
+      if (cap == 0) 0.0 else math.rint(used / cap * 10000) / 100))
+      .toDF("capacity_gb", "used_gb", "free_gb", "used_pct")
+  }
+
   /** Largest object per root with a deterministic tiebreak (path asc) —
     * the fan-in argmax (`s3_key_monitor.py:179-184,209-220`).
     */
