@@ -374,7 +374,12 @@ object SparkEntry {
     "q28_storage_summary" -> ((s, dir) => {
       StorageMonitor.prefixSummary(StorageMonitor.inventory(s, Seq(dir)))
         .select("num_objects", "total_bytes", "max_bytes", "avg_bytes", "largest_file")
-    }))
+    }),
+
+    // A14 at log_dataframe scope: histograms of every numeric column in
+    // two jobs (one bounds agg + one melted bucket-count pass).
+    "q41_histograms_all" -> ((s, dir) =>
+      Profiler.numericHistograms(t(s, dir, "lineitem"), 10)))
 
   private def catalogCountsCte: String =
     "WITH counts(table_name, row_count) AS (" +
@@ -429,7 +434,25 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY window_start, event_type
-        |ORDER BY window_start, event_type""".stripMargin)
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q41_histograms_all" -> {
+      val dbl = Set("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val blocks = cols.map { c =>
+        val v = if (dbl(c)) s"CASE WHEN isnan($c) THEN NULL ELSE CAST($c AS DOUBLE) END"
+          else s"CAST($c AS DOUBLE)"
+        s"""SELECT '$c' AS col_name,
+           |  CASE WHEN hi = lo THEN 0 ELSE
+           |    CAST(least(floor((v - lo) / ((hi - lo) / 10)), 9) AS BIGINT) END AS bucket,
+           |  count(*) AS cnt
+           |FROM (SELECT $v AS v FROM lineitem) x,
+           |  (SELECT min($v) AS lo, max($v) AS hi
+           |   FROM lineitem) b
+           |WHERE v IS NOT NULL GROUP BY col_name, bucket""".stripMargin
+      }
+      s"SELECT * FROM (${blocks.mkString(" UNION ALL ")}) ORDER BY col_name, bucket"
+    })
 
   /** DuckDB oracle for Profiler.numericProfile: one UNION ALL block per
     * (column, metric), deterministically ordered like the Spark output.

@@ -230,6 +230,45 @@ object Profiler {
       .orderBy("bucket")
   }
 
+  /** Equi-width histograms for ALL numeric columns in exactly two jobs
+    * (SURVEY A14 at `with_histograms=True` scope — the reference computes
+    * histograms per dataframe, not per column): job 1 collects every
+    * column's (min, max) in one wide agg (a stat row — driver-safe at any
+    * scale); job 2 melts to (col_name, value), buckets against the
+    * collected bounds as literals (codegen, no join), and counts per
+    * (col_name, bucket). Output: (col_name, bucket, cnt).
+    */
+  def numericHistograms(df: DataFrame, bins: Int = 10): DataFrame = {
+    val cols = numericColumns(df)
+    require(cols.nonEmpty, "no numeric columns")
+    val boundExprs = cols.flatMap { c =>
+      val v = cleaned(df, c).cast(DoubleType)
+      Seq(min(v).as(s"${c}__lo"), max(v).as(s"${c}__hi"))
+    }
+    val b = df.agg(boundExprs.head, boundExprs.tail: _*).collect().head
+    val bounds = cols.map { c =>
+      c -> (Option(b.getAs[java.lang.Double](s"${c}__lo")).map(_.toDouble),
+        Option(b.getAs[java.lang.Double](s"${c}__hi")).map(_.toDouble))
+    }.toMap
+    val stackArgs = cols.map(c => s"'$c', ${cleanedSql(df, c)}").mkString(", ")
+    val melted = df.selectExpr(
+      s"stack(${cols.length}, $stackArgs) as (col_name, value)")
+      .where(col("value").isNotNull)
+    val bucket = cols.foldLeft(lit(-1L)) { (acc, c) =>
+      bounds(c) match {
+        case (Some(lo), Some(hi)) =>
+          val bk = if (hi == lo) lit(0L)
+            else least(floor((col("value") - lit(lo)) / lit((hi - lo) / bins)),
+              lit(bins - 1)).cast(LongType)
+          when(col("col_name") === c, bk).otherwise(acc)
+        case _ => acc // all-null column: no melted rows anyway
+      }
+    }
+    melted.select(col("col_name"), bucket.as("bucket"))
+      .groupBy("col_name", "bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("col_name", "bucket")
+  }
+
   /** Top-k categorical histogram (SURVEY A14, categorical arm). */
   def categoricalHistogram(df: DataFrame, c: String, k: Int = 50): DataFrame =
     df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))

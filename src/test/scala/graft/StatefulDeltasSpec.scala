@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{CountDelta, CountObs, StatefulDeltas}
+
+class StatefulDeltasSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("flatMapGroupsWithState emits per-entity deltas across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[CountObs]
+    val q = StatefulDeltas.countDeltas(input.toDS())
+      .writeStream.format("memory").queryName("deltas")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(CountObs("orders", 100), CountObs("lineitem", 500))
+      q.processAllAvailable()
+      input.addData(CountObs("orders", 120))
+      q.processAllAvailable()
+      input.addData(CountObs("orders", 90), CountObs("lineitem", 480))
+      q.processAllAvailable()
+      val rows = spark.table("deltas").as[CountDelta].collect()
+        .groupBy(_.entity).view.mapValues(_.map(d => (d.cur_count, d.delta)).toSet).toMap
+      // first observation → delta 0; then signed current - previous
+      assert(rows("orders") == Set((100L, 0L), (120L, 20L), (90L, -30L)))
+      assert(rows("lineitem") == Set((500L, 0L), (480L, -20L)))
+    } finally q.stop()
+  }
+}
