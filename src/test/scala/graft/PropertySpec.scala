@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.core.Profiler
+import graft.operators.{Dedup, TextOps}
+import graft.state.ChangeDetection
+
+/** Property-based invariants (SURVEY §5.2), using ScalaCheck generators
+  * with a deterministic seeded sample loop (the scalatest-scalacheck
+  * bridge isn't on the offline classpath). Sample counts are small — each
+  * case round-trips through Spark jobs.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int = 5): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val valuesGen: Gen[List[Option[Double]]] =
+    Gen.listOfN(30, Gen.oneOf(
+      Gen.const(None),
+      Gen.const(Some(Double.NaN)),
+      Gen.chooseNum(-1e6, 1e6).map(d => Some(d))))
+
+  test("profile invariants: counts partition rows; min <= p25 <= median <= p75 <= max") {
+    for (xs <- samples(valuesGen)) {
+      val df = xs.toDF("x")
+      val m = Profiler.numericProfile(df).collect()
+        .map(r => r.getString(1) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .toMap
+      assert(m("count").get + m("null_count").get == xs.size.toDouble)
+      for (Seq(a, b) <- Seq("min", "p25", "median", "p75", "max").sliding(2).toSeq)
+        (m(a), m(b)) match {
+          case (Some(x), Some(y)) => assert(x <= y, s"$a=$x > $b=$y")
+          case _ => // all-null column: all order stats absent together
+        }
+      assert(m("distinct_count").get <= m("count").get)
+    }
+  }
+
+  test("duplicateStats: dupes = rows - distinct >= 0, groups <= distinct") {
+    for (ks <- samples(Gen.listOfN(25, Gen.chooseNum(0, 5))) if ks.nonEmpty) {
+      val r = Profiler.duplicateStats(ks.toDF("k"), Seq("k")).collect().head
+      assert(r.getAs[Long]("row_count") == ks.size.toLong)
+      assert(r.getAs[Long]("duplicate_count") == ks.size - ks.distinct.size)
+      assert(r.getAs[Long]("duplicate_groups") <= r.getAs[Long]("distinct_count"))
+    }
+  }
+
+  test("drift(a, a) is empty; drift is antisymmetric in added/removed") {
+    for (cols <- samples(Gen.listOfN(6, Gen.identifier.suchThat(_.nonEmpty)), 3)) {
+      val a = cols.distinct
+      assert(ChangeDetection.schemaDrift(a, a, spark).count() == 0)
+      val b = a.drop(1) :+ "zz_new"
+      val ab = ChangeDetection.schemaDrift(a, b, spark).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val ba = ChangeDetection.schemaDrift(b, a, spark).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(ab.map { case (c, n) => (if (c == "added") "removed" else "added", n) } == ba)
+    }
+  }
+
+  test("minhash signatures of identical docs always collide") {
+    val textGen = Gen.listOfN(12,
+      Gen.oneOf("spark", "data", "table", "query", "row", "scan", "fast"))
+      .map(_.mkString(" "))
+    for (t <- samples(textGen, 3)) {
+      val docs = Seq((1L, t, "s"), (2L, t, "s")).toDF("doc_id", "text", "source")
+      val sigs = Dedup.minhashSignatures(docs)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(sigs(1L) == sigs(2L))
+    }
+  }
+
+  test("fingerprint invariance under token permutation") {
+    for (ws <- samples(Gen.listOfN(8, Gen.identifier.suchThat(_.nonEmpty)), 3)
+         if ws.nonEmpty) {
+      val shuffled = new scala.util.Random(7).shuffle(ws)
+      val df = Seq(ws.mkString(" "), shuffled.mkString(" ")).toDF("text")
+      val fps = df.select(TextOps.fingerprint(org.apache.spark.sql.functions.col("text")))
+        .collect().map(_.getString(0))
+      assert(fps(0) == fps(1))
+    }
+  }
+}
