@@ -225,7 +225,8 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, blockCol: String, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val s = simhashSignatures(docs, blockCol, 32, idCol, textCol)
+    // cached: the block self-join would re-run the signature pipeline per side
+    val s = simhashSignatures(docs, blockCol, 32, idCol, textCol).cache()
     val a = s.select(col("doc_id").as("doc_a"), col("block"), col("sh").as("ha"))
     val b = s.select(col("doc_id").as("doc_b"), col("block"), col("sh").as("hb"))
     a.join(b, Seq("block")).filter(col("doc_a") < col("doc_b"))
