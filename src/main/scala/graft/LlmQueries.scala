@@ -97,7 +97,24 @@ object LlmQueries {
     "q40_dedup_kept" -> ((s, dir) =>
       Dedup.dropExactDuplicates(docs(s, dir))
         .agg(count(lit(1)).cast("long").as("n_docs"),
-          sum("n_chars").cast("long").as("total_chars"))))
+          sum("n_chars").cast("long").as("total_chars"))),
+
+    // IVF-bucketed ANN (deterministic centroid subset; single-probe).
+    "q42_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(embs(s, dir), annQueryIds, annK, ivfCentroidIds)
+        .orderBy("query_id", "rank")),
+
+    // The 100 TB profiling path: HLL distincts + approx percentiles in one
+    // scan. Sketch outputs aren't bit-reproducible across engines, so this
+    // is a rows-only entry (exactness is q11's job; spec asserts the grid).
+    "q43_profile_approx" -> ((s, dir) =>
+      graft.core.Profiler.numericProfile(Tables.load(s, dir, "lineitem"),
+        graft.core.ProfileConfig(exact = false))))
+
+  /** Fixed centroid subset for IVF (vec_ids guaranteed present at every
+    * fixture scale; a k-means trainer would replace this — see ivfAssign).
+    */
+  private val ivfCentroidIds: Seq[Long] = (0 until 16).map(i => i.toLong * 7)
 
   // =====================================================================
   // Oracle SQL (DuckDB) — shared fragments
@@ -266,6 +283,29 @@ object LlmQueries {
          |    ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank FROM s)
          |SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= $annK
          |ORDER BY query_id, rank""".stripMargin,
+
+    "q42_ann_ivf" -> {
+      val cidsSql = ivfCentroidIds.mkString("(", ", ", ")")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN $cidsSql),
+         |sc AS (SELECT e.vec_id,
+         |    round(list_cosine_similarity(e.v, c.cv), 4) AS ccos, c.cid
+         |  FROM e, c),
+         |asg AS (SELECT vec_id, cid AS cell FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS rn FROM sc) WHERE rn = 1),
+         |eb AS (SELECT e.vec_id, e.v, asg.cell
+         |  FROM e JOIN asg ON e.vec_id = asg.vec_id),
+         |q AS (SELECT vec_id AS query_id, v AS qv, cell FROM eb
+         |  WHERE vec_id IN $annIdsSql),
+         |s AS (SELECT query_id, eb.vec_id,
+         |    round(list_cosine_similarity(qv, eb.v), 4) AS cos_sim
+         |  FROM q JOIN eb ON q.cell = eb.cell AND eb.vec_id <> q.query_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank FROM s)
+         |SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= $annK
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     "q38_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)

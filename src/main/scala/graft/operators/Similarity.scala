@@ -107,6 +107,53 @@ object Similarity {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
+  // -------------------------------------------------------------------
+  // IVF (inverted-file) ANN
+  // -------------------------------------------------------------------
+
+  /** IVF cell assignment: nearest centroid by rounded cosine (ties to the
+    * smallest centroid id). Centroids here are a fixed subset of the
+    * corpus — real IVF would k-means-train them; the training step is the
+    * only stub, the partition/search plumbing is the production shape.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("nv"), col("cid"),
+        round(dot(col("v"), col("cv")) / (col("nv") * col("ncv")), 4).as("ccos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nv"), col("cid").as("cell"))
+  }
+
+  /** IVF top-k ANN: assign every vector to its nearest centroid's cell
+    * (one scan + broadcast of K centroids), then brute-force rank within
+    * the query's cell only. At scale the per-cell join replaces the full
+    * cross join; recall vs nprobe is the standard IVF tradeoff (this is
+    * single-probe).
+    */
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      centroidIds: Seq[Long], idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val corpus = embeddings.select(col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm(col("v")))
+    val centroids = corpus.filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("ncv"))
+    val cells = ivfAssign(corpus, centroids)
+    val queries = cells.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nv").as("nqv"), col("cell"))
+    val scored = cells.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("nqv") * col("nv")), 4).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold within a blocking
     * column (label here; an LSH bucket at scale). Thresholds compare the
     * 4-dp-rounded value so the oracle cut is identical.

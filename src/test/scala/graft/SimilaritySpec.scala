@@ -67,6 +67,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.2, s"recall=$recall")
   }
 
+  test("ivfTopK: scores agree with brute force, same-direction vector shares the cell") {
+    val sf = "/root/testdata/sf0.001"
+    val embs = Tables.load(spark, sf, "embeddings")
+    val qids = Seq(0L, 1L, 2L)
+    val brute = Similarity.bruteForceTopK(embs, qids, 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivf = Similarity.ivfTopK(embs, qids, 10, (0 until 16).map(_.toLong * 7))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(ivf.nonEmpty)
+    // every IVF hit carries the exact brute-force score (subset property)
+    ivf.foreach { case (k, c) => assert(brute.get(k).forall(_ == c)) }
+    // the recall of single-probe IVF is bounded but nonzero
+    val recall = ivf.map(_._1).count(brute.contains).toDouble / brute.size
+    assert(recall > 0.1, s"recall=$recall")
+  }
+
   test("nearDupPairs finds aligned pairs within label blocks only") {
     val pairs = Similarity.nearDupPairs(embeddings, "label", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
