@@ -56,8 +56,17 @@ object TextOps {
 
   /** Polynomial rolling hash of a string → [0, 1e9+7). Matches the DuckDB
     * `list_reduce(list_prepend(0, ...))` form exactly (mod every step).
+    * Backed by the native codegen'd [[graft.functions.PolyHash]] — the
+    * built-in formulation ([[rollingHashBuiltins]]) allocates a
+    * per-character array + two interpreted lambda dispatches per char.
     */
   def rollingHash(s: Column): Column =
+    graft.functions.PolyHash.polyHash(s, HashMod)
+
+  /** Built-ins-only rolling hash, kept as the differential-test reference
+    * for the native expression (TextOpsSpec asserts equality).
+    */
+  def rollingHashBuiltins(s: Column): Column =
     aggregate(
       transform(regexp_extract_all(s, lit("."), lit(0)), ch => ascii(ch).cast("long")),
       lit(0L),

@@ -36,6 +36,15 @@ class TextOpsSpec extends AnyFunSuite {
     assert(one[Long](TextOps.rollingHash(col("text")), "") == 0L)
   }
 
+  test("native PolyHash agrees with the built-ins fold on fixture text") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    val diff = docs.select(
+      TextOps.rollingHash(col("text")).as("native"),
+      TextOps.rollingHashBuiltins(col("text")).as("ref"))
+      .filter(col("native") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
   test("fingerprint is order- and repetition-invariant") {
     val df = Seq("the cat sat", "sat THE cat cat", "the dog sat").toDF("text")
     val fps = df.select(TextOps.fingerprint(col("text")).as("f"))
