@@ -48,13 +48,20 @@ object ContinuousMonitor {
     */
   def runToCompletion(spark: SparkSession, streaming: DataFrame,
       tableName: String): DataFrame = {
-    val q = streaming.writeStream
-      .trigger(Trigger.AvailableNow())
-      .format("memory")
-      .queryName(tableName)
-      .outputMode("complete")
-      .start()
-    q.awaitTermination()
+    // each shuffle partition materializes its own state-store instance;
+    // for a drain-and-stop monitor the store startup dominates, so cap
+    // the stateful-shuffle width (restored after the drain)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", math.min(prev.toInt, 8))
+    try {
+      val q = streaming.writeStream
+        .trigger(Trigger.AvailableNow())
+        .format("memory")
+        .queryName(tableName)
+        .outputMode("complete")
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(tableName)
   }
 
