@@ -49,14 +49,9 @@ object LlmQueries {
         .orderBy("source")
     }),
 
-    // Language-ID confusion matrix: labeled lang × predicted lang.
-    "q31_langid" -> ((s, dir) => {
-      docs(s, dir)
-        .select(col("lang"), TextOps.predictedLang(col("text")).as("predicted"))
-        .groupBy("lang", "predicted")
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy("lang", "predicted")
-    }),
+    // Language-ID confusion matrix: labeled lang × predicted lang —
+    // explode-once + broadcast marker join (one tokenizer pass per doc).
+    "q31_langid" -> ((s, dir) => TextOps.langIdConfusion(docs(s, dir))),
 
     // Exact-dedup stats on the token-set md5 fingerprint.
     "q32_fingerprint" -> ((s, dir) => Dedup.exactStats(docs(s, dir))),

@@ -134,6 +134,41 @@ object TextOps {
   /** Predicted language: argmax marker-hit count, ties broken by language
     * code ascending, no hits at all → "und" (undetermined).
     */
+  /** Corpus-level language ID: label × predicted confusion counts.
+    *
+    * Scale shape: tokens explode ONCE per doc, hit a broadcast marker
+    * table, and per-language hits come back as conditional sums keyed by
+    * doc — one tokenizer pass total (the Column-level [[predictedLang]]
+    * re-tokenizes once per language, fine for ad-hoc use, wrong at 100 TB).
+    * Docs with zero marker hits survive via the left join → "und".
+    */
+  def langIdConfusion(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", labelCol: String = "lang"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val markers = LangMarkers.flatMap { case (code, ws) => ws.map(w => (w, code)) }
+      .toDF("w", "marker_lang")
+    val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w"))
+    val hitAggs = LangMarkers.map { case (code, _) =>
+      sum(when(col("marker_lang") === code, 1L).otherwise(0L)).as(s"h_$code")
+    }
+    val hits = tok.join(broadcast(markers), "w")
+      .groupBy("id").agg(hitAggs.head, hitAggs.tail: _*)
+    val withIdx = LangMarkers.zipWithIndex.map { case ((code, _), i) =>
+      struct(coalesce(col(s"h_$code"), lit(0L)).as("hits"),
+        lit(-i).as("negIdx"), lit(code).as("code"))
+    }
+    val winner = array_max(array(withIdx: _*))
+    docs.select(col(idCol).as("id"), col(labelCol).as("lang"))
+      .join(hits, Seq("id"), "left")
+      .select(col("lang"),
+        when(winner.getField("hits") === 0, lit("und"))
+          .otherwise(winner.getField("code")).as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "predicted")
+  }
+
   def predictedLang(text: Column): Column = {
     // array_max over (hits, -listIndex, code) structs is lexicographic, so
     // the winner has the highest hit count and, on ties, the smallest list
