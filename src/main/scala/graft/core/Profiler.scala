@@ -21,6 +21,7 @@ case class ProfileConfig(
     exact: Boolean = true,
     histogramBins: Int = 10,
     approxRsd: Double = 0.05,
+    approxPercentileAccuracy: Int = 2500,
     statColumnsPerJob: Int = 64,
     previewRows: Int = 20)
 
@@ -81,9 +82,9 @@ object Profiler {
     if (cfg.exact) base
     else base ++ Seq(
       approx_count_distinct(v, cfg.approxRsd).cast(DoubleType).as(s"${c}__distinct_count"),
-      round(percentile_approx(v, lit(0.25), lit(10000)), 4).as(s"${c}__p25"),
-      round(percentile_approx(v, lit(0.5), lit(10000)), 4).as(s"${c}__median"),
-      round(percentile_approx(v, lit(0.75), lit(10000)), 4).as(s"${c}__p75"))
+      round(percentile_approx(v, lit(0.25), lit(cfg.approxPercentileAccuracy)), 4).as(s"${c}__p25"),
+      round(percentile_approx(v, lit(0.5), lit(cfg.approxPercentileAccuracy)), 4).as(s"${c}__median"),
+      round(percentile_approx(v, lit(0.75), lit(cfg.approxPercentileAccuracy)), 4).as(s"${c}__p75"))
   }
 
   /** SQL text of the cleaned double cast (for building `stack` melts). */
