@@ -98,6 +98,20 @@ class MonitorsSpec extends AnyFunSuite {
     assert(again == row)
   }
 
+  test("sinks: partitioned parquet round-trip with partition pruning") {
+    val dir = Files.createTempDirectory("graft-sink").toString + "/out"
+    val df = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0))
+      .toDF("id", "part", "v")
+    graft.sources.Sinks.parquet(df, dir, partitionCols = Seq("part"))
+    assert(new java.io.File(dir, "part=a").exists())
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3)
+    assert(back.filter(col("part") === "a").count() == 2)
+    val csvDir = Files.createTempDirectory("graft-sink").toString + "/csv"
+    graft.sources.Sinks.csv(df, csvDir)
+    assert(graft.sources.Sources.file(spark, csvDir, "csv").count() == 3)
+  }
+
   test("metric sink buffers typed points and round-trips via DataFrame") {
     val sink = MetricSink("test-run")
     sink.log("rows", 42.0)
