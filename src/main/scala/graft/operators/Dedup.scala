@@ -78,7 +78,8 @@ object Dedup {
     * never materialize, which is exactly right for any threshold > 0.
     */
   def jaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxShingleDocs: Option[Long] = None): DataFrame = {
     require(threshold > 0.0, "threshold must be > 0 (zero-overlap pairs are never materialized)")
     val s = shingled(docs, blockCol, idCol, textCol)
     // NB: only (block, doc_id, exploded shingle) pass through the Generate.
@@ -86,8 +87,21 @@ object Dedup {
     // the whole shingle expression once per OUTPUT element (~50× per doc);
     // set sizes are instead recovered from the exploded rows themselves
     // (shingles are distinct per doc, so |A| = the row count).
-    val ex = s.select(col("block"), col("doc_id"), explode(col("shingles")).as("sh"))
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val exAll = s.select(col("block"), col("doc_id"), explode(col("shingles")).as("sh"))
+    val sizes = exAll.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // Hot-shingle skew guard (scale knob, off by default to keep exact
+    // oracle semantics): a shingle present in d docs of a block produces
+    // d² join rows, so ubiquitous shingles dominate the intermediate while
+    // contributing almost nothing to discrimination. Capping doc frequency
+    // (standard stop-shingle removal) bounds per-key fan-out; note |A∩B|
+    // then slightly undercounts pairs that share only hot shingles.
+    val ex = maxShingleDocs match {
+      case Some(cap) =>
+        val hot = exAll.groupBy("block", "sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("block", "sh")
+        exAll.join(broadcast(hot), Seq("block", "sh"), "left_anti")
+      case None => exAll
+    }
     ex.as("a").join(ex.as("b"),
         col("a.block") === col("b.block") && col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
