@@ -65,6 +65,29 @@ object ContinuousMonitor {
     spark.table(tableName)
   }
 
+  /** Continuously append windowed aggregates to the metrics table: the
+    * streaming analogue of the reference's tracker-POST loop
+    * (`databand_airflow_monitor.py:102-110` + `log_metric` sites). Each
+    * micro-batch stamps its rows with the batch id and appends Parquet —
+    * an idempotent-enough, replayable metric time-series. Returns the
+    * started query; caller owns lifecycle (stop / awaitTermination).
+    */
+  def metricsStream(streaming: DataFrame, metricsPath: String,
+      checkpointPath: String, runId: String,
+      intervalSeconds: Int = 10): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.writeStream
+      .trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        batch.withColumn("run_id", lit(runId))
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("emitted_ts", current_timestamp())
+          .write.mode("append").parquet(metricsPath)
+      }
+      .start()
+
   /** Production variant: periodic poll, bounded lifetime, caller restarts —
     * mirrors CHECK_INTERVAL/AUTO_RESTART_TIMEOUT
     * (`databand_airflow_monitor.py:13-18`).

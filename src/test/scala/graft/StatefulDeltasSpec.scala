@@ -30,4 +30,25 @@ class StatefulDeltasSpec extends AnyFunSuite {
       assert(rows("lineitem") == Set((500L, 0L), (480L, -20L)))
     } finally q.stop()
   }
+
+  test("metricsStream appends batch-stamped metric rows to parquet") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ms").toString
+    val input = MemoryStream[CountObs]
+    val agg = input.toDS().toDF()
+      .groupBy("entity").agg(org.apache.spark.sql.functions.sum("cnt").as("total"))
+    val q = graft.streaming.ContinuousMonitor.metricsStream(
+      agg, tmp + "/metrics", tmp + "/ckpt", "run-1", intervalSeconds = 0)
+    try {
+      input.addData(CountObs("orders", 10), CountObs("orders", 5))
+      q.processAllAvailable()
+      val out = spark.read.parquet(tmp + "/metrics")
+      assert(out.columns.toSet ==
+        Set("entity", "total", "run_id", "batch_id", "emitted_ts"))
+      val r = out.filter($"entity" === "orders").orderBy($"batch_id".desc)
+        .select("total").collect().head.getLong(0)
+      assert(r == 15L)
+    } finally q.stop()
+  }
 }
