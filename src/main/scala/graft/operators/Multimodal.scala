@@ -90,6 +90,57 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** STUB resize: a real build decodes, scales and re-encodes; the stub
+    * derives the "resized" payload deterministically (truncate/repeat the
+    * byte stream to the area-scaled length) so schema, partition behavior
+    * and downstream feature extraction are exercised end to end. Runs in
+    * the scan stage — payloads never shuffle.
+    */
+  def resize(payloads: DataFrame, width: Int, height: Int): DataFrame = {
+    val spark = payloads.sparkSession
+    val rdd = payloads.select("doc_id", "payload", "metadata.mime").rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val (w0, h0) = FakeDecoder.dimensions(bytes)
+          val target = math.max(1,
+            (bytes.length.toLong * (width.toLong * height) / math.max(1L, w0.toLong * h0)).toInt)
+          val out = Array.tabulate(target)(i => bytes(i % math.max(1, bytes.length)))
+          Row(r.getLong(0), out, Row(out.length.toLong, r.getString(2),
+            width, height))
+        }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("metadata", metadataType))))
+  }
+
+  /** STUB frame sampling for video-like payloads: every payload splits
+    * into `n` evenly-spaced byte windows ("frames"), one output row each —
+    * the explode-shaped plumbing a real frame sampler needs (row count
+    * multiplies in the scan stage, frame payloads stay columnar).
+    */
+  def sampleFrames(payloads: DataFrame, n: Int, frameBytes: Int = 64): DataFrame = {
+    val spark = payloads.sparkSession
+    val rdd = payloads.select("doc_id", "payload").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        if (bytes.isEmpty) Iterator.empty
+        else (0 until n).iterator.map { i =>
+          val start = (bytes.length.toLong * i / n).toInt
+          val frame = bytes.slice(start, math.min(bytes.length, start + frameBytes))
+          Row(r.getLong(0), i, frame, FakeDecoder.meanByte(frame))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame", BinaryType),
+      StructField("frame_mean_byte", DoubleType))))
+  }
+
   /** Per-mime rollup of extracted features — the profiling hook that makes
     * multimodal columns first-class in the monitor pipeline.
     */

@@ -98,6 +98,23 @@ class MonitorsSpec extends AnyFunSuite {
     assert(again == row)
   }
 
+  test("multimodal resize and frame sampling keep the plumbing contracts") {
+    val docs = Tables.load(spark, sf, "documents").limit(20)
+    val payloads = Multimodal.synthesizePayloads(docs)
+    val resized = Multimodal.resize(payloads, 32, 32)
+    assert(resized.schema("payload").dataType.typeName == "binary")
+    val meta = resized.select("metadata.width", "metadata.height").collect()
+    assert(meta.forall(r => r.getInt(0) == 32 && r.getInt(1) == 32))
+    // resized payloads still flow through feature extraction
+    assert(Multimodal.extractFeatures(resized).count() == 20)
+
+    val frames = Multimodal.sampleFrames(payloads, n = 4)
+    assert(frames.count() == 80)
+    val idx = frames.select("frame_idx").distinct().collect().map(_.getInt(0)).sorted
+    assert(idx.toSeq == Seq(0, 1, 2, 3))
+    assert(frames.filter(col("frame_mean_byte") <= 0).count() == 0)
+  }
+
   test("sinks: partitioned parquet round-trip with partition pruning") {
     val dir = Files.createTempDirectory("graft-sink").toString + "/out"
     val df = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0))
