@@ -18,8 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Dot product of two double arrays — the native codegen'd
+    * [[graft.functions.ArrayDot]] (bit-identical fold order to the
+    * built-ins form kept below for differential testing).
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.ArrayDot.arrayDot(a, b)
+
+  /** Built-ins-only dot product (differential-test reference). */
+  def dotBuiltins(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

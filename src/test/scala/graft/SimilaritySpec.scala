@@ -34,6 +34,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(3L) == -1.0)
   }
 
+  test("native ArrayDot is bit-identical to the built-ins fold on fixture vectors") {
+    val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")).limit(300)
+    val pairs = embs.as("a").crossJoin(embs.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")).limit(2000)
+    val diff = pairs.select(
+      Similarity.dot(col("a.v"), col("b.v")).as("native"),
+      Similarity.dotBuiltins(col("a.v"), col("b.v")).as("ref"))
+      .filter(col("native") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
   test("bruteForceTopK ranks by cosine with deterministic ties") {
     val top = Similarity.bruteForceTopK(embeddings, Seq(0L), k = 3)
       .collect().map(r => (r.getLong(1), r.getInt(3)))
