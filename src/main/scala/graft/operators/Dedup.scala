@@ -87,6 +87,9 @@ object Dedup {
     // the whole shingle expression once per OUTPUT element (~50× per doc);
     // set sizes are instead recovered from the exploded rows themselves
     // (shingles are distinct per doc, so |A| = the row count).
+    // NOT cached although consumed three times: with zip_with bigrams the
+    // recompute is cheaper than materializing 50 rows/doc to storage
+    // memory (measured — caching here made the query ~40% slower)
     val exAll = s.select(col("block"), col("doc_id"), explode(col("shingles")).as("sh"))
     val sizes = exAll.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // Hot-shingle skew guard (scale knob, off by default to keep exact
