@@ -310,6 +310,13 @@ object LlmQueries {
          |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin,
 
+    // NB: equivalence with the Spark side (which hashes UTF-8 BYTES via
+    // encode(text,'UTF-8')) relies on the fixture being pure ASCII — this
+    // oracle iterates per-character code points (ascii(c)) and character
+    // length(text), which diverge from bytes on any non-ASCII text. The
+    // fixture is verified ASCII-only at every SF (octet_length == length
+    // for all docs); DuckDB has no blob→byte-list primitive to make the
+    // oracle byte-based outright.
     "q39_multimodal" ->
       s"""WITH f AS (SELECT doc_id, 'image/' || source AS mime,
          |  CAST(length(text) AS BIGINT) AS size_bytes,

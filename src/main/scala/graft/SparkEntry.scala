@@ -263,7 +263,8 @@ object SparkEntry {
         "l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "q12_histogram" ->
       """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
-        |SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 10)), 9) AS BIGINT) AS bucket,
+        |SELECT CASE WHEN hi = lo THEN 0 ELSE
+        |    CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 10)), 9) AS BIGINT) END AS bucket,
         |  count(*) AS cnt
         |FROM lineitem, b WHERE l_extendedprice IS NOT NULL
         |GROUP BY bucket ORDER BY bucket""".stripMargin,

@@ -238,8 +238,12 @@ object Profiler {
     df.select(v.as("v")).where(col("v").isNotNull)
       .crossJoin(broadcast(bounds))
       .select(
-        least(floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / bins)),
-          lit(bins - 1)).cast(LongType).as("bucket"))
+        // constant column (hi == lo) → everything in bucket 0; the width
+        // divide would otherwise yield 0/0 = NaN buckets (numericHistograms
+        // has the same guard on its collected bounds)
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / bins)),
+            lit(bins - 1)).cast(LongType)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
       .orderBy("bucket")
   }

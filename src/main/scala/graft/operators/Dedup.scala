@@ -105,13 +105,17 @@ object Dedup {
         exAll.join(broadcast(hot), Seq("block", "sh"), "left_anti")
       case None => exAll
     }
+    // NB: no broadcast hint on the size lookups — `sizes` has corpus
+    // cardinality (one row per doc with ≥1 shingle), which blows past
+    // broadcast/driver limits at 100 TB. Left to AQE, the join broadcasts
+    // when sizes is actually small and shuffles otherwise.
     ex.as("a").join(ex.as("b"),
         col("a.block") === col("b.block") && col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb"))), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
       .withColumn("jaccard", round(col("inter").cast("double")
         / (col("sza") + col("szb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
@@ -159,14 +163,14 @@ object Dedup {
     * tiny. Pairs are distinct (a pair may share several bands).
     */
   def lshCandidates(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame = {
-    // cached: the self-join below would otherwise re-run the whole
-    // signature pipeline (explode + hash + groupBy) once per side
-    val banded = signatures.select(col("doc_id"),
+    // cached (release via graft.util.Caches.releaseAll): the self-join
+    // below would otherwise re-run the whole signature pipeline
+    // (explode + hash + groupBy) once per side
+    val banded = graft.util.Caches.cached(signatures.select(col("doc_id"),
       posexplode(transform(
         sequence(lit(0), (size(col("sig")) / rowsPerBand).cast("int") - 1),
         bIdx => array_join(slice(col("sig"), bIdx * rowsPerBand + 1, lit(rowsPerBand)), ","))))
-      .toDF("doc_id", "band_idx", "band_key")
-      .cache()
+      .toDF("doc_id", "band_idx", "band_key"))
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_key") === col("y.band_key") &&
@@ -184,9 +188,9 @@ object Dedup {
       threshold: Double = 0.5, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val cands = lshCandidates(minhashSignatures(docs, k, idCol, textCol), rowsPerBand)
-    // cached: joined twice (a-side and b-side of each candidate pair)
-    val sh = docs.select(col(idCol).as("doc_id"), TextOps.bigrams(col(textCol)).as("sh"))
-      .cache()
+    // cached (Caches.releaseAll to drop): joined twice (a-side and b-side)
+    val sh = graft.util.Caches.cached(
+      docs.select(col(idCol).as("doc_id"), TextOps.bigrams(col(textCol)).as("sh")))
     cands
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sa"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sb"), "doc_b")
@@ -242,8 +246,9 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, blockCol: String, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // cached: the block self-join would re-run the signature pipeline per side
-    val s = simhashSignatures(docs, blockCol, 32, idCol, textCol).cache()
+    // cached (Caches.releaseAll to drop): the block self-join would
+    // re-run the signature pipeline per side
+    val s = graft.util.Caches.cached(simhashSignatures(docs, blockCol, 32, idCol, textCol))
     val a = s.select(col("doc_id").as("doc_a"), col("block"), col("sh").as("ha"))
     val b = s.select(col("doc_id").as("doc_b"), col("block"), col("sh").as("hb"))
     a.join(b, Seq("block")).filter(col("doc_a") < col("doc_b"))

@@ -105,7 +105,11 @@ object Multimodal {
           val (w0, h0) = FakeDecoder.dimensions(bytes)
           val target = math.max(1,
             (bytes.length.toLong * (width.toLong * height) / math.max(1L, w0.toLong * h0)).toInt)
-          val out = Array.tabulate(target)(i => bytes(i % math.max(1, bytes.length)))
+          // empty payload (zero-length doc) → empty output, matching
+          // meanByte/features' empty handling — indexing bytes(0) would throw
+          val out =
+            if (bytes.isEmpty) Array.empty[Byte]
+            else Array.tabulate(target)(i => bytes(i % bytes.length))
           Row(r.getLong(0), out, Row(out.length.toLong, r.getString(2),
             width, height))
         }

@@ -1,9 +1,9 @@
 package graft.storage
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.SerializableConfiguration
 
 /** Object-store inventory monitor (SURVEY S11-S13, §3.3).
   *
@@ -30,12 +30,16 @@ object StorageMonitor {
     */
   def inventory(spark: SparkSession, roots: Seq[String]): DataFrame = {
     import spark.implicits._
+    // Ship the driver's Hadoop conf to executors: spark.hadoop.* settings
+    // (s3a credentials/endpoints, hdfs nameservices) live in the session
+    // conf, and a bare `new Configuration()` built inside the closure
+    // would drop them — file:// happens to work, authenticated stores fail.
+    val serConf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     val inv = spark.sparkContext
       .parallelize(roots, math.max(1, roots.size))
       .flatMap { root =>
-        val conf = new Configuration()
         val rootPath = new Path(root)
-        val fs = rootPath.getFileSystem(conf)
+        val fs = rootPath.getFileSystem(serConf.value)
         val it = fs.listFiles(rootPath, true)
         val buf = scala.collection.mutable.ArrayBuffer
           .empty[(String, String, String, Long, Long)]

@@ -1,0 +1,36 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** Registry for operator-internal cached DataFrames.
+  *
+  * Several pipelines (MinHash LSH banding, SimHash signatures, candidate
+  * verification) cache an intermediate because a self-join would otherwise
+  * recompute the whole upstream pipeline once per side. Those caches are
+  * invisible to the caller, so in a long-lived session (a monitor daemon,
+  * a bench loop) they would accumulate storage memory indefinitely.
+  *
+  * Operators route every internal `.cache()` through [[cached]]; callers
+  * invoke [[releaseAll]] at pipeline boundaries (after the consuming
+  * action) to drop them. Unpersisting is safe even if a downstream plan
+  * still references the DataFrame — Spark just recomputes.
+  */
+object Caches {
+  private val registry = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Cache `df` and register it for later release. */
+  def cached(df: DataFrame): DataFrame = {
+    df.cache()
+    registry.add(df)
+    df
+  }
+
+  /** Unpersist (non-blocking) every registered cache and clear the registry. */
+  def releaseAll(): Unit = {
+    var df = registry.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = registry.poll()
+    }
+  }
+}

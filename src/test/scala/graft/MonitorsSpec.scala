@@ -113,6 +113,14 @@ class MonitorsSpec extends AnyFunSuite {
     val idx = frames.select("frame_idx").distinct().collect().map(_.getInt(0)).sorted
     assert(idx.toSeq == Seq(0, 1, 2, 3))
     assert(frames.filter(col("frame_mean_byte") <= 0).count() == 0)
+
+    // empty payload (zero-length doc): resize emits an empty array, frame
+    // sampling emits no rows — neither throws
+    val empty = Multimodal.synthesizePayloads(
+      Seq((999L, "")).toDF("doc_id", "text").withColumn("source", lit("png")))
+    val er = Multimodal.resize(empty, 32, 32).collect().head
+    assert(er.getAs[Array[Byte]]("payload").isEmpty)
+    assert(Multimodal.sampleFrames(empty, n = 4).count() == 0)
   }
 
   test("sinks: partitioned parquet round-trip with partition pruning") {

@@ -102,6 +102,13 @@ class ProfilerSpec extends AnyFunSuite {
     assert(h(9L) == 10L) // 90..99, with 99 (the max) in bucket 9 not 10
   }
 
+  test("numericHistogram: constant column lands wholly in bucket 0") {
+    val df = Seq(5.0, 5.0, 5.0).toDF("x")
+    val h = Profiler.numericHistogram(df, "x", 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(h.toSeq == Seq(0L -> 3L)) // hi == lo: no NaN buckets from 0/0
+  }
+
   test("categoricalHistogram: ordered by count desc then value") {
     val df = Seq("a", "b", "b", "c", "c").toDF("x")
     val h = Profiler.categoricalHistogram(df, "x", 10).collect()
