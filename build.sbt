@@ -26,5 +26,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs driver+executors in ONE JVM. Fixed-size + pre-touched
+  // heap: on-demand heap growth faults fresh pages in from the (shared,
+  // overcommitted) host mid-query — observed as erratic 10-30 s stalls
+  // with threads RUNNABLE but off-CPU, concentrated in allocation-heavy
+  // stages. Pre-touching moves that cost to JVM startup, before any
+  // timed work. 40+ codegen-heavy queries also overflow the default
+  // 240m JIT code cache, silently dropping hot loops to the interpreter.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -145,37 +145,47 @@ object Profiler {
               |'p75', round(pcts[2], 4)) as (metric, value)""".stripMargin))
         momentsLong.unionByName(orderStats.select("col_name", "metric", "value"))
       } else {
-        // Exact order stats via ONE sort-window pass over the melted
-        // relation: rank + partition count + first-occurrence flag come out
-        // of the same per-column sort, then a single grouped aggregate
-        // picks the interpolation endpoints (linear interpolation, pandas/
-        // DuckDB quantile_cont semantics) and sums the distinct flags.
-        // This replaces `percentile()` (a TypedImperativeAggregate that
-        // builds a value→count hashmap of the whole column per group) and
-        // two-phase count_distinct — ~4× faster at sf0.1 and bounded by
-        // sort memory, which spills gracefully.
+        // Exact order stats in histogram form: pre-aggregate the melted
+        // relation to (col_name, value, count) — a fully parallel
+        // partial+final hash aggregate across ALL cores — then sort only
+        // the DISTINCT values per column (a running-count window) and pick
+        // the interpolation endpoints (linear, pandas/DuckDB quantile_cont
+        // semantics) from the cumulative ranges. Compared to ranking every
+        // raw row, the per-column sort shrinks by the duplication factor
+        // (flags/quantities/discounts collapse from millions of rows to
+        // dozens of values; the sort — the only #columns-bounded stage —
+        // sees orders of magnitude fewer rows), and the distinct count
+        // falls out of the same grouped relation for free. This also beats
+        // `percentile()` (a TypedImperativeAggregate building a
+        // value→count hashmap of the whole column per group) and
+        // two-phase count_distinct — and the hash aggregate spills
+        // gracefully at 100 TB.
         import org.apache.spark.sql.expressions.Window
         val stackArgs = cols.map(c => s"'$c', ${cleanedSql(df, c)}").mkString(", ")
         val melted = df.selectExpr(
           s"stack(${cols.length}, $stackArgs) as (col_name, value)")
           .where(col("value").isNotNull)
+        val grouped = melted.groupBy("col_name", "value").agg(count(lit(1)).as("cnt"))
+        val totals = grouped.groupBy("col_name").agg(
+          sum("cnt").cast(DoubleType).as("n"),
+          count(lit(1)).cast(DoubleType).as("dcv"))
+        // values are distinct per column here, so the default RANGE frame
+        // equals ROWS and `cum` is an exact running row count
         val byVal = Window.partitionBy("col_name").orderBy("value")
-        val whole = Window.partitionBy("col_name")
-        val ranked = melted.select(
-          col("col_name"), col("value"),
-          (row_number().over(byVal) - 1).cast(DoubleType).as("rn0"),
-          count(lit(1)).over(whole).cast(DoubleType).as("n"),
-          when(lag("value", 1).over(byVal).isNull ||
-            lag("value", 1).over(byVal) =!= col("value"), 1L).otherwise(0L).as("newv"))
+        val cum = grouped.select(col("col_name"), col("value"), col("cnt"),
+            sum("cnt").over(byVal).cast(DoubleType).as("cum"))
+          .join(broadcast(totals), "col_name")
+        // a distinct value covers 0-based positions [cum-cnt, cum-1]
         def pick(p: Double, end: Column => Column) =
-          min(when(col("rn0") === end((col("n") - 1) * p), col("value")))
+          min(when(end((col("n") - 1) * p) >= col("cum") - col("cnt") &&
+            end((col("n") - 1) * p) < col("cum"), col("value")))
         def interp(p: Double): Column = {
           val pos = (first(col("n")) - 1) * p
           val frac = pos - floor(pos)
           round(pick(p, floor) + (pick(p, ceil) - pick(p, floor)) * frac, 4)
         }
-        val orderStats = ranked.groupBy("col_name").agg(
-          sum("newv").cast(DoubleType).as("dc"),
+        val orderStats = cum.groupBy("col_name").agg(
+          first(col("dcv")).as("dc"),
           interp(0.25).as("p25v"), interp(0.5).as("medianv"), interp(0.75).as("p75v"))
           .select(col("col_name"), expr(
             """stack(4,

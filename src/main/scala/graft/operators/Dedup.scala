@@ -161,16 +161,33 @@ object Dedup {
     * Bands of `rowsPerBand` signature slots are hashed to a band key; the
     * (band_idx, band_key) self-join is the only shuffle, and its keys are
     * tiny. Pairs are distinct (a pair may share several bands).
+    *
+    * `maxBucketSize` is the skew guard for the 100 TB path: a bucket of d
+    * docs fans out d²/2 join rows, so one degenerate band key (empty-ish
+    * docs, boilerplate) can dominate the whole stage. Skipping over-full
+    * buckets (standard practice in production LSH dedup) bounds per-key
+    * fan-out at the cost of recall for pairs that ONLY collide in hot
+    * buckets — off by default because it is lossy (on the fixture a cap
+    * of 64 drops 29 of 245 true pairs; the hot buckets hold real dups).
     */
-  def lshCandidates(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+  def lshCandidates(signatures: DataFrame, rowsPerBand: Int = 4,
+      maxBucketSize: Option[Long] = None): DataFrame = {
     // cached (release via graft.util.Caches.releaseAll): the self-join
     // below would otherwise re-run the whole signature pipeline
     // (explode + hash + groupBy) once per side
-    val banded = graft.util.Caches.cached(signatures.select(col("doc_id"),
+    val bandedAll = graft.util.Caches.cached(signatures.select(col("doc_id"),
       posexplode(transform(
         sequence(lit(0), (size(col("sig")) / rowsPerBand).cast("int") - 1),
         bIdx => array_join(slice(col("sig"), bIdx * rowsPerBand + 1, lit(rowsPerBand)), ","))))
       .toDF("doc_id", "band_idx", "band_key"))
+    val banded = maxBucketSize match {
+      case Some(cap) =>
+        val hot = bandedAll.groupBy("band_idx", "band_key")
+          .agg(count(lit(1)).as("d")).filter(col("d") > cap)
+          .select("band_idx", "band_key")
+        bandedAll.join(broadcast(hot), Seq("band_idx", "band_key"), "left_anti")
+      case None => bandedAll
+    }
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_key") === col("y.band_key") &&
@@ -194,9 +211,11 @@ object Dedup {
     cands
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sa"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sb"), "doc_b")
+      // native one-pass Jaccard (vs array_intersect + array_union, which
+      // build two arrays + hash sets per pair); also 0.0 on empty∪empty
+      // where the built-ins' 0/0 → NaN would leak past the threshold
       .withColumn("jaccard", round(
-        size(array_intersect(col("sa"), col("sb"))).cast("double")
-          / size(array_union(col("sa"), col("sb"))), 4))
+        graft.functions.ArrayJaccard.arrayJaccard(col("sa"), col("sb")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }

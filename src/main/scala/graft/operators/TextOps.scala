@@ -30,12 +30,29 @@ object TextOps {
 
   val HashMod = 1000000007L
 
+  /** Backed by the native codegen'd [[graft.functions.AsciiWords]]; the
+    * regex formulation ([[tokensBuiltins]]) is kept as the differential-
+    * test reference (java.util.regex scan per row, ~6× the work).
+    */
   def tokens(text: Column): Column =
+    graft.functions.AsciiWords.asciiWords(text)
+
+  /** Built-ins-only tokenizer, differential-test reference for the native
+    * expression (TextOpsSpec asserts equality).
+    */
+  def tokensBuiltins(text: Column): Column =
     regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Adjacent-word bigram shingles (distinct), the dedup unit.
+  /** Adjacent-word bigram shingles (distinct), the dedup unit. Backed by
+    * the native [[graft.functions.WordBigrams]] (one byte scan, codegen);
+    * [[bigramsBuiltins]] is the differential reference.
+    */
+  def bigrams(text: Column): Column =
+    graft.functions.WordBigrams.wordBigrams(text)
+
+  /** Built-ins-only bigrams, kept as the differential-test reference.
     *
     * Built with `zip_with(tokens, tokens[2..], concat)` — NOT
     * `transform(sequence(1, n-1), i -> element_at(ws, i) ...)`: an
@@ -46,8 +63,8 @@ object TextOps {
     * zip_with pads the shorter side with NULL, concat propagates the NULL,
     * and the filter drops it — which also yields [] for 0/1-token docs.
     */
-  def bigrams(text: Column): Column = {
-    val ws = tokens(text)
+  def bigramsBuiltins(text: Column): Column = {
+    val ws = tokensBuiltins(text)
     val nxt = slice(ws, lit(2), greatest(size(ws) - 1, lit(0)))
     array_distinct(filter(
       zip_with(ws, nxt, (cur, nx) => concat(cur, lit(" "), nx)),

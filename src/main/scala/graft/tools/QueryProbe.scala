@@ -23,6 +23,9 @@ object QueryProbe {
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         println(f"PROBE $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+        // mimic Bench: drop operator caches so queries don't interact
+        spark.sharedState.cacheManager.clearCache()
+        graft.util.Caches.releaseAll()
       }
     }
     spark.stop()

@@ -45,6 +45,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("native tokenizer/bigrams agree with the regex+lambda built-ins on fixture text") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    val tokDiff = docs.select(
+      TextOps.tokens(col("text")).as("native"),
+      TextOps.tokensBuiltins(col("text")).as("ref"))
+      .filter(col("native") =!= col("ref")).count()
+    assert(tokDiff == 0)
+    val bgDiff = docs.select(
+      TextOps.bigrams(col("text")).as("native"),
+      TextOps.bigramsBuiltins(col("text")).as("ref"))
+      .filter(col("native") =!= col("ref")).count()
+    assert(bgDiff == 0)
+    // non-ASCII + empty edge cases: Unicode lowercasing must stay in sync
+    val edge = Seq("", "  ", "Größe STRASSE über", "İstanbul KK", "a", "Ab1 cD2")
+      .toDF("text")
+    val edgeDiff = edge.select(
+      TextOps.tokens(col("text")).as("n"), TextOps.tokensBuiltins(col("text")).as("r"),
+      TextOps.bigrams(col("text")).as("nb"), TextOps.bigramsBuiltins(col("text")).as("rb"))
+      .filter(col("n") =!= col("r") || col("nb") =!= col("rb")).count()
+    assert(edgeDiff == 0)
+  }
+
   test("fingerprint is order- and repetition-invariant") {
     val df = Seq("the cat sat", "sat THE cat cat", "the dog sat").toDF("text")
     val fps = df.select(TextOps.fingerprint(col("text")).as("f"))
