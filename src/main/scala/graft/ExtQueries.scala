@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sessionize, TextOps}
+import graft.util.SkewJoin
+
+/** Round-2 extension queries (q44-q47): sessionization, text
+  * normalization, skew-safe salted join, configurable n-gram dedup.
+  * Oracle conventions as in [[LlmQueries]]: identical aliases, identical
+  * rounding, deterministic total ORDER BY on both sides.
+  */
+object ExtQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** 12 h gap: matches the fixture's event cadence (~3.6 h mean per-user
+    * inter-event time), yielding multi-event sessions at every SF.
+    */
+  val SessionGapSeconds = 43200L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gap-based sessionization: one shuffle + one per-user sort; both
+    // window functions share a single Window operator.
+    "q44_sessions" -> ((s, dir) =>
+      Sessionize.sessionSummary(Tables.load(s, dir, "events"), SessionGapSeconds)
+        .orderBy("user_id", "session_idx")),
+
+    // Normalization pass: URL strip + whitespace collapse, rolled up per
+    // source so the oracle output is compact at every SF.
+    "q45_normalize" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          length(col("text")).as("raw_len"),
+          length(TextOps.normalize(col("text"))).as("norm_len"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("raw_len").cast("long")).as("total_raw_chars"),
+          sum(col("norm_len").cast("long")).as("total_norm_chars"),
+          sum(when(col("norm_len") < col("raw_len"), 1L).otherwise(0L))
+            .as("changed_docs"))
+        .orderBy("source")),
+
+    // The q04 join re-expressed through the salted-join pattern: results
+    // must equal the plain join (the oracle IS the plain join), proving
+    // the salt is semantics-free.
+    "q46_salted_join" -> ((s, dir) => {
+      val joined = SkewJoin.saltedInnerJoin(
+        Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .withColumnRenamed("o_orderkey", "k"),
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("k"), col("l_extendedprice"), col("l_discount")),
+        Seq("k"), salts = 8)
+      joined.groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // n-gram Jaccard at n=3: the configurable-shingle variant of q33.
+    "q47_trigram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), "source", 0.3, ngram = 3)
+        .orderBy("doc_a", "doc_b")))
+
+  private val tokSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  private val trigramsSql =
+    "CASE WHEN len(ws) < 3 THEN []::VARCHAR[] ELSE " +
+      "list_distinct(list_transform(range(1, len(ws)-1), " +
+      "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END"
+
+  private def jaccardSql(a: String, b: String): String =
+    s"CASE WHEN len(list_distinct($a || $b)) = 0 THEN 0.0 ELSE " +
+      s"round(len(list_intersect($a, $b))::DOUBLE / len(list_distinct($a || $b)), 4) END"
+
+  val oracleSql: Map[String, String] = Map(
+    "q44_sessions" ->
+      s"""WITH g AS (SELECT user_id, event_id, ts, value,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |s AS (SELECT user_id, event_id, ts, value,
+         |    CASE WHEN prev_ts IS NULL
+         |      OR date_diff('second', prev_ts, ts) > $SessionGapSeconds
+         |      THEN 1 ELSE 0 END AS new_s
+         |  FROM g),
+         |c AS (SELECT user_id, ts, value,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS session_idx
+         |  FROM s)
+         |SELECT user_id, session_idx, count(*) AS n_events,
+         |  date_diff('second', min(ts), max(ts)) AS duration_sec,
+         |  round(sum(value), 2) AS sum_value
+         |FROM c GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q45_normalize" ->
+      """WITH n AS (SELECT source, length(text) AS raw_len,
+        |    length(trim(regexp_replace(regexp_replace(text,
+        |      'https?://\S+', '', 'g'), '\s+', ' ', 'g'))) AS norm_len
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(raw_len) AS BIGINT) AS total_raw_chars,
+        |  CAST(sum(norm_len) AS BIGINT) AS total_norm_chars,
+        |  CAST(sum(CASE WHEN norm_len < raw_len THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS changed_docs
+        |FROM n GROUP BY source ORDER BY source""".stripMargin,
+
+    "q46_salted_join" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS cnt
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q47_trigram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, source, $tokSql AS ws FROM documents),
+         |bg AS (SELECT doc_id, source, $trigramsSql AS sh FROM t)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  ${jaccardSql("a.sh", "b.sh")} AS jaccard
+         |FROM bg a JOIN bg b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE ${jaccardSql("a.sh", "b.sh")} >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin)
+}

@@ -480,12 +480,13 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator from SURVEY.md §2 + the LLM
-    * training-data extensions (LlmQueries). */
+    * training-data extensions (LlmQueries) + round-2 extensions
+    * (ExtQueries: sessions, normalize, salted join, n-gram dedup). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational ++ monitors ++ LlmQueries.queries
+    relational ++ monitors ++ LlmQueries.queries ++ ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    relationalOracle ++ monitorsOracle ++ LlmQueries.oracleSql
+    relationalOracle ++ monitorsOracle ++ LlmQueries.oracleSql ++ ExtQueries.oracleSql
 }

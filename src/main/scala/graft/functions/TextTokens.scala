@@ -55,13 +55,21 @@ object TextTokens {
     * byte-for-byte what `array_distinct(filter(zip_with(ws, slice(ws, 2,
     * …), concat(_, " ", _)), notNull))` produces.
     */
-  def computeBigrams(s: UTF8String): ArrayData = {
+  def computeBigrams(s: UTF8String): ArrayData = computeNgrams(s, 2)
+
+  /** Distinct space-joined n-gram shingles, first-occurrence order.
+    * n=1 degenerates to distinct tokens; <n tokens → empty.
+    */
+  def computeNgrams(s: UTF8String, n: Int): ArrayData = {
     val ws = tokenize(s)
-    if (ws.length < 2) return new GenericArrayData(Array.empty[Any])
+    if (ws.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String]()
     var i = 0
-    while (i < ws.length - 1) {
-      seen.add(UTF8String.concat(ws(i), TextTokens.Space, ws(i + 1)))
+    while (i <= ws.length - n) {
+      var g = ws(i)
+      var j = 1
+      while (j < n) { g = UTF8String.concat(g, TextTokens.Space, ws(i + j)); j += 1 }
+      seen.add(g)
       i += 1
     }
     new GenericArrayData(seen.toArray(new Array[UTF8String](seen.size))
@@ -111,6 +119,27 @@ case class WordBigrams(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `WordNgrams(text, n)` ≡ distinct adjacent n-grams of `AsciiWords(text)`. */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "ngram size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"WordNgrams requires a string child, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextTokens.computeNgrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextTokens.computeNgrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
 object AsciiWords {
   def asciiWords(c: Column): Column =
     GraftExpressionBridge.column(AsciiWords(GraftExpressionBridge.expression(c)))
@@ -119,4 +148,9 @@ object AsciiWords {
 object WordBigrams {
   def wordBigrams(c: Column): Column =
     GraftExpressionBridge.column(WordBigrams(GraftExpressionBridge.expression(c)))
+}
+
+object WordNgrams {
+  def wordNgrams(c: Column, n: Int): Column =
+    GraftExpressionBridge.column(WordNgrams(GraftExpressionBridge.expression(c), n))
 }

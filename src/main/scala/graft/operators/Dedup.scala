@@ -60,11 +60,11 @@ object Dedup {
   // n-gram Jaccard near-dup (blocked pairwise)
   // -------------------------------------------------------------------
 
-  /** (doc_id, block, shingles) — distinct bigram shingles per doc. */
+  /** (doc_id, block, shingles) — distinct n-gram shingles per doc. */
   def shingled(docs: DataFrame, blockCol: String, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text", ngram: Int = 2): DataFrame =
     docs.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
-      TextOps.bigrams(col(textCol)).as("shingles"))
+      TextOps.ngrams(col(textCol), ngram).as("shingles"))
 
   /** Near-duplicate pairs by bigram Jaccard within a blocking key.
     * Emits (doc_a, doc_b, jaccard) for jaccard ≥ threshold, doc_a < doc_b.
@@ -79,9 +79,9 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
-      maxShingleDocs: Option[Long] = None): DataFrame = {
+      maxShingleDocs: Option[Long] = None, ngram: Int = 2): DataFrame = {
     require(threshold > 0.0, "threshold must be > 0 (zero-overlap pairs are never materialized)")
-    val s = shingled(docs, blockCol, idCol, textCol)
+    val s = shingled(docs, blockCol, idCol, textCol, ngram)
     // NB: only (block, doc_id, exploded shingle) pass through the Generate.
     // Carrying size(shingles) alongside the explode makes codegen re-inline
     // the whole shingle expression once per OUTPUT element (~50× per doc);

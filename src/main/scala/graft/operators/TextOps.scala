@@ -52,6 +52,22 @@ object TextOps {
   def bigrams(text: Column): Column =
     graft.functions.WordBigrams.wordBigrams(text)
 
+  /** Distinct space-joined word n-grams (n=2 ≡ [[bigrams]]); the general
+    * shingle unit for n-gram Jaccard dedup.
+    */
+  def ngrams(text: Column, n: Int): Column =
+    graft.functions.WordNgrams.wordNgrams(text, n)
+
+  /** Corpus text normalization (the cleanup pass a training-data pipeline
+    * runs before dedup/quality): strip URLs, collapse whitespace runs to a
+    * single space, trim. Pure built-ins — `regexp_replace` replaces all
+    * occurrences in both Spark and the DuckDB oracle ('g' flag there).
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, lit("https?://\\S+"), lit("")),
+      lit("\\s+"), lit(" ")))
+
   /** Built-ins-only bigrams, kept as the differential-test reference.
     *
     * Built with `zip_with(tokens, tokens[2..], concat)` — NOT

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+import graft.operators.{Sessionize, TextOps}
+import graft.util.SkewJoin
+
+class ExtSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessionize: gap strictly greater than threshold starts a new session") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, 1.0),
+      (2L, ts("2024-01-01 00:30:00"), 10L, 2.0), // gap == 1800 → same session
+      (3L, ts("2024-01-01 01:00:01"), 10L, 3.0), // gap 1801 → new session
+      (4L, ts("2024-01-01 09:00:00"), 10L, 4.0), // new session
+      (5L, ts("2024-01-01 00:00:00"), 20L, 5.0)  // other user
+    ).toDF("event_id", "ts", "user_id", "value")
+    val r = Sessionize.sessionSummary(ev, 1800L).orderBy("user_id", "session_idx")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (10L, 1L, 2L, 1800L), // events 1+2 span exactly the gap
+      (10L, 2L, 1L, 0L),
+      (10L, 3L, 1L, 0L),
+      (20L, 1L, 1L, 0L)))
+  }
+
+  test("sessionize: deterministic tiebreak on equal timestamps") {
+    val t0 = ts("2024-01-01 00:00:00")
+    val ev = Seq((2L, t0, 1L, 1.0), (1L, t0, 1L, 1.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val r = Sessionize.assignSessions(ev, 60L).orderBy("event_id")
+      .select("session_idx").collect().map(_.getLong(0))
+    assert(r.toSeq == Seq(1L, 1L)) // same instant → one session regardless of order
+  }
+
+  test("salted join returns exactly the plain join's rows") {
+    val sf = "/root/testdata/sf0.001"
+    val o = Tables.load(spark, sf, "orders").select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    val l = Tables.load(spark, sf, "lineitem").select(col("l_orderkey").as("k"), col("l_extendedprice"))
+    val plain = o.join(l, "k")
+    val salted = SkewJoin.saltedInnerJoin(o, l, Seq("k"), salts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    // exact multiset equality via groupBy-count anti-join in both directions
+    val pg = plain.groupBy(plain.columns.map(col): _*).count()
+    val sg = salted.groupBy(salted.columns.map(col): _*).count()
+    assert(pg.except(sg).isEmpty && sg.except(pg).isEmpty)
+  }
+
+  test("word n-grams: n=1 is distinct tokens, n=3 is trigrams, short docs empty") {
+    def run(c: org.apache.spark.sql.Column, s: String) =
+      Seq(s).toDF("text").select(c.as("r")).collect().head.getSeq[String](0).toList
+    assert(run(TextOps.ngrams(col("text"), 1), "b a b a") == List("b", "a"))
+    assert(run(TextOps.ngrams(col("text"), 3), "a b c d") == List("a b c", "b c d"))
+    assert(run(TextOps.ngrams(col("text"), 3), "a b") == Nil)
+    assert(run(TextOps.ngrams(col("text"), 2), "x y x y") ==
+      run(TextOps.bigrams(col("text")), "x y x y"))
+  }
+
+  test("normalize strips URLs, collapses whitespace, trims") {
+    def one(s: String) = Seq(s).toDF("text")
+      .select(TextOps.normalize(col("text")).as("r")).collect().head.getString(0)
+    assert(one("  see https://ex.com/a?b=1 now\n\tok  ") == "see now ok")
+    assert(one("no urls here") == "no urls here")
+    assert(one("http://only.example ") == "")
+  }
+}
