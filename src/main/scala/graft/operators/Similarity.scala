@@ -132,6 +132,48 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nv"), col("cid").as("cell"))
   }
 
+  /** K-means training for IVF centroids: Lloyd iterations expressed as
+    * DataFrame ops — assign (one corpus scan + broadcast centroids), then
+    * recompute each cell's centroid as the element-wise mean of its
+    * members (posexplode → per-(cell, dim) partial+final avg → re-pack).
+    * Deterministic: seeded from explicit init ids, fixed iteration count,
+    * ties in assignment break to the smallest centroid id. Cells that
+    * lose all members die (standard Lloyd behavior).
+    *
+    * Scale shape per iteration: one shuffle keyed by (cell, dim) whose
+    * size is corpus × dim scalars — map-side partial aggregation reduces
+    * it to (#cells × dim) per partition before the exchange. Each round's
+    * centroids are re-broadcast; lineage is cut by materializing the tiny
+    * centroid relation per iteration.
+    */
+  def ivfTrain(embeddings: DataFrame, initIds: Seq[Long], iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = embeddings.select(col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm(col("v")))
+    var centroids = corpus.filter(col("vec_id").isin(initIds: _*))
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("ncv"))
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(corpus, centroids)
+      val next = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .groupBy("cell").agg(
+          array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("cid"),
+          transform(col("pm"), s => s.getField("m")).as("cv"))
+        .withColumn("ncv", norm(col("cv")))
+      // materialize the (tiny) centroid relation so iteration lineage
+      // doesn't stack corpus-wide plans K-deep; K centroids × dim doubles
+      // is driver-safe at any corpus scale
+      centroids = spark.createDataFrame(
+        java.util.Arrays.asList(next.collect(): _*), next.schema)
+    }
+    centroids
+  }
+
   /** IVF top-k ANN: assign every vector to its nearest centroid's cell
     * (one scan + broadcast of K centroids), then brute-force rank within
     * the query's cell only. At scale the per-cell join replaces the full
@@ -146,6 +188,14 @@ object Similarity {
       .withColumn("nv", norm(col("v")))
     val centroids = corpus.filter(col("vec_id").isin(centroidIds: _*))
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("ncv"))
+    ivfTopKWith(corpus, queryIds, k, centroids)
+  }
+
+  /** [[ivfTopK]] against an explicit centroid relation (cid, cv, ncv) —
+    * e.g. one produced by [[ivfTrain]].
+    */
+  def ivfTopKWith(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+      centroids: DataFrame): DataFrame = {
     val cells = ivfAssign(corpus, centroids)
     val queries = cells.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),

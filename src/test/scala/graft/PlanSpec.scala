@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sinks
+
+/** Physical-plan assertions: the plans the 100 TB design story depends on
+  * must actually materialize — filters reach the parquet scan, small dims
+  * broadcast, top-k avoids global sorts, sessionization plans ONE window,
+  * bucketed joins skip the shuffle. A regression here silently turns a
+  * scan-bounded job into a shuffle-bounded one long before any bench
+  * notices at fixture scale.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: predicate and projection push down to the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThan(o_totalprice"), s"no pushed filter in:\n$p")
+    // scan reads exactly projection ∪ filter columns (4 of 9), nothing more
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string," +
+      "o_totalprice:double,o_orderpriority:string>"),
+      "scan reads more columns than projection + filter need")
+  }
+
+  test("q03: dimension joins are broadcast, not shuffled") {
+    val p = plan("q03_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, s"expected 2 BHJs in:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dim join fell back to SMJ")
+  }
+
+  test("q05: top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q05_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$p")
+  }
+
+  test("q44: stacked session windows reuse one sort and one shuffle") {
+    // the running-sum window consumes the lag window's output, so two
+    // Window operators stack — but same (partition, order) means the
+    // second adds NO extra Sort or Exchange, and the session aggregate
+    // reuses the user_id partitioning. One shuffle total before the agg.
+    val p = plan("q44_sessions")
+    val beforeAgg = p.split("HashAggregate").last // plan prints top-down; take below-agg section
+    assert("\\bSort\\b".r.findAllIn(beforeAgg).size == 1,
+      s"expected exactly 1 sort under the windows:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"expected exactly 1 user_id shuffle:\n$p")
+  }
+
+  test("q10: null counts are a single aggregation (one scan, one exchange)") {
+    val p = plan("q10_null_counts")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly 1 exchange:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"expected exactly 1 scan:\n$p")
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Sinks.bucketedTable(Tables.load(spark, sf, "orders")
+        .select("o_orderkey", "o_orderpriority"), "b_orders", Seq("o_orderkey"), 4)
+      Sinks.bucketedTable(Tables.load(spark, sf, "lineitem")
+        .select("l_orderkey", "l_extendedprice"), "b_lineitem", Seq("l_orderkey"), 4)
+      val j = spark.table("b_orders").join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"bucketed join should not shuffle:\n$p")
+      assert(j.count() == Tables.load(spark, sf, "lineitem").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}

@@ -95,6 +95,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.1, s"recall=$recall")
   }
 
+  test("ivfTrain: deterministic Lloyd iterations improve assignment quality") {
+    val sf = "/root/testdata/sf0.001"
+    val embs = Tables.load(spark, sf, "embeddings")
+    import org.apache.spark.sql.functions._
+    val corpus = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nv", Similarity.norm(col("v")))
+    val initIds = (0 until 8).map(_.toLong)
+    def objective(centroids: org.apache.spark.sql.DataFrame): Double =
+      Similarity.ivfAssign(corpus, centroids)
+        .join(centroids, col("cell") === col("cid"))
+        .select(avg(Similarity.cosine(col("v"), col("cv"))).as("o"))
+        .collect().head.getDouble(0)
+    val init = corpus.filter(col("vec_id").isin(initIds: _*))
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("ncv"))
+    val trained = Similarity.ivfTrain(embs, initIds, iters = 3)
+    assert(trained.count() <= 8 && trained.count() > 0)
+    // mean member→centroid cosine should not degrade under Lloyd updates
+    assert(objective(trained) >= objective(init) - 1e-9)
+    // determinism: same seeds → identical centroids
+    val again = Similarity.ivfTrain(embs, initIds, iters = 3)
+    assert(trained.orderBy("cid").collect().toSeq ==
+      again.orderBy("cid").collect().toSeq)
+    // trained centroids drive the same search path
+    val r = Similarity.ivfTopKWith(corpus, Seq(0L, 1L), 5, trained)
+    assert(r.count() > 0)
+  }
+
   test("nearDupPairs finds aligned pairs within label blocks only") {
     val pairs = Similarity.nearDupPairs(embeddings, "label", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
