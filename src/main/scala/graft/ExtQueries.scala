@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Sessionize, TextOps}
+import graft.operators.{Dedup, Relevance, Sessionize, Similarity, TextOps}
 import graft.util.SkewJoin
 
 /** Round-2 extension queries (q44-q47): sessionization, text
@@ -61,7 +61,16 @@ object ExtQueries {
     // n-gram Jaccard at n=3: the configurable-shingle variant of q33.
     "q47_trigram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(docs(s, dir), "source", 0.3, ngram = 3)
-        .orderBy("doc_a", "doc_b")))
+        .orderBy("doc_a", "doc_b")),
+
+    // TF-IDF keyword profile: top-5 terms per source by summed score.
+    "q48_tfidf_terms" -> ((s, dir) =>
+      Relevance.topTerms(docs(s, dir), "source", 5)
+        .orderBy("block", "rank")),
+
+    // Embedding cohesion per label: centroid + mean member→centroid cosine.
+    "q49_label_profile" -> ((s, dir) =>
+      Similarity.labelProfile(Tables.load(s, dir, "embeddings"))))
 
   private val tokSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
@@ -120,5 +129,34 @@ object ExtQueries {
          |  ${jaccardSql("a.sh", "b.sh")} AS jaccard
          |FROM bg a JOIN bg b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE ${jaccardSql("a.sh", "b.sh")} >= 0.3
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q48_tfidf_terms" ->
+      s"""WITH tok AS (SELECT doc_id, source AS block, unnest($tokSql) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, block, term, count(*) AS tf
+         |  FROM tok GROUP BY doc_id, block, term),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |sc AS (SELECT block, term,
+         |    round(sum(tf * ln(n.n / df)), 4) AS score
+         |  FROM tf JOIN dfx USING (term), n GROUP BY block, term),
+         |r AS (SELECT block, term, score,
+         |    CAST(row_number() OVER (PARTITION BY block
+         |      ORDER BY score DESC, term) AS INTEGER) AS rank FROM sc)
+         |SELECT block, term, score, rank FROM r WHERE rank <= 5
+         |ORDER BY block, rank""".stripMargin,
+
+    // fixture embeddings are 64-dim (FIXTURES.md); positions come from an
+    // explicit range because DuckDB lacks UNNEST ... WITH ORDINALITY
+    "q49_label_profile" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT label, pos, avg(v[pos]) AS m
+        |  FROM e, (SELECT unnest(range(1, 65)) AS pos) p GROUP BY label, pos),
+        |c AS (SELECT label, list(m ORDER BY pos) AS cv FROM m GROUP BY label)
+        |SELECT e.label, count(*) AS n_vecs,
+        |  round(avg(sqrt(list_dot_product(v, v))), 4) AS avg_norm,
+        |  round(avg(list_cosine_similarity(v, cv)), 4) AS avg_centroid_cos
+        |FROM e JOIN c ON e.label = c.label
+        |GROUP BY e.label ORDER BY e.label""".stripMargin)
 }

@@ -211,6 +211,31 @@ object Similarity {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
+  /** Per-label embedding profile: member count, mean vector norm, and
+    * mean cosine of members to their label centroid (cohesion). One
+    * corpus scan for the centroid (posexplode + per-dim partial/final
+    * avg), one for the cohesion join — centroids broadcast.
+    */
+  def labelProfile(embeddings: DataFrame, labelCol: String = "label",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+      asDouble(col(vecCol)).as("v"))
+    val centroids = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg("x").as("m"))
+      .groupBy("label").agg(
+        array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"), transform(col("pm"), s => s.getField("m")).as("cv"))
+    e.join(broadcast(centroids), "label")
+      .select(col("label"), col("v"),
+        cosine(col("v"), col("cv")).as("cc"), norm(col("v")).as("nv"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg("nv"), 4).as("avg_norm"),
+        round(avg("cc"), 4).as("avg_centroid_cos"))
+      .orderBy("label")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold within a blocking
     * column (label here; an LSH bucket at scale). Thresholds compare the
     * 4-dp-rounded value so the oracle cut is identical.

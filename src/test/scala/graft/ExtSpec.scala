@@ -63,6 +63,32 @@ class ExtSpec extends AnyFunSuite {
       run(TextOps.bigrams(col("text")), "x y x y"))
   }
 
+  test("tfidf: corpus-wide terms score zero, distinctive terms rank first") {
+    val docs = Seq(
+      (1L, "a", "common apple apple"),
+      (2L, "a", "common banana"),
+      (3L, "b", "common cherry")).toDF("doc_id", "source", "text")
+    val scored = graft.operators.Relevance.tfidf(docs, "source")
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Double]("tfidf")).toMap
+    assert(scored(("common", 1L)) == 0.0) // df = N → ln(1) = 0
+    assert(math.abs(scored(("apple", 1L)) - 2.0 * math.log(3.0)) < 1e-12)
+    val top = graft.operators.Relevance.topTerms(docs, "source", 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(top("a") == "apple" && top("b") == "cherry")
+  }
+
+  test("labelProfile: identical members give cohesion 1, count and norm right") {
+    val e = Seq(
+      (0L, 0L, Array(3.0f, 4.0f)), (1L, 0L, Array(3.0f, 4.0f)),
+      (2L, 1L, Array(1.0f, 0.0f)), (3L, 1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val r = graft.operators.Similarity.labelProfile(e)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(0L) == ((2L, 5.0, 1.0)))
+    assert(r(1L)._1 == 2L && math.abs(r(1L)._3 - math.cos(math.Pi / 4)) < 1e-3)
+  }
+
   test("normalize strips URLs, collapses whitespace, trims") {
     def one(s: String) = Seq(s).toDF("text")
       .select(TextOps.normalize(col("text")).as("r")).collect().head.getString(0)
