@@ -105,7 +105,10 @@ object Profiler {
     * empty inputs (every metric row present, value NULL) — matching the
     * UNION-ALL-of-aggregates oracle shape.
     */
-  def numericProfile(df: DataFrame, cfg: ProfileConfig = ProfileConfig()): DataFrame = {
+  def numericProfile(df0: DataFrame, cfg: ProfileConfig = ProfileConfig()): DataFrame = {
+    // single-row-group inputs would run the whole melt + partial agg on
+    // one core (scan parallelism = row groups) — see util.Parallelism
+    val df = graft.util.Parallelism.ensure(df0)
     val spark = df.sparkSession
     import spark.implicits._
     val cols = numericColumns(df)
@@ -210,7 +213,8 @@ object Profiler {
   /** Per-column null counts over ALL columns in one pass (SURVEY A6).
     * Returns a single wide row `null_<col>` per column.
     */
-  def nullCounts(df: DataFrame): DataFrame = {
+  def nullCounts(df0: DataFrame): DataFrame = {
+    val df = graft.util.Parallelism.ensure(df0)
     val exprs = df.schema.fields.toSeq.map { f =>
       val isMissing = f.dataType match {
         case DoubleType | FloatType => col(f.name).isNull || isnan(col(f.name))
@@ -228,7 +232,8 @@ object Profiler {
     * rows minus groups — no driver-side second scan, no global distinct
     * shuffle of raw rows beyond the keyed aggregate.
     */
-  def duplicateStats(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+  def duplicateStats(df0: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val df = graft.util.Parallelism.ensure(df0)
     df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))
       .agg(
         sum("cnt").cast(LongType).as("row_count"),
@@ -266,7 +271,8 @@ object Profiler {
     * collected bounds as literals (codegen, no join), and counts per
     * (col_name, bucket). Output: (col_name, bucket, cnt).
     */
-  def numericHistograms(df: DataFrame, bins: Int = 10): DataFrame = {
+  def numericHistograms(df0: DataFrame, bins: Int = 10): DataFrame = {
+    val df = graft.util.Parallelism.ensure(df0)
     val cols = numericColumns(df)
     require(cols.nonEmpty, "no numeric columns")
     val boundExprs = cols.flatMap { c =>

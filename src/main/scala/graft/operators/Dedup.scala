@@ -36,7 +36,7 @@ object Dedup {
     */
   def exactGroups(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    docs.groupBy(TextOps.fingerprint(col(textCol)).as("fingerprint"))
+    graft.util.Parallelism.ensure(docs).groupBy(TextOps.fingerprint(col(textCol)).as("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_doc_id"))
 
   /** Corpus-level exact-dedup stats. */
@@ -53,7 +53,7 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val w = Window.partitionBy(TextOps.fingerprint(col(textCol)))
       .orderBy(col(idCol).asc)
-    docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    graft.util.Parallelism.ensure(docs).withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
   // -------------------------------------------------------------------
@@ -63,7 +63,7 @@ object Dedup {
   /** (doc_id, block, shingles) — distinct n-gram shingles per doc. */
   def shingled(docs: DataFrame, blockCol: String, idCol: String = "doc_id",
       textCol: String = "text", ngram: Int = 2): DataFrame =
-    docs.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+    graft.util.Parallelism.ensure(docs).select(col(idCol).as("doc_id"), col(blockCol).as("block"),
       TextOps.ngrams(col(textCol), ngram).as("shingles"))
 
   /** Near-duplicate pairs by bigram Jaccard within a blocking key.
@@ -145,7 +145,7 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, k: Int = 16, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val exploded = docs
+    val exploded = graft.util.Parallelism.ensure(docs)
       .select(col(idCol).as("doc_id"),
         explode_outer(TextOps.bigrams(col(textCol))).as("s"))
       .withColumn("h", TextOps.rollingHash(col("s")))
@@ -206,8 +206,8 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val cands = lshCandidates(minhashSignatures(docs, k, idCol, textCol), rowsPerBand)
     // cached (Caches.releaseAll to drop): joined twice (a-side and b-side)
-    val sh = graft.util.Caches.cached(
-      docs.select(col(idCol).as("doc_id"), TextOps.bigrams(col(textCol)).as("sh")))
+    val sh = graft.util.Caches.cached(graft.util.Parallelism.ensure(docs)
+      .select(col(idCol).as("doc_id"), TextOps.bigrams(col(textCol)).as("sh")))
     cands
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sa"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sb"), "doc_b")
@@ -245,7 +245,7 @@ object Dedup {
     */
   def simhashSignatures(docs: DataFrame, blockCol: String, bits: Int = 32,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val exploded = docs
+    val exploded = graft.util.Parallelism.ensure(docs)
       .select(col(idCol).as("doc_id"), col(blockCol).as("block"),
         explode_outer(TextOps.tokens(col(textCol))).as("w"))
       .withColumn("h", TextOps.rollingHash(col("w")))

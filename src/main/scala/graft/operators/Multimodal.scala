@@ -76,7 +76,8 @@ object Multimodal {
     */
   def extractFeatures(payloads: DataFrame): DataFrame = {
     val spark = payloads.sparkSession
-    val rdd = payloads.select("doc_id", "payload", "metadata.size_bytes", "metadata.mime")
+    val rdd = graft.util.Parallelism.ensure(payloads)
+      .select("doc_id", "payload", "metadata.size_bytes", "metadata.mime")
       .rdd.mapPartitions { rows =>
         // decoder/codec init would happen here, once per partition
         rows.map { r =>
@@ -98,7 +99,8 @@ object Multimodal {
     */
   def resize(payloads: DataFrame, width: Int, height: Int): DataFrame = {
     val spark = payloads.sparkSession
-    val rdd = payloads.select("doc_id", "payload", "metadata.mime").rdd
+    val rdd = graft.util.Parallelism.ensure(payloads)
+      .select("doc_id", "payload", "metadata.mime").rdd
       .mapPartitions { rows =>
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](1)
@@ -127,7 +129,8 @@ object Multimodal {
     */
   def sampleFrames(payloads: DataFrame, n: Int, frameBytes: Int = 64): DataFrame = {
     val spark = payloads.sparkSession
-    val rdd = payloads.select("doc_id", "payload").rdd.mapPartitions { rows =>
+    val rdd = graft.util.Parallelism.ensure(payloads)
+      .select("doc_id", "payload").rdd.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](1)
         if (bytes.isEmpty) Iterator.empty

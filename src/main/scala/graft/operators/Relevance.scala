@@ -25,8 +25,9 @@ object Relevance {
   def tfidf(docs: DataFrame, blockCol: String, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val n = docs.count()
-    val tok = docs.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
-      explode(TextOps.tokens(col(textCol))).as("term"))
+    val tok = graft.util.Parallelism.ensure(docs)
+      .select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
     val tf = tok.groupBy("doc_id", "block", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df")) // one row per (doc, term) → count = doc frequency
     tf.join(dfreq, "term")

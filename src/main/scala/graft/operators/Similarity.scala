@@ -48,8 +48,8 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // norms are precomputed per vector (not per pair): the pairwise stage
     // then folds only the dot product — 3× less interpreted-lambda work
-    val corpus = embeddings.select(col(idCol).as("vec_id"),
-      asDouble(col(vecCol)).as("v"))
+    val corpus = graft.util.Parallelism.ensure(embeddings)
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nv", norm(col("v")))
     val queries = corpus.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nqv"))
@@ -95,8 +95,8 @@ object Similarity {
   def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       nPlanes: Int = 6, dim: Int = 64, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val corpus = embeddings.select(col(idCol).as("vec_id"),
-      asDouble(col(vecCol)).as("v"))
+    val corpus = graft.util.Parallelism.ensure(embeddings)
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
       .withColumn("nv", norm(col("v")))
     val probeSet = array(lit(0L) +: (0 until nPlanes).map(p => lit(1L << p)): _*)
@@ -150,8 +150,8 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val corpus = embeddings.select(col(idCol).as("vec_id"),
-      asDouble(col(vecCol)).as("v"))
+    val corpus = graft.util.Parallelism.ensure(embeddings)
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nv", norm(col("v")))
     var centroids = corpus.filter(col("vec_id").isin(initIds: _*))
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("ncv"))
@@ -183,8 +183,8 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       centroidIds: Seq[Long], idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val corpus = embeddings.select(col(idCol).as("vec_id"),
-      asDouble(col(vecCol)).as("v"))
+    val corpus = graft.util.Parallelism.ensure(embeddings)
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nv", norm(col("v")))
     val centroids = corpus.filter(col("vec_id").isin(centroidIds: _*))
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("ncv"))
@@ -218,8 +218,9 @@ object Similarity {
     */
   def labelProfile(embeddings: DataFrame, labelCol: String = "label",
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val e = embeddings.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
-      asDouble(col(vecCol)).as("v"))
+    val e = graft.util.Parallelism.ensure(embeddings)
+      .select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        asDouble(col(vecCol)).as("v"))
     val centroids = e
       .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("label", "pos").agg(avg("x").as("m"))
@@ -242,8 +243,9 @@ object Similarity {
     */
   def nearDupPairs(embeddings: DataFrame, blockCol: String, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val e = embeddings.select(col(idCol).as("vec_id"), col(blockCol).as("block"),
-      asDouble(col(vecCol)).as("v"))
+    val e = graft.util.Parallelism.ensure(embeddings)
+      .select(col(idCol).as("vec_id"), col(blockCol).as("block"),
+        asDouble(col(vecCol)).as("v"))
       .withColumn("nv", norm(col("v")))
     val a = e.select(col("vec_id").as("vec_a"), col("block"), col("v").as("va"),
       col("nv").as("na"))

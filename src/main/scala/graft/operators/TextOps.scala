@@ -181,7 +181,8 @@ object TextOps {
     import spark.implicits._
     val markers = LangMarkers.flatMap { case (code, ws) => ws.map(w => (w, code)) }
       .toDF("w", "marker_lang")
-    val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w"))
+    val tok = graft.util.Parallelism.ensure(docs)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w"))
     val hitAggs = LangMarkers.map { case (code, _) =>
       sum(when(col("marker_lang") === code, 1L).otherwise(0L)).as(s"h_$code")
     }

@@ -53,10 +53,17 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly 1 user_id shuffle:\n$p")
   }
 
-  test("q10: null counts are a single aggregation (one scan, one exchange)") {
+  test("q10: null counts are a single aggregation over a single scan") {
     val p = plan("q10_null_counts")
-    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly 1 exchange:\n$p")
+    // one scan; one stat-row exchange to the final aggregate; plus (on
+    // under-partitioned inputs like the single-row-group fixtures) the
+    // round-robin repartition Parallelism.ensure inserts so the partial
+    // aggregate isn't single-task
     assert("Scan parquet".r.findAllIn(p).size == 1, s"expected exactly 1 scan:\n$p")
+    val exchanges = "Exchange [a-zA-Z]+".r.findAllIn(p).toSeq
+    assert(exchanges.size <= 2 &&
+      exchanges.count(_.contains("SinglePartition")) <= 1,
+      s"unexpected exchanges $exchanges in:\n$p")
   }
 
   test("bucketed tables join without a shuffle") {
