@@ -386,7 +386,35 @@ object SparkEntry {
     "WITH counts(table_name, row_count) AS (" +
       Tables.all.map(tn => s"SELECT '$tn', count(*) FROM $tn").mkString(" UNION ALL ") + ")"
 
+  /** The correctness gate always runs at sf0.01 (TESTDATA.md), so the
+    * storage oracles can stat the same files DuckDB-side via read_blob —
+    * the one oracle pair that inspects the filesystem rather than table
+    * contents. If the gate SF ever changes, these two paths change with it.
+    */
+  private val storageOracleGlob = "/root/testdata/sf0.01/*.parquet"
+
   private val monitorsOracle: Map[String, String] = Map(
+    "q27_storage_inventory" ->
+      s"""SELECT parse_filename(filename) AS file_name,
+         |  CAST(size AS BIGINT) AS size_bytes,
+         |  CASE WHEN filename LIKE '%.parquet' THEN 'application/vnd.apache.parquet'
+         |       WHEN filename LIKE '%.json' THEN 'application/json'
+         |       WHEN filename LIKE '%.csv' THEN 'text/csv'
+         |       ELSE 'application/octet-stream' END AS content_type,
+         |  's3 standard' AS storage_class
+         |FROM read_blob('$storageOracleGlob')
+         |ORDER BY file_name""".stripMargin,
+    "q28_storage_summary" ->
+      s"""WITH inv AS (SELECT parse_filename(filename) AS file_name,
+         |    CAST(size AS BIGINT) AS size_bytes
+         |  FROM read_blob('$storageOracleGlob'))
+         |SELECT CAST(count(*) AS BIGINT) AS num_objects,
+         |  CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+         |  CAST(max(size_bytes) AS BIGINT) AS max_bytes,
+         |  round(avg(size_bytes), 4) AS avg_bytes,
+         |  (SELECT file_name FROM inv
+         |   ORDER BY size_bytes DESC, file_name DESC LIMIT 1) AS largest_file
+         |FROM inv""".stripMargin,
     "q18_catalog_rowcounts" ->
       s"$catalogCountsCte SELECT table_name, row_count FROM counts ORDER BY table_name",
     "q19_table_shapes" ->

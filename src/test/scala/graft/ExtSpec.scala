@@ -89,6 +89,27 @@ class ExtSpec extends AnyFunSuite {
     assert(r(1L)._1 == 2L && math.abs(r(1L)._3 - math.cos(math.Pi / 4)) < 1e-3)
   }
 
+  test("incremental monitor: first run profiles all, second run skips unchanged") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    // copy two fixture tables into a mutable dir
+    val src = "/root/testdata/sf0.001"
+    for (t <- Seq("nation", "region"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$src/$t.parquet"),
+        java.nio.file.Paths.get(s"$tmp/$t.parquet"))
+    val state = new graft.state.StateStore(tmp + "/state")
+    val sink = graft.core.MetricSink("incr-test")
+    val first = graft.run.IncrementalMonitor.run(spark, tmp, Seq("nation", "region"), state, sink)
+    assert(first.toSet == Set("nation", "region"))
+    val second = graft.run.IncrementalMonitor.run(spark, tmp, Seq("nation", "region"), state, sink)
+    assert(second.isEmpty)
+    // touch one table → only it is re-profiled
+    val f = new java.io.File(s"$tmp/nation.parquet")
+    assert(f.setLastModified(System.currentTimeMillis() + 5000))
+    val third = graft.run.IncrementalMonitor.run(spark, tmp, Seq("nation", "region"), state, sink)
+    assert(third == Seq("nation"))
+  }
+
   test("normalize strips URLs, collapses whitespace, trims") {
     def one(s: String) = Seq(s).toDF("text")
       .select(TextOps.normalize(col("text")).as("r")).collect().head.getString(0)
