@@ -103,8 +103,10 @@ object Monitors {
       sink.log(s"$table.columns_changed", if (drift.nonEmpty) 1.0 else 0.0)
       drift.foreach(r => sink.logString(s"$table.column_${r.getString(0)}", r.getString(1)))
     }
-    state.put(spark, table, "record_count", recordCount.toString)
-    state.put(spark, table, "columns", df.columns.mkString(","))
+    // one snapshot rewrite for both keys (puts are serialized store-wide)
+    state.putAll(spark, Seq(
+      (table, "record_count", recordCount.toString),
+      (table, "columns", df.columns.mkString(","))))
   }
 
   /** Storage monitor (S3 key/prefix/bucket-monitor parity:
@@ -162,10 +164,28 @@ object MonitorRunner {
     * metrics DataFrame for this run.
     */
   def run(spark: SparkSession, dir: String, targets: Seq[String],
-      statePath: String, metricsPath: Option[String] = None): DataFrame = {
+      statePath: String, metricsPath: Option[String] = None,
+      parallelism: Int = 4): DataFrame = {
     val sink = MetricSink()
     val state = new StateStore(statePath)
-    targets.foreach(t => Monitors.tableMonitor(spark, dir, t, sink, state))
+    // Concurrent fan-out, like the reference's parallel Airflow tasks
+    // (`snowflake_table_monitor.py:162-178`): each monitor is mostly
+    // blocking on its own Spark jobs, so a few driver threads keep the
+    // cluster saturated across targets (FAIR-friendly). MetricSink is
+    // synchronized; StateStore serializes its snapshot rewrites.
+    if (parallelism <= 1 || targets.size <= 1)
+      targets.foreach(t => Monitors.tableMonitor(spark, dir, t, sink, state))
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, targets.size))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[Unit]] = targets.map { t =>
+          (() => Monitors.tableMonitor(spark, dir, t, sink, state)): java.util.concurrent.Callable[Unit]
+        }
+        pool.invokeAll(tasks.asJava).asScala.foreach(_.get()) // propagate failures
+      } finally pool.shutdown()
+    }
     val counts = targets.flatMap(t => sink.get(s"$t.record_count").flatMap(_.valueDouble))
     if (counts.nonEmpty)
       sink.log("all_tables.mean_record_count",

@@ -29,8 +29,14 @@ class StateStore(path: String) {
 
   /** Overwrite-by-key upsert: rows in `updates` replace same-(entity,key)
     * rows; everything else is carried forward.
+    *
+    * Synchronized on this store: the merge is a read-modify-write of the
+    * whole snapshot, so two concurrent upserts (parallel monitors) would
+    * each merge against the pre-state and the loser's rows would vanish.
+    * Serializing on the instance makes each upsert atomic; callers that
+    * need fewer rewrites should batch several keys into ONE upsert.
     */
-  def upsert(spark: SparkSession, updates: DataFrame): Unit = {
+  def upsert(spark: SparkSession, updates: DataFrame): Unit = synchronized {
     val old = read(spark)
     val merged = old.join(updates.select("entity", "key"), Seq("entity", "key"), "left_anti")
       .unionByName(updates)
@@ -46,12 +52,19 @@ class StateStore(path: String) {
   }
 
   def get(spark: SparkSession, entity: String, key: String): Option[String] =
-    read(spark).filter(col("entity") === entity && col("key") === key)
-      .select("value").collect().headOption.map(_.getString(0))
+    synchronized {
+      read(spark).filter(col("entity") === entity && col("key") === key)
+        .select("value").collect().headOption.map(_.getString(0))
+    }
 
-  def put(spark: SparkSession, entity: String, key: String, value: String): Unit = {
+  def put(spark: SparkSession, entity: String, key: String, value: String): Unit =
+    putAll(spark, Seq((entity, key, value)))
+
+  /** Batched put: one snapshot rewrite for any number of keys. */
+  def putAll(spark: SparkSession, rows: Seq[(String, String, String)]): Unit = {
     import spark.implicits._
-    upsert(spark, Seq((entity, key, value, new java.sql.Timestamp(System.currentTimeMillis())))
+    val ts = new java.sql.Timestamp(System.currentTimeMillis())
+    upsert(spark, rows.map { case (e, k, v) => (e, k, v, ts) }
       .toDF("entity", "key", "value", "updated_ts"))
   }
 }

@@ -110,6 +110,21 @@ class ExtSpec extends AnyFunSuite {
     assert(third == Seq("nation"))
   }
 
+  test("parallel monitor fan-out loses no state rows or metrics") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-par").toString
+    val targets = Seq("nation", "region", "supplier", "customer")
+    val metrics = graft.run.MonitorRunner.run(spark, "/root/testdata/sf0.001",
+      targets, tmp + "/state", parallelism = 4)
+    val keys = metrics.select("key").collect().map(_.getString(0)).toSet
+    targets.foreach(t => assert(keys.contains(s"$t.record_count"), s"missing $t metric"))
+    // concurrent snapshot rewrites must not drop any table's state
+    val state = new graft.state.StateStore(tmp + "/state")
+    targets.foreach { t =>
+      assert(state.get(spark, t, "record_count").nonEmpty, s"lost state for $t")
+      assert(state.get(spark, t, "columns").nonEmpty)
+    }
+  }
+
   test("normalize strips URLs, collapses whitespace, trims") {
     def one(s: String) = Seq(s).toDF("text")
       .select(TextOps.normalize(col("text")).as("r")).collect().head.getString(0)
