@@ -95,15 +95,23 @@ object SparkEntry {
         .limit(10)
     }),
 
-    // A12 argmax: deterministic row-of-max via window with full tiebreak
-    // (price desc, then unique (orderkey, linenumber)).
+    // A12 argmax: deterministic row-of-max via max_by with a TOTAL
+    // ordering key (price desc, then unique (orderkey, linenumber) asc,
+    // encoded as negated components). One partial+final aggregation —
+    // no sort at all. The windowed formulation would partition by
+    // l_returnflag (3 values), sorting the whole fact table into 3
+    // tasks regardless of cluster size; per-group top-1 belongs in an
+    // aggregate, windows in the per-KEY top-n case (q07, where group
+    // count is high and partitions balance).
     "q06_argmax" -> ((s, dir) => {
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      val ord = struct(col("l_extendedprice"),
+        -col("l_orderkey"), -col("l_linenumber"))
       t(s, dir, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("l_returnflag", "l_extendedprice", "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(max_by(struct(col("l_extendedprice"), col("l_orderkey")), ord).as("m"))
+        .select(col("l_returnflag"),
+          col("m.l_extendedprice").as("l_extendedprice"),
+          col("m.l_orderkey").as("l_orderkey"))
         .orderBy("l_returnflag")
     }),
 

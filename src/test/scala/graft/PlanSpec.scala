@@ -40,6 +40,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$p")
   }
 
+  test("q06: argmax is a partial aggregation, not a 3-partition window sort") {
+    val p = plan("q06_argmax")
+    assert(!p.contains("Window"), s"argmax regressed to a window:\n$p")
+    assert("partial_max_by|partial_maxby|HashAggregate".r.findAllIn(p).nonEmpty,
+      s"expected aggregate-based argmax:\n$p")
+  }
+
   test("q44: stacked session windows reuse one sort and one shuffle") {
     // the running-sum window consumes the lag window's output, so two
     // Window operators stack — but same (partition, order) means the
