@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for the native expressions: register once, then every
+  * expression is callable from `spark.sql(...)` / SQL-string pipelines —
+  * not only from the Scala Column API.
+  *
+  * Two integration paths, same function set:
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` at session
+  *    build (the standard Spark extension-library hook), or
+  *  - [[GraftExtensions.register]] on an already-running session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def long(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** (name, info, builder) for every exposed function. */
+  val functions: Seq[(String, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    ("graft_poly_hash",
+      info("graft_poly_hash", "graft_poly_hash(str[, mod]) - rolling polynomial hash, mod at every step"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => PolyHash(s, graft.operators.TextOps.HashMod)
+        case Seq(s, m) => PolyHash(s, long(m, "mod"))
+        case _ => throw new IllegalArgumentException("graft_poly_hash(str[, mod])")
+      }),
+    ("graft_tokens",
+      info("graft_tokens", "graft_tokens(str) - lowercased alphanumeric word tokens"),
+      (args: Seq[Expression]) => AsciiWords(args.head)),
+    ("graft_bigrams",
+      info("graft_bigrams", "graft_bigrams(str) - distinct adjacent word bigrams"),
+      (args: Seq[Expression]) => WordBigrams(args.head)),
+    ("graft_ngrams",
+      info("graft_ngrams", "graft_ngrams(str, n) - distinct adjacent word n-grams"),
+      (args: Seq[Expression]) => WordNgrams(args.head, long(args(1), "n").toInt)),
+    ("graft_array_jaccard",
+      info("graft_array_jaccard", "graft_array_jaccard(a, b) - Jaccard similarity of distinct string arrays"),
+      (args: Seq[Expression]) => ArrayJaccard(args.head, args(1))),
+    ("graft_array_dot",
+      info("graft_array_dot", "graft_array_dot(a, b) - dot product of double arrays"),
+      (args: Seq[Expression]) => ArrayDot(args.head, args(1))))
+
+  /** Register the function set on a live session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, i, builder) =>
+      org.apache.spark.sql.GraftExpressionBridge.registerFunction(spark, name, i, builder)
+    }
+}

@@ -125,6 +125,29 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("native expressions are callable from SQL after registration") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql("""
+      SELECT graft_poly_hash('ab') AS h,
+             graft_tokens('Hello, World!') AS t,
+             graft_ngrams('a b c d', 3) AS g,
+             graft_array_jaccard(array('x','y'), array('y','z')) AS j,
+             graft_array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d
+    """).collect().head
+    assert(r.getAs[Long]("h") == 3105L)
+    assert(r.getSeq[String](1).toList == List("hello", "world"))
+    assert(r.getSeq[String](2).toList == List("a b c", "b c d"))
+    assert(math.abs(r.getAs[Double]("j") - 1.0 / 3) < 1e-9)
+    assert(r.getAs[Double]("d") == 11.0)
+    // and through a full SQL pipeline over a temp view
+    Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(50)
+      .createOrReplaceTempView("docs_sqlfn")
+    val n = spark.sql(
+      "SELECT count(*) FROM docs_sqlfn WHERE size(graft_bigrams(text)) > 0")
+      .collect().head.getLong(0)
+    assert(n > 0)
+  }
+
   test("normalize strips URLs, collapses whitespace, trims") {
     def one(s: String) = Seq(s).toDF("text")
       .select(TextOps.normalize(col("text")).as("r")).collect().head.getString(0)
