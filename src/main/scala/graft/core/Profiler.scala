@@ -106,8 +106,12 @@ object Profiler {
     * UNION-ALL-of-aggregates oracle shape.
     */
   def numericProfile(df0: DataFrame, cfg: ProfileConfig = ProfileConfig()): DataFrame = {
-    // single-row-group inputs would run the whole melt + partial agg on
-    // one core (scan parallelism = row groups) — see util.Parallelism
+    // The ORDER-STATS path repartitions under-parallelized inputs: its
+    // melt fans every row out ×#columns and the per-(col, value) partial
+    // aggregate is real work, so a single-row-group input would burn one
+    // core (see util.Parallelism). The MOMENTS job deliberately does
+    // NOT: it is a scan-fused codegen'd aggregate whose partial phase is
+    // cheaper than the exchange an upfront repartition would add.
     val df = graft.util.Parallelism.ensure(df0)
     val spark = df.sparkSession
     import spark.implicits._
@@ -116,8 +120,8 @@ object Profiler {
 
     val momentMetrics = Seq("count", "null_count", "min", "max", "mean", "stddev")
     val momentsLong = cols.grouped(cfg.statColumnsPerJob).toSeq.map { batch =>
-      val wide = df.agg(momentExprs(df, batch.head, cfg).head,
-        batch.flatMap(c => momentExprs(df, c, cfg)).tail: _*)
+      val wide = df0.agg(momentExprs(df0, batch.head, cfg).head,
+        batch.flatMap(c => momentExprs(df0, c, cfg)).tail: _*)
       val stackArgs = batch.flatMap { c =>
         momentMetrics.map(m => s"'$c', '$m', `${c}__$m`")
       }.mkString(", ")
