@@ -70,7 +70,14 @@ object ExtQueries {
 
     // Embedding cohesion per label: centroid + mean member→centroid cosine.
     "q49_label_profile" -> ((s, dir) =>
-      Similarity.labelProfile(Tables.load(s, dir, "embeddings"))))
+      Similarity.labelProfile(Tables.load(s, dir, "embeddings"))),
+
+    // Duplicate clusters: connected components over the verified MinHash
+    // near-dup pairs (min-label propagation; the keep-one-per-group
+    // closure of pairwise dedup).
+    "q50_dup_clusters" -> ((s, dir) =>
+      Dedup.clusterSizes(Dedup.minhashNearDups(docs(s, dir)))
+        .orderBy("cluster")))
 
   private val tokSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
@@ -149,6 +156,21 @@ object ExtQueries {
 
     // fixture embeddings are 64-dim (FIXTURES.md); positions come from an
     // explicit range because DuckDB lacks UNNEST ... WITH ORDINALITY
+    // Transitive closure as a recursive CTE: nodes seed with their own
+    // id, each step adds every neighbor's reachable label, UNION dedups
+    // → terminates; min over reached labels = component minimum, exactly
+    // the Spark side's min-label-propagation fixpoint.
+    "q50_dup_clusters" ->
+      s"""WITH RECURSIVE ${LlmQueries.minhashPairsCtes},
+         |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |r AS (SELECT DISTINCT src AS id, src AS lab FROM edges
+         |  UNION SELECT e.src, r.lab FROM edges e JOIN r ON e.dst = r.id),
+         |cc AS (SELECT id, min(lab) AS cluster FROM r GROUP BY id)
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM cc GROUP BY cluster ORDER BY cluster""".stripMargin,
+
     "q49_label_profile" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |m AS (SELECT label, pos, avg(v[pos]) AS m

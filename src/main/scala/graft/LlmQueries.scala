@@ -162,6 +162,28 @@ object LlmQueries {
 
   private val annIdsSql = annQueryIds.mkString("(", ", ", ")")
 
+  /** The CTE chain producing verified MinHash-LSH pairs as relation `j`
+    * — q34's body, shared with ExtQueries' duplicate-cluster oracle.
+    */
+  val minhashPairsCtes: String = {
+    val bands = (0 until 4).map { bi =>
+      val key = (0 until 4).map(r => s"CAST(s${bi * 4 + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $bi AS band_idx, $key AS band_key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""t AS (SELECT doc_id, $tokSql AS ws FROM documents),
+       |sh AS (SELECT doc_id, $bigramsSql AS shingles FROM t),
+       |h AS (SELECT doc_id, shingles,
+       |  list_transform(shingles, s -> ${rollSql("s")}) AS hs FROM sh),
+       |sig AS (SELECT doc_id, $minhashSigSql FROM h),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+       |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |j AS (SELECT doc_a, doc_b, ${jaccardSql("x.shingles", "y.shingles")} AS jaccard
+       |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q29_token_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
@@ -217,26 +239,10 @@ object LlmQueries {
          |WHERE ${jaccardSql("a.sh", "b.sh")} >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "q34_minhash_lsh" -> {
-      val bands = (0 until 4).map { bi =>
-        val key = (0 until 4).map(r => s"CAST(s${bi * 4 + r} AS VARCHAR)")
-          .mkString(" || ',' || ")
-        s"SELECT doc_id, $bi AS band_idx, $key AS band_key FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""WITH t AS (SELECT doc_id, $tokSql AS ws FROM documents),
-         |sh AS (SELECT doc_id, $bigramsSql AS shingles FROM t),
-         |h AS (SELECT doc_id, shingles,
-         |  list_transform(shingles, s -> ${rollSql("s")}) AS hs FROM sh),
-         |sig AS (SELECT doc_id, $minhashSigSql FROM h),
-         |bands AS ($bands),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
-         |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |j AS (SELECT doc_a, doc_b, ${jaccardSql("x.shingles", "y.shingles")} AS jaccard
-         |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
+    "q34_minhash_lsh" ->
+      s"""WITH $minhashPairsCtes
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q35_simhash" ->
       s"""WITH t AS (SELECT doc_id, source, $tokSql AS ws FROM documents),

@@ -221,6 +221,61 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // Duplicate clusters (connected components over near-dup pairs)
+  // -------------------------------------------------------------------
+
+  /** Connected components over an undirected pair list: every doc gets
+    * the MINIMUM doc id reachable through near-dup edges as its cluster
+    * id — the transitive-closure step that turns pairwise near-dups into
+    * keep-one-per-group decisions (A~B, B~C must retire two of three
+    * even though A~C was never emitted).
+    *
+    * Algorithm: min-label propagation — labels start as self, each round
+    * every node takes the min of its own and its neighbors' labels,
+    * until a fixpoint. Rounds ≈ component diameter (near-dup clusters
+    * are shallow); each round is one join + one aggregate, labels are
+    * materialized per round so plan lineage stays flat. This is the
+    * standard big-graph CC shape (the large-star/small-star variant
+    * optimizes constants, not the round structure).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    graft.util.Caches.cached(edges)
+    // labels stay DISTRIBUTED across rounds: localCheckpoint (eager)
+    // truncates lineage executor-side each round — never collected to
+    // the driver, so component count is unbounded by driver memory.
+    // Convergence is detected by the label-sum scalar: labels only ever
+    // decrease, so the sum strictly falls until the fixpoint.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var prevSum = labels.select(sum("label")).collect().head.getLong(0)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy("src").agg(min("label").as("nl"))
+      val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(labels("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      val s = next.select(sum("label")).collect().head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      round += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+  }
+
+  /** Per-cluster rollup: (cluster, n_docs) for clusters of size ≥ 2. */
+  def clusterSizes(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .groupBy("cluster").agg(count(lit(1)).as("n_docs"))
+
+  // -------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------
 

@@ -148,6 +148,18 @@ class ExtSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("connected components merge transitive near-dup chains") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (9L, 8L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val cc = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L, 20L -> 20L, 21L -> 20L))
+    val sizes = graft.operators.Dedup.clusterSizes(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(1L -> 3L, 7L -> 3L, 20L -> 2L))
+  }
+
   test("normalize strips URLs, collapses whitespace, trims") {
     def one(s: String) = Seq(s).toDF("text")
       .select(TextOps.normalize(col("text")).as("r")).collect().head.getString(0)
