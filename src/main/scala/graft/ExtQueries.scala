@@ -77,9 +77,17 @@ object ExtQueries {
     // closure of pairwise dedup).
     "q50_dup_clusters" -> ((s, dir) =>
       Dedup.clusterSizes(Dedup.minhashNearDups(docs(s, dir)))
-        .orderBy("cluster")))
+        .orderBy("cluster")),
+
+    // The composed prep pipeline: normalize → quality-filter →
+    // exact-dedup → per-source report, one declarative plan.
+    "q51_prep_pipeline" -> ((s, dir) =>
+      graft.operators.Pipeline.corpusReport(docs(s, dir), minQuality = 0.5)))
 
   private val tokSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  private val stopListSql =
+    TextOps.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
   private val trigramsSql =
     "CASE WHEN len(ws) < 3 THEN []::VARCHAR[] ELSE " +
@@ -153,6 +161,38 @@ object ExtQueries {
          |      ORDER BY score DESC, term) AS INTEGER) AS rank FROM sc)
          |SELECT block, term, score, rank FROM r WHERE rank <= 5
          |ORDER BY block, rank""".stripMargin,
+
+    "q51_prep_pipeline" ->
+      s"""WITH n AS (SELECT doc_id, source,
+         |    trim(regexp_replace(regexp_replace(text, 'https?://\\S+', '', 'g'),
+         |      '\\s+', ' ', 'g')) AS nt
+         |  FROM documents),
+         |t AS (SELECT doc_id, source, nt,
+         |    regexp_extract_all(lower(nt), '[a-z0-9]+') AS ws FROM n),
+         |q AS (SELECT doc_id, source, nt,
+         |  round((least(len(ws)::DOUBLE / 50.0, 1.0)
+         |    + least((CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+         |        len(list_filter(ws, w -> list_contains($stopListSql, w)))::DOUBLE / len(ws) END) * 5.0, 1.0)
+         |    + greatest(1.0 - (CASE WHEN length(nt) = 0 THEN 0.0 ELSE
+         |        len(regexp_extract_all(nt, '[^a-zA-Z0-9\\s]'))::DOUBLE / length(nt) END) * 10.0, 0.0)
+         |  ) / 3.0, 4) AS quality,
+         |  md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS f
+         |  FROM t),
+         |p AS (SELECT * FROM q WHERE quality >= 0.5),
+         |k AS (SELECT f, min(doc_id) AS keep FROM p GROUP BY f),
+         |kept AS (SELECT p.* FROM p JOIN k ON p.doc_id = k.keep),
+         |ks AS (SELECT source, count(*) AS kept_docs,
+         |    round(avg(quality), 4) AS avg_quality,
+         |    CAST(sum(length(nt)) AS BIGINT) AS norm_chars
+         |  FROM kept GROUP BY source),
+         |raw AS (SELECT source, count(*) AS raw_docs FROM documents GROUP BY source)
+         |SELECT raw.source, CAST(raw_docs AS BIGINT) AS raw_docs,
+         |  CAST(coalesce(kept_docs, 0) AS BIGINT) AS kept_docs,
+         |  round(coalesce(kept_docs, 0)::DOUBLE / raw_docs, 4) AS kept_share,
+         |  avg_quality,
+         |  coalesce(norm_chars, 0) AS norm_chars
+         |FROM raw LEFT JOIN ks ON raw.source = ks.source
+         |ORDER BY raw.source""".stripMargin,
 
     // fixture embeddings are 64-dim (FIXTURES.md); positions come from an
     // explicit range because DuckDB lacks UNNEST ... WITH ORDINALITY

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The canonical training-data preparation pipeline, composed from the
+  * individual operators: normalize → quality-filter → exact-dedup →
+  * survivor corpus. One declarative plan end to end — Catalyst sees all
+  * four stages at once, so normalization fuses into the scan, the
+  * quality filter prunes rows BEFORE the dedup shuffle, and only
+  * (fingerprint, doc_id) pairs ever move between executors.
+  */
+object Pipeline {
+
+  /** Cleaned, quality-filtered, exact-deduplicated corpus. Returns the
+    * surviving docs with `norm_text` and `quality` columns attached.
+    * Survivor per fingerprint group = min doc_id (deterministic).
+    */
+  def prepareCorpus(docs: DataFrame, minQuality: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cleaned = graft.util.Parallelism.ensure(docs)
+      .withColumn("norm_text", TextOps.normalize(col(textCol)))
+      .withColumn("quality", TextOps.qualityScore(col("norm_text")))
+      .filter(col("quality") >= minQuality)
+    val w = Window.partitionBy(TextOps.fingerprint(col("norm_text")))
+      .orderBy(col(idCol).asc)
+    cleaned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Per-slice report of the prepared corpus: kept count, kept share of
+    * the raw corpus, mean quality, total normalized chars.
+    */
+  def corpusReport(docs: DataFrame, minQuality: Double,
+      blockCol: String = "source"): DataFrame = {
+    val kept = prepareCorpus(docs, minQuality)
+      .groupBy(col(blockCol))
+      .agg(count(lit(1)).as("kept_docs"),
+        round(avg("quality"), 4).as("avg_quality"),
+        sum(length(col("norm_text")).cast("long")).as("norm_chars"))
+    val totals = docs.groupBy(col(blockCol)).agg(count(lit(1)).as("raw_docs"))
+    totals.join(kept, Seq(blockCol), "left")
+      .na.fill(0L, Seq("kept_docs", "norm_chars"))
+      .select(col(blockCol), col("raw_docs"), col("kept_docs"),
+        round(col("kept_docs") / col("raw_docs"), 4).as("kept_share"),
+        col("avg_quality"), col("norm_chars"))
+      .orderBy(blockCol)
+  }
+}

@@ -160,6 +160,22 @@ class ExtSpec extends AnyFunSuite {
     assert(sizes == Map(1L -> 3L, 7L -> 3L, 20L -> 2L))
   }
 
+  test("prep pipeline: normalize, quality-filter and dedup compose") {
+    val prose = "the quick brown fox jumps and it is a fine day in the field " * 3
+    val docs = Seq(
+      (1L, "a", prose + " https://x.example/path"),
+      (2L, "a", prose), // same token set as 1 after URL strip → retired
+      (3L, "a", "@@@@ ####"), // junk → quality-filtered
+      (4L, "b", prose + " extra words here")
+    ).toDF("doc_id", "source", "text")
+    val kept = graft.operators.Pipeline.prepareCorpus(docs, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L))
+    val report = graft.operators.Pipeline.corpusReport(docs, 0.5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(report("a") == ((3L, 1L)) && report("b") == ((1L, 1L)))
+  }
+
   test("normalize strips URLs, collapses whitespace, trims") {
     def one(s: String) = Seq(s).toDF("text")
       .select(TextOps.normalize(col("text")).as("r")).collect().head.getString(0)
