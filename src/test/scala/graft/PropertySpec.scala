@@ -76,6 +76,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize invariants: events partition into sessions; gaps bound spans") {
+    val evGen = Gen.listOfN(25, for {
+      u <- Gen.chooseNum(1L, 3L)
+      t <- Gen.chooseNum(0L, 200000L)
+    } yield (u, t))
+    for (evs <- samples(evGen, 3)) {
+      val df = evs.zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, new java.sql.Timestamp(t * 1000), u, 1.0)
+      }.toDF("event_id", "ts", "user_id", "value")
+      val gap = 30000L
+      val s = graft.operators.Sessionize.sessionSummary(df, gap).collect()
+      // every event lands in exactly one session
+      assert(s.map(_.getAs[Long]("n_events")).sum == evs.size)
+      // a session of n events spans at most (n-1) * gap seconds
+      s.foreach { r =>
+        assert(r.getAs[Long]("duration_sec") <=
+          (r.getAs[Long]("n_events") - 1) * gap)
+      }
+    }
+  }
+
+  test("connected components: labels are component minima and idempotent") {
+    val pairGen = Gen.listOfN(12, for {
+      a <- Gen.chooseNum(1L, 15L); b <- Gen.chooseNum(1L, 15L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    for (pairs <- samples(pairGen, 3) if pairs.nonEmpty) {
+      val df = pairs.toDF("doc_a", "doc_b")
+      val cc = Dedup.connectedComponents(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every endpoint is labeled; label ≤ id; label is itself in the set
+      pairs.foreach { case (a, b) =>
+        assert(cc.contains(a) && cc.contains(b))
+        assert(cc(a) == cc(b)) // direct edge → same component
+      }
+      cc.foreach { case (id, lab) =>
+        assert(lab <= id && cc(lab) == lab) // root labels itself
+      }
+    }
+  }
+
   test("fingerprint invariance under token permutation") {
     for (ws <- samples(Gen.listOfN(8, Gen.identifier.suchThat(_.nonEmpty)), 3)
          if ws.nonEmpty) {
