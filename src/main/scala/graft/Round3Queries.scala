@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Decontaminate, Repetition, Sampling, Scrub, TextOps}
+
+/** Round-3 corpus-prep queries (q52-q58): benchmark decontamination,
+  * within-doc repetition stats, deterministic quota sampling, corpus
+  * mixture report, global top tokens, PII scrubbing, token-length
+  * deciles. Oracle conventions as in [[LlmQueries]]: identical aliases,
+  * identical rounding, deterministic total ORDER BY on both sides.
+  */
+object Round3Queries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** doc_id % BenchMod == 0 plays the held-out benchmark set. */
+  val BenchMod = 17L
+  val ContaminationThreshold = 0.5
+  val QuotaK = 5
+  val MaxTopNgramFrac = 0.2
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Benchmark decontamination: bigram containment of each corpus doc
+    // in the (broadcast) benchmark shingle vocabulary, per-source report.
+    "q52_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Decontaminate.report(
+        d.filter(col("doc_id") % BenchMod =!= 0),
+        d.filter(col("doc_id") % BenchMod === 0),
+        "source", ContaminationThreshold)
+    }),
+
+    // Gopher-style repetition stats: duplicate-token fraction and
+    // top-bigram occupancy, rolled up per source.
+    "q53_repetition" -> ((s, dir) =>
+      Repetition.report(docs(s, dir), "source", MaxTopNgramFrac)),
+
+    // Deterministic per-source quota sample (hash-rank top-k): the
+    // corpus-mixing "cap any one domain" rule, reproducible on any engine.
+    "q54_quota_sample" -> ((s, dir) =>
+      Sampling.quotaSample(docs(s, dir), "source", QuotaK)
+        .select("source", "rank", "doc_id")
+        .orderBy("source", "rank")),
+
+    // Corpus mixture report: (source, lang) doc/token counts + each
+    // cell's share of all tokens — the dataset-card composition table.
+    // The grand total joins back via a broadcast single-row aggregate;
+    // cardinality after the first agg is bounded by |sources|x|langs|.
+    "q55_mixture" -> ((s, dir) => {
+      val m = docs(s, dir)
+        .select(col("source"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"))
+      val tot = m.agg(sum("total_tokens").cast("double").as("t"))
+      m.crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n_docs"), col("total_tokens"),
+          round(col("total_tokens") / col("t"), 6).as("token_share"))
+        .orderBy("source", "lang")
+    }),
+
+    // Global token frequency top-20 (exact word-count: partial aggs +
+    // TakeOrderedAndProject; ties broken by token for determinism).
+    "q56_top_tokens" -> ((s, dir) =>
+      graft.util.Parallelism.ensure(docs(s, dir))
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc)
+        .limit(20)),
+
+    // PII scrub report: per-rule match totals + clean-doc counts. (The
+    // fixture corpus is digit-/@-free so totals are 0 there — the rule
+    // behavior itself is pinned by ScrubSpec on synthetic PII rows; this
+    // query exercises the full scan-stage scrub plan and its oracle.)
+    "q57_pii_scrub" -> ((s, dir) => Scrub.report(docs(s, dir), "source")),
+
+    // Token-length deciles per source: ntile over (n_tokens, doc_id)
+    // within each source partition — windows stay parallel across
+    // sources; decile edges are exact integer math on both engines.
+    "q58_token_deciles" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_tokens").asc, col("doc_id").asc)
+      docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("source", "decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_tokens").as("min_tokens"),
+          max("n_tokens").as("max_tokens"))
+        .orderBy("source", "decile")
+    }))
+
+  private val tokSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  private val bigramsSql =
+    "CASE WHEN len(ws) < 2 THEN []::VARCHAR[] ELSE " +
+      "list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) END"
+
+  /** Non-distinct bigram occurrences (repetition counting). */
+  private val bigramsAllSql =
+    "CASE WHEN len(ws) < 2 THEN []::VARCHAR[] ELSE " +
+      "list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) END"
+
+  private val idHashSql = s"(doc_id * 2654435761) % ${Sampling.HashMod}"
+
+  val oracleSql: Map[String, String] = Map(
+    "q52_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, source, $tokSql AS ws FROM documents),
+         |sh AS (SELECT doc_id, source, $bigramsSql AS sh FROM t),
+         |bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+         |  WHERE doc_id % $BenchMod = 0),
+         |corp AS (SELECT doc_id, unnest(sh) AS s FROM sh
+         |  WHERE doc_id % $BenchMod <> 0),
+         |pd AS (SELECT doc_id, count(*) AS n_sh,
+         |    sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS hits
+         |  FROM corp LEFT JOIN bench b USING (s) GROUP BY doc_id),
+         |f AS (SELECT d.source,
+         |    CASE WHEN coalesce(n_sh, 0) = 0 THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(round(hits * 10000.0 / n_sh) AS BIGINT) END AS bp
+         |  FROM (SELECT doc_id, source FROM documents
+         |        WHERE doc_id % $BenchMod <> 0) d
+         |  LEFT JOIN pd USING (doc_id))
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN bp >= ${(ContaminationThreshold * 10000).toLong}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS contaminated_docs,
+         |  round(sum(bp) / (count(*) * 10000.0), 4) AS avg_overlap
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    "q53_repetition" ->
+      s"""WITH t AS (SELECT doc_id, source, $tokSql AS ws FROM documents),
+         |g AS (SELECT doc_id, source,
+         |  CASE WHEN len(ws) = 0 THEN 0.0
+         |    ELSE round(1.0 - len(list_distinct(ws))::DOUBLE / len(ws), 4)
+         |  END AS token_rep,
+         |  $bigramsAllSql AS bg FROM t),
+         |d AS (SELECT source, token_rep,
+         |  CASE WHEN len(bg) = 0 THEN 0.0
+         |    ELSE round(list_max(list_transform(list_distinct(bg),
+         |      x -> len(list_filter(bg, y -> y = x))))::DOUBLE / len(bg), 4)
+         |  END AS top_frac FROM g)
+         |SELECT source, count(*) AS n_docs,
+         |  round(avg(token_rep), 4) AS avg_token_rep,
+         |  round(avg(top_frac), 4) AS avg_top_ngram_frac,
+         |  CAST(sum(CASE WHEN top_frac > $MaxTopNgramFrac THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS would_drop
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    "q54_quota_sample" ->
+      s"""WITH r AS (SELECT source, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY $idHashSql ASC, doc_id ASC) AS INTEGER) AS rank
+         |  FROM documents)
+         |SELECT source, rank, doc_id FROM r WHERE rank <= $QuotaK
+         |ORDER BY source, rank""".stripMargin,
+
+    "q55_mixture" ->
+      s"""WITH m AS (SELECT source, lang, count(*) AS n_docs,
+         |    CAST(sum(len($tokSql)) AS BIGINT) AS total_tokens
+         |  FROM documents GROUP BY source, lang),
+         |tot AS (SELECT sum(total_tokens)::DOUBLE AS t FROM m)
+         |SELECT source, lang, n_docs, total_tokens,
+         |  round(total_tokens / t, 6) AS token_share
+         |FROM m, tot ORDER BY source, lang""".stripMargin,
+
+    "q56_top_tokens" ->
+      s"""SELECT token, count(*) AS cnt
+         |FROM (SELECT unnest($tokSql) AS token FROM documents)
+         |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q57_pii_scrub" -> {
+      val countSqls = Scrub.Rules.map { case (name, pat, _) =>
+        s"CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS total_$name"
+      }
+      val anyPii = Scrub.Rules
+        .map { case (_, pat, _) => s"len(regexp_extract_all(text, '$pat'))" }
+        .mkString(" + ")
+      val scrubbed = Scrub.Rules.foldLeft("text") { case (t, (_, pat, repl)) =>
+        s"regexp_replace($t, '$pat', '$repl', 'g')"
+      }
+      s"""SELECT source, count(*) AS n_docs,
+         |  ${countSqls.mkString(",\n  ")},
+         |  CAST(sum(CASE WHEN $anyPii = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS clean_docs,
+         |  CAST(sum(length(text) - length($scrubbed)) AS BIGINT)
+         |    AS chars_removed
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "q58_token_deciles" ->
+      s"""WITH t AS (SELECT source, doc_id,
+         |    CAST(len($tokSql) AS BIGINT) AS n_tokens FROM documents),
+         |d AS (SELECT source, n_tokens,
+         |    CAST(ntile(10) OVER (PARTITION BY source
+         |      ORDER BY n_tokens ASC, doc_id ASC) AS INTEGER) AS decile
+         |  FROM t)
+         |SELECT source, decile, count(*) AS n_docs,
+         |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+         |FROM d GROUP BY source, decile ORDER BY source, decile""".stripMargin)
+}

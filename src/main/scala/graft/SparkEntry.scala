@@ -519,10 +519,12 @@ object SparkEntry {
     * training-data extensions (LlmQueries) + round-2 extensions
     * (ExtQueries: sessions, normalize, salted join, n-gram dedup). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational ++ monitors ++ LlmQueries.queries ++ ExtQueries.queries
+    relational ++ monitors ++ LlmQueries.queries ++ ExtQueries.queries ++
+      Round3Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    relationalOracle ++ monitorsOracle ++ LlmQueries.oracleSql ++ ExtQueries.oracleSql
+    relationalOracle ++ monitorsOracle ++ LlmQueries.oracleSql ++
+      ExtQueries.oracleSql ++ Round3Queries.oracleSql
 }

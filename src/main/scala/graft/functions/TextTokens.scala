@@ -76,6 +76,26 @@ object TextTokens {
       .asInstanceOf[Array[Any]])
   }
 
+  /** ALL space-joined n-gram occurrences, in order, duplicates kept —
+    * the counting unit for within-doc repetition stats, where the
+    * distinct sets used by dedup would erase exactly the signal
+    * (how often each n-gram repeats) being measured.
+    */
+  def computeNgramsAll(s: UTF8String, n: Int): ArrayData = {
+    val ws = tokenize(s)
+    if (ws.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](ws.length - n + 1)
+    var i = 0
+    while (i <= ws.length - n) {
+      var g = ws(i)
+      var j = 1
+      while (j < n) { g = UTF8String.concat(g, TextTokens.Space, ws(i + j)); j += 1 }
+      out(i) = g
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   val Space: UTF8String = UTF8String.fromString(" ")
 }
 
@@ -140,9 +160,37 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `WordNgramsAll(text, n)` ≡ every adjacent n-gram occurrence of
+  * `AsciiWords(text)` in order, duplicates kept (repetition counting).
+  */
+case class WordNgramsAll(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "ngram size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"WordNgramsAll requires a string child, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextTokens.computeNgramsAll(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextTokens.computeNgramsAll($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsAll =
+    copy(child = newChild)
+}
+
 object AsciiWords {
   def asciiWords(c: Column): Column =
     GraftExpressionBridge.column(AsciiWords(GraftExpressionBridge.expression(c)))
+}
+
+object WordNgramsAll {
+  def wordNgramsAll(c: Column, n: Int): Column =
+    GraftExpressionBridge.column(WordNgramsAll(GraftExpressionBridge.expression(c), n))
 }
 
 object WordBigrams {

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora.
+  *
+  * Extends the reference's profile-and-emit pattern
+  * (`/root/reference/DataFrames/databand_tracking_template.py:21-31`) with
+  * the standard pre-training hygiene step: measure, per corpus document,
+  * what fraction of its n-gram shingles also occur anywhere in a held-out
+  * benchmark/eval set, and flag documents above a threshold as
+  * contaminated (to be dropped before training).
+  *
+  * Scale shape (the 100 TB case is a ~100 TB corpus vs a benchmark of at
+  * most a few million shingles — eval sets are small by construction):
+  *   - the benchmark side collapses to DISTINCT shingles once and is
+  *     broadcast — corpus rows never shuffle for the membership test;
+  *   - the corpus side explodes its (per-doc distinct) shingles in the
+  *     scan stage, left-joins the broadcast set, and immediately
+  *     re-aggregates to one row per doc (partial agg map-side), so the
+  *     only shuffle is keyed by doc_id and carries two longs per doc;
+  *   - zero-shingle docs (shorter than the n-gram) re-enter via a left
+  *     join from the corpus spine with overlap 0.0 — they cannot be
+  *     contaminated but must stay in the report.
+  *
+  * If the "benchmark" were ever corpus-sized, drop the broadcast hint and
+  * the same plan degrades gracefully to a shuffle hash join — the hint is
+  * the only line that encodes the size asymmetry.
+  */
+object Decontaminate {
+
+  /** Per-document overlap scores: (doc_id, n_shingles, n_hits, overlap).
+    * `overlap` = |doc shingles ∩ benchmark shingles| / |doc shingles|,
+    * i.e. containment of the doc in the benchmark vocabulary — the
+    * direction that catches verbatim benchmark quotes inside long docs
+    * (symmetric Jaccard would dilute them).
+    */
+  def overlapScores(corpus: DataFrame, benchmark: DataFrame, ngram: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val benchShingles = graft.util.Parallelism.ensure(benchmark)
+      .select(explode(TextOps.ngrams(col(textCol), ngram)).as("sh"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    val perDoc = graft.util.Parallelism.ensure(corpus)
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.ngrams(col(textCol), ngram)).as("sh"))
+      .join(broadcast(benchShingles), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("n_hits").cast("double") / col("n_shingles"), 4))
+          .as("overlap"))
+  }
+
+  /** Per-group contamination report over a corpus/benchmark split:
+    * (group, n_docs, contaminated_docs, avg_overlap).
+    *
+    * Overlap is accumulated as integer basis points (round(hits·10⁴/n))
+    * rather than averaging per-doc doubles: a long sum is
+    * order-independent, so the result is bit-identical no matter how
+    * partitions combine — averaging doubles directly flips the 4th
+    * decimal between engines/run layouts when the sum lands on a
+    * rounding boundary.
+    */
+  def report(corpus: DataFrame, benchmark: DataFrame, groupCol: String,
+      threshold: Double, ngram: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bp = when(col("n_shingles") === 0, lit(0L))
+      .otherwise(round(col("n_hits") * 10000.0 / col("n_shingles"), 0).cast("long"))
+    overlapScores(corpus, benchmark, ngram, idCol, textCol)
+      .join(corpus.select(col(idCol).as("doc_id"), col(groupCol)), "doc_id")
+      .withColumn("bp", bp)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bp") >= (threshold * 10000).toLong, 1L).otherwise(0L))
+          .as("contaminated_docs"),
+        round(sum("bp") / (count(lit(1)) * 10000.0), 4).as("avg_overlap"))
+      .orderBy(groupCol)
+  }
+}

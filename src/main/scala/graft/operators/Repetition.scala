@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.WordNgramsAll
+
+/** Within-document repetition statistics (Gopher-style repetition
+  * filters): how much of a document is the same token / n-gram repeated.
+  * High repetition marks boilerplate and degenerate generations — a
+  * standard drop rule in training-data quality pipelines, complementing
+  * the cross-document dedup in [[Dedup]].
+  *
+  * Two signals per doc:
+  *   - `token_rep`  = 1 − distinct_tokens / total_tokens — the fraction
+  *     of token occurrences that are repeats;
+  *   - `top_ngram_frac` = occurrences of the single most frequent n-gram
+  *     / total n-gram occurrences.
+  *
+  * Scale shape: both are per-row array expressions over the codegen'd
+  * tokenizers — token_rep directly, top_ngram_frac via explode of ALL
+  * n-gram occurrences ([[WordNgramsAll]], duplicates kept — the distinct
+  * shingle sets dedup uses would erase the repeat counts being measured)
+  * → two-level partial aggregation keyed by (doc, ngram) then doc. Rows
+  * only ever shuffle as (doc_id, ngram, cnt) triples; no doc text moves.
+  * A driver-side per-doc loop or a per-doc hash map inside a UDF would
+  * compute the same numbers but cap at one executor's memory per doc —
+  * the two-level agg has no such cap.
+  */
+object Repetition {
+
+  def tokenRepetition(text: Column): Column = {
+    val ws = TextOps.tokens(text)
+    when(size(ws) === 0, lit(0.0))
+      .otherwise(round(lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws), 4))
+  }
+
+  /** Per-doc stats: (doc_id, n_tokens, token_rep, top_ngram_frac).
+    * Zero-/sub-n-token docs stay in the output with both ratios 0.0.
+    */
+  def docStats(docs: DataFrame, ngram: Int = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = graft.util.Parallelism.ensure(docs)
+      .select(col(idCol).as("doc_id"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
+        tokenRepetition(col(textCol)).as("token_rep"),
+        WordNgramsAll.wordNgramsAll(col(textCol), ngram).as("grams"))
+    val top = base
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(max("cnt").as("top_cnt"), sum("cnt").as("total_grams"))
+    base.drop("grams")
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("token_rep"),
+        when(col("total_grams").isNull || col("total_grams") === 0, lit(0.0))
+          .otherwise(round(col("top_cnt").cast("double") / col("total_grams"), 4))
+          .as("top_ngram_frac"))
+  }
+
+  /** Per-group repetition report: doc counts, mean ratios, and how many
+    * docs a `maxTopNgramFrac` filter would drop.
+    */
+  def report(docs: DataFrame, groupCol: String, maxTopNgramFrac: Double,
+      ngram: Int = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docStats(docs, ngram, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(groupCol)), "doc_id")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("token_rep"), 4).as("avg_token_rep"),
+        round(avg("top_ngram_frac"), 4).as("avg_top_ngram_frac"),
+        sum(when(col("top_ngram_frac") > maxTopNgramFrac, 1L).otherwise(0L))
+          .as("would_drop"))
+      .orderBy(groupCol)
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for corpus construction.
+  *
+  * The reference samples with warehouse-side `SAMPLE BLOCK (p)`
+  * (`/root/reference/Snowflake/snowflake_table_monitor.py:50-54`) —
+  * non-reproducible across engines. Training-data pipelines need the
+  * opposite: a sample any engine recomputes bit-identically (so reruns,
+  * audits and the DuckDB oracle agree). Both operators below order by a
+  * Knuth multiplicative hash of the id — a deterministic pseudo-random
+  * total order — instead of `rand()`.
+  *
+  * Scale shape: `quotaSample` is a per-group top-k. The window
+  * formulation shuffles once on the group key and sorts only within
+  * groups; groups are source/domain-sized (≫ cores, ≪ rows each), so
+  * partitions balance. If one group could be corpus-sized, cap it first
+  *  with the aggregated top-k pattern (q06) — noted rather than built
+  * because quota sampling by construction wants modest k per group.
+  */
+object Sampling {
+
+  val HashMod = 1000000007L
+
+  /** Knuth multiplicative hash → [0, 1e9+7). Overflow-safe for ids up to
+    * ~3.5e9 (fits BIGINT in DuckDB too, which errors on overflow rather
+    * than wrapping).
+    */
+  def idHash(id: Column): Column = (id * lit(2654435761L)) % lit(HashMod)
+
+  /** Keep at most `k` rows per group, chosen by hash rank — a fixed
+    * per-domain quota (the "cap any one source's share" rule of corpus
+    * mixing). Output keeps the hash rank as `rank` (1-based).
+    */
+  def quotaSample(df: DataFrame, groupCol: String, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(idHash(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic fraction sample: keep rows whose id-hash falls below
+    * `fraction` of the hash space — stateless, no shuffle at all (pure
+    * filter, pushed into the scan stage), stable under reruns and
+    * appends (a row's fate never depends on other rows).
+    */
+  def hashSample(df: DataFrame, fraction: Double,
+      idCol: String = "doc_id"): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0,1]")
+    df.filter(idHash(col(idCol)) < lit((HashMod * fraction).toLong))
+  }
+}
