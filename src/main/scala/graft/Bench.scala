@@ -25,7 +25,11 @@ object Bench {
       graft.util.Caches.releaseAll()
       dt
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query filter for local spot measurement
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val first = timeOnce(fn)
       // standard min-of-repeats de-noising, bounded: the host this runs
       // on freezes the whole VM for multi-second windows under load, so

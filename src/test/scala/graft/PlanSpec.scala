@@ -92,4 +92,37 @@ class PlanSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("q52: benchmark shingle set broadcasts; corpus rows never shuffle for membership") {
+    val p = plan("q52_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark membership test should be a broadcast join:\n$p")
+    // corpus-side explode must not feed an Exchange before the broadcast
+    // join (the membership probe happens map-side in the scan stage)
+    val generateToJoin = p.split("BroadcastHashJoin").last
+    assert(!generateToJoin.split("Generate").head.contains("Exchange hashpartitioning"),
+      s"corpus shingles shuffled before the broadcast probe:\n$p")
+  }
+
+  test("hashSample is a pure filter: no shuffle, no window") {
+    val df = graft.operators.Sampling.hashSample(
+      Tables.load(spark, sf, "documents"), 0.1)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Window"),
+      s"hashSample must stay a scan-stage filter:\n$p")
+  }
+
+  test("q54: quota sample windows partition by source (parallel), no global sort") {
+    val p = plan("q54_quota_sample")
+    assert(p.contains("Window"), s"expected a window in:\n$p")
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(p).nonEmpty,
+      s"window must partition by source, not a single global partition:\n$p")
+  }
+
+  test("q56: top tokens plans TakeOrderedAndProject over a partial agg") {
+    val p = plan("q56_top_tokens")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$p")
+    assert("HashAggregate.*partial".r.findAllIn(p).nonEmpty
+      || p.contains("partial_count"), s"word count should partial-agg map-side:\n$p")
+  }
 }
