@@ -106,12 +106,15 @@ object Profiler {
     * UNION-ALL-of-aggregates oracle shape.
     */
   def numericProfile(df0: DataFrame, cfg: ProfileConfig = ProfileConfig()): DataFrame = {
-    // The ORDER-STATS path repartitions under-parallelized inputs: its
-    // melt fans every row out ×#columns and the per-(col, value) partial
-    // aggregate is real work, so a single-row-group input would burn one
-    // core (see util.Parallelism). The MOMENTS job deliberately does
-    // NOT: it is a scan-fused codegen'd aggregate whose partial phase is
-    // cheaper than the exchange an upfront repartition would add.
+    // Repartition under-parallelized inputs: parquet parallelism is
+    // row-group-bounded (util.Parallelism), so a few-row-group table
+    // would otherwise run the melt and the 6·N-function moments partial
+    // agg at scan width. The two consumers plan as two scan+repartition
+    // subtrees (exchange reuse does not deduplicate them — measured) and
+    // that is the better trade: caching the repartitioned input to share
+    // one exchange was measured SLOWER (storage write+read beats a 10 MB
+    // re-scan only for expensive inputs), and on a healthy
+    // many-row-group table ensure() is a no-op anyway.
     val df = graft.util.Parallelism.ensure(df0)
     val spark = df.sparkSession
     import spark.implicits._
@@ -120,8 +123,8 @@ object Profiler {
 
     val momentMetrics = Seq("count", "null_count", "min", "max", "mean", "stddev")
     val momentsLong = cols.grouped(cfg.statColumnsPerJob).toSeq.map { batch =>
-      val wide = df0.agg(momentExprs(df0, batch.head, cfg).head,
-        batch.flatMap(c => momentExprs(df0, c, cfg)).tail: _*)
+      val wide = df.agg(momentExprs(df, batch.head, cfg).head,
+        batch.flatMap(c => momentExprs(df, c, cfg)).tail: _*)
       val stackArgs = batch.flatMap { c =>
         momentMetrics.map(m => s"'$c', '$m', `${c}__$m`")
       }.mkString(", ")
@@ -173,15 +176,21 @@ object Profiler {
           s"stack(${cols.length}, $stackArgs) as (col_name, value)")
           .where(col("value").isNotNull)
         val grouped = melted.groupBy("col_name", "value").agg(count(lit(1)).as("cnt"))
-        val totals = grouped.groupBy("col_name").agg(
-          sum("cnt").cast(DoubleType).as("n"),
-          count(lit(1)).cast(DoubleType).as("dcv"))
         // values are distinct per column here, so the default RANGE frame
-        // equals ROWS and `cum` is an exact running row count
+        // equals ROWS and `cum` is an exact running row count. The
+        // per-column totals (row count n, distinct count dcv) come from a
+        // whole-partition window over the SAME (col_name) partitioning —
+        // NOT a separate `grouped.groupBy(col_name)` + broadcast join
+        // back: Catalyst plans that as a full second scan→melt→aggregate
+        // chain (exchange reuse does not fire across the two subtrees),
+        // doubling the query's heavy phase. The extra Window op shares
+        // the existing sort and adds no exchange.
         val byVal = Window.partitionBy("col_name").orderBy("value")
+        val byCol = Window.partitionBy("col_name")
         val cum = grouped.select(col("col_name"), col("value"), col("cnt"),
-            sum("cnt").over(byVal).cast(DoubleType).as("cum"))
-          .join(broadcast(totals), "col_name")
+            sum("cnt").over(byVal).cast(DoubleType).as("cum"),
+            sum("cnt").over(byCol).cast(DoubleType).as("n"),
+            count(lit(1)).over(byCol).cast(DoubleType).as("dcv"))
         // a distinct value covers 0-based positions [cum-cnt, cum-1]
         def pick(p: Double, end: Column => Column) =
           min(when(end((col("n") - 1) * p) >= col("cum") - col("cnt") &&
