@@ -77,6 +77,23 @@ object Round3Queries {
     // query exercises the full scan-stage scrub plan and its oracle.)
     "q57_pii_scrub" -> ((s, dir) => Scrub.report(docs(s, dir), "source")),
 
+    // Exact per-group top-k via the native TopKBy TypedImperativeAggregate
+    // (partial aggregation keeps <=k rows per group per partition before
+    // the shuffle — no per-group sort of all rows, O(k) memory per heap;
+    // the window twin is the oracle). Top-3 orders per customer.
+    "q59_group_topn" -> ((s, dir) => {
+      import graft.functions.TopKBy.topKBy
+      val ordered = struct(col("o_totalprice"), (-col("o_orderkey")).as("neg_key"))
+      Tables.load(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(topKBy(ordered, 3).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rank"),
+          (-col("t.neg_key")).as("o_orderkey"),
+          col("t.o_totalprice").as("o_totalprice"))
+        .orderBy("o_custkey", "rank")
+    }),
+
     // Token-length deciles per source: ntile over (n_tokens, doc_id)
     // within each source partition — windows stay parallel across
     // sources; decile edges are exact integer math on both engines.
@@ -189,6 +206,14 @@ object Round3Queries {
          |    AS chars_removed
          |FROM documents GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "q59_group_topn" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rank
+        |  FROM orders)
+        |SELECT o_custkey, rank, o_orderkey, o_totalprice FROM r
+        |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
 
     "q58_token_deciles" ->
       s"""WITH t AS (SELECT source, doc_id,

@@ -119,6 +119,13 @@ class PlanSpec extends AnyFunSuite {
       s"window must partition by source, not a single global partition:\n$p")
   }
 
+  test("q59: TopKBy plans as ObjectHashAggregate with a partial phase (<=k rows per group shuffle)") {
+    val p = plan("q59_group_topn")
+    assert(p.contains("ObjectHashAggregate"), s"TopKBy should use ObjectHashAggregate:\n$p")
+    assert(p.contains("partial_topkby"), s"expected a partial TopKBy phase:\n$p")
+    assert(!p.contains("Window"), s"q59 must not fall back to a window:\n$p")
+  }
+
   test("q56: top tokens plans TakeOrderedAndProject over a partial agg") {
     val p = plan("q56_top_tokens")
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$p")

@@ -137,6 +137,51 @@ class Round3Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // TopKBy aggregate
+  // ------------------------------------------------------------------
+
+  test("TopKBy differential: equals the window top-n on the fixture") {
+    import graft.functions.TopKBy.topKBy
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val ordered = struct(col("l_extendedprice"), (-col("l_orderkey")).as("nk"),
+      (-col("l_linenumber")).as("nl"))
+    val agg = li.groupBy("l_returnflag")
+      .agg(topKBy(ordered, 5).as("top"))
+      .select(col("l_returnflag"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("l_returnflag"), col("pos"),
+        col("t.l_extendedprice").as("price"),
+        (-col("t.nk")).as("okey"), (-col("t.nl")).as("lnum"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val win = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("l_returnflag"), (col("rn") - 1).as("pos"),
+        col("l_extendedprice").as("price"),
+        col("l_orderkey").as("okey"), col("l_linenumber").cast("long").as("lnum"))
+    assert(agg.orderBy("l_returnflag", "pos").collect().toSeq
+      == win.orderBy("l_returnflag", "pos").collect().toSeq)
+  }
+
+  test("TopKBy edge cases: k > group size, single row, null ord structs kept by field rules") {
+    import graft.functions.TopKBy.topKBy
+    val d = Seq((1, 10.0), (1, 30.0), (2, 20.0)).toDF("g", "v")
+    val r = d.groupBy("g").agg(topKBy(struct(col("v")), 5).as("top"))
+      .select(col("g"), col("top"))
+      .collect().map(x => x.getInt(0) -> x.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(0))).toMap
+    assert(r(1) == Seq(30.0, 10.0))  // whole group, descending
+    assert(r(2) == Seq(20.0))
+  }
+
+  test("TopKBy keeps exactly k with ties broken by the encoded struct order") {
+    import graft.functions.TopKBy.topKBy
+    val d = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0), (4L, 5.0)).toDF("id", "v")
+    val top = d.agg(topKBy(struct(col("v"), (-col("id")).as("ni")), 2).as("t"))
+      .select(explode(col("t")).as("x")).select(col("x.v"), (-col("x.ni")).as("id"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(top == Seq((5.0, 1L), (5.0, 2L)))  // smallest ids win the tie
+  }
+
+  // ------------------------------------------------------------------
   // Fixture-level sanity for the new queries (sf0.001 smoke)
   // ------------------------------------------------------------------
 
