@@ -57,12 +57,27 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(dot(col("qv"), col("v")) / (col("nqv") * col("nv")), 4).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "cos_sim", "rank")
+    topKPerQuery(scored, k)
   }
+
+  /** (query_id, vec_id, cos_sim) → top-k rows per query with 1-based
+    * rank, ordered (cos_sim desc, vec_id asc).
+    *
+    * Uses the [[graft.functions.TopKBy]] aggregate, NOT a row_number
+    * window: the window shuffles EVERY scored candidate into |queries|
+    * partitions and sorts them — with few queries over a 100 TB corpus
+    * that is a handful of tasks sorting the world. The aggregate's
+    * partial phase reduces each map partition to ≤k candidates per query
+    * before the shuffle, so the exchange carries O(|queries|·k) rows and
+    * nothing is sorted but the final k-element arrays.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKBy.topKBy(
+        struct(col("cos_sim"), (-col("vec_id")).as("nv")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (-col("t.nv")).as("vec_id"),
+        col("t.cos_sim").as("cos_sim"), (col("pos") + 1).cast("int").as("rank"))
 
   // -------------------------------------------------------------------
   // Hyperplane LSH (random-projection signs)
@@ -105,13 +120,11 @@ object Similarity {
         explode(transform(probeSet, m => col("bucket").bitwiseXOR(m))).as("bucket"))
     val scored = corpus.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
+      // probe buckets are distinct per query (distinct XOR masks), so a
+      // (query, vec) pair matches at most once — no dedup needed
       .select(col("query_id"), col("vec_id"),
         round(dot(col("qv"), col("v")) / (col("nqv") * col("nv")), 4).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "cos_sim", "rank")
+    topKPerQuery(scored, k)
   }
 
   // -------------------------------------------------------------------
@@ -127,9 +140,15 @@ object Similarity {
     val scored = corpus.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("nv"), col("cid"),
         round(dot(col("v"), col("cv")) / (col("nv") * col("ncv")), 4).as("ccos"))
-    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("nv"), col("cid").as("cell"))
+    // argmax as a max_by aggregate with a total ordering (ccos desc, cid
+    // asc), not a per-vec window: partial aggregation collapses each map
+    // partition to one row per vector BEFORE the shuffle, so the exchange
+    // carries corpus rows, not corpus×K scored rows (q06 pattern)
+    scored.groupBy("vec_id")
+      .agg(max_by(struct(col("v"), col("nv"), col("cid")),
+        struct(col("ccos"), -col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.nv").as("nv"),
+        col("m.cid").as("cell"))
   }
 
   /** K-means training for IVF centroids: Lloyd iterations expressed as
@@ -204,11 +223,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(dot(col("qv"), col("v")) / (col("nqv") * col("nv")), 4).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "cos_sim", "rank")
+    topKPerQuery(scored, k)
   }
 
   /** Per-label embedding profile: member count, mean vector norm, and
