@@ -21,6 +21,10 @@ object Round3Queries {
   val ContaminationThreshold = 0.5
   val QuotaK = 5
   val MaxTopNgramFrac = 0.2
+  val AnnQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
+  val AnnK = 5
+  /** 16 deterministic codebook/centroid ids, present at every SF. */
+  val PqCodebookIds: Seq[Long] = (0 until 16).map(_.toLong * 7)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: bigram containment of each corpus doc
@@ -76,6 +80,16 @@ object Round3Queries {
     // behavior itself is pinned by ScrubSpec on synthetic PII rows; this
     // query exercises the full scan-stage scrub plan and its oracle.)
     "q57_pii_scrub" -> ((s, dir) => Scrub.report(docs(s, dir), "source")),
+
+    // Product-quantization ADC top-k: the memory-scale ANN path (8-byte
+    // codes, broadcast codebook + query tables, integer distances so
+    // every rank is exact across engines). Codebook ids are the fixed
+    // deterministic subset (training = ProductQuantization.train, spec'd
+    // separately — same stub convention as IVF's q42).
+    "q60_ann_pq" -> ((s, dir) =>
+      graft.operators.ProductQuantization.adcTopK(
+        Tables.load(s, dir, "embeddings"), AnnQueryIds, AnnK, PqCodebookIds)
+        .orderBy("query_id", "rank")),
 
     // Exact per-group top-k via the native TopKBy TypedImperativeAggregate
     // (partial aggregation keeps <=k rows per group per partition before
@@ -205,6 +219,37 @@ object Round3Queries {
          |  CAST(sum(length(text) - length($scrubbed)) AS BIGINT)
          |    AS chars_removed
          |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "q60_ann_pq" -> {
+      val cbValues = PqCodebookIds.zipWithIndex
+        .map { case (v, i) => s"($v, $i)" }.mkString(", ")
+      val qids = AnnQueryIds.mkString("(", ", ", ")")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ms AS (SELECT unnest(range(0, 8)) AS m),
+         |sn AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS sv,
+         |    list_dot_product(v[m*8+1 : m*8+8], v[m*8+1 : m*8+8]) AS n2
+         |  FROM e, ms),
+         |cb0 AS (SELECT * FROM (VALUES $cbValues) AS t(cvid, cid)),
+         |cb AS (SELECT cb0.cid, sn.m, sn.sv AS cv, sn.n2 AS cn2
+         |  FROM cb0 JOIN sn ON sn.vec_id = cb0.cvid),
+         |d AS (SELECT s.vec_id, s.m, c.cid,
+         |    CAST(round((s.n2 + c.cn2 - 2*list_dot_product(s.sv, c.cv)) * 1e6)
+         |      AS BIGINT) AS d2i
+         |  FROM sn s JOIN cb c ON s.m = c.m),
+         |enc AS (SELECT vec_id, m, cid AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d2i, cid) AS rn FROM d) WHERE rn = 1),
+         |adist AS (SELECT dq.vec_id AS query_id, ex.vec_id, sum(dq.d2i) AS ai
+         |  FROM d dq JOIN enc ex ON dq.m = ex.m AND dq.cid = ex.code
+         |  WHERE dq.vec_id IN $qids AND ex.vec_id <> dq.vec_id
+         |  GROUP BY 1, 2),
+         |r AS (SELECT query_id, vec_id, round(ai / 1e6, 4) AS approx_d2,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ai ASC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM adist)
+         |SELECT query_id, vec_id, approx_d2, rank FROM r WHERE rank <= $AnnK
+         |ORDER BY query_id, rank""".stripMargin
     },
 
     "q59_group_topn" ->

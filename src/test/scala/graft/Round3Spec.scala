@@ -182,6 +182,48 @@ class Round3Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // Product quantization
+  // ------------------------------------------------------------------
+
+  private lazy val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("PQ encode: every vector gets M codes from the codebook range") {
+    import graft.operators.ProductQuantization._
+    val sub = subvectors(embs, 8)
+    val enc = encode(sub, codebookFromIds(sub, Round3Queries.PqCodebookIds))
+    val n = embs.count()
+    assert(enc.count() == n * 8)
+    val codes = enc.agg(min("code"), max("code")).head()
+    assert(codes.getInt(0) >= 0 && codes.getInt(1) <= 15)
+    // a codebook member quantizes to itself in every subspace (self-dist 0)
+    val self = enc.filter($"vec_id" === 7L).orderBy("m")
+      .select("code").collect().map(_.getInt(0)).toSeq
+    assert(self == Seq.fill(8)(1), s"vec 7 should encode to its own cid 1: $self")
+  }
+
+  test("PQ ADC top-k approximates brute-force cosine neighbors (recall sanity)") {
+    import graft.operators.ProductQuantization._
+    val pq = adcTopK(embs, Seq(0L, 1L, 2L), 10, Round3Queries.PqCodebookIds)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = graft.operators.Similarity.bruteForceTopK(embs, Seq(0L, 1L, 2L), 10)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq & bf).size.toDouble / bf.size
+    assert(recall >= 0.2, s"ADC recall vs brute force collapsed: $recall")
+  }
+
+  test("PQ Lloyd training reduces quantization error") {
+    import graft.operators.ProductQuantization._
+    val initial = {
+      val sub = subvectors(embs, 8)
+      codebookFromIds(sub, Round3Queries.PqCodebookIds)
+    }
+    val trained = train(embs, Round3Queries.PqCodebookIds, iters = 2)
+    val e0 = quantizationError(embs, initial)
+    val e2 = quantizationError(embs, trained)
+    assert(e2 < e0, s"training should reduce error: $e0 -> $e2")
+  }
+
+  // ------------------------------------------------------------------
   // Fixture-level sanity for the new queries (sf0.001 smoke)
   // ------------------------------------------------------------------
 
