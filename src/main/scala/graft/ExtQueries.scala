@@ -44,13 +44,16 @@ object ExtQueries {
 
     // The q04 join re-expressed through the salted-join pattern: results
     // must equal the plain join (the oracle IS the plain join), proving
-    // the salt is semantics-free.
+    // the salt is semantics-free. Orientation per SkewJoin's cost model:
+    // the skewed fact (lineitem, many rows per orderkey) is the salted
+    // LEFT; the smaller orders relation is the replicated RIGHT — only
+    // the small side pays the salts× replication through the exchange.
     "q46_salted_join" -> ((s, dir) => {
       val joined = SkewJoin.saltedInnerJoin(
-        Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority")
-          .withColumnRenamed("o_orderkey", "k"),
         Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey").as("k"), col("l_extendedprice"), col("l_discount")),
+        Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .withColumnRenamed("o_orderkey", "k"),
         Seq("k"), salts = 8)
       joined.groupBy("o_orderpriority")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
@@ -109,8 +112,8 @@ object ExtQueries {
          |      THEN 1 ELSE 0 END AS new_s
          |  FROM g),
          |c AS (SELECT user_id, ts, value,
-         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |      ROWS UNBOUNDED PRECEDING) AS session_idx
+         |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
          |  FROM s)
          |SELECT user_id, session_idx, count(*) AS n_events,
          |  date_diff('second', min(ts), max(ts)) AS duration_sec,

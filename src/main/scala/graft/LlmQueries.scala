@@ -104,7 +104,18 @@ object LlmQueries {
     // is a rows-only entry (exactness is q11's job; spec asserts the grid).
     "q43_profile_approx" -> ((s, dir) =>
       graft.core.Profiler.numericProfile(Tables.load(s, dir, "lineitem"),
-        graft.core.ProfileConfig(exact = false))))
+        graft.core.ProfileConfig(exact = false))),
+
+    // The exact half of the approx profile: count/null/min/max/mean/std
+    // come from the same codegen moments aggregate in BOTH modes, so this
+    // slice of q43 hash-matches the exact oracle even with sketches on —
+    // only the sketch metrics (distincts, percentiles) stay rows-only.
+    "q43a_approx_moments" -> ((s, dir) =>
+      graft.core.Profiler.numericProfile(Tables.load(s, dir, "lineitem"),
+        graft.core.ProfileConfig(exact = false))
+        .where(col("metric").isin("count", "null_count", "min", "max",
+          "mean", "stddev"))
+        .orderBy("col_name", "metric")))
 
   /** Fixed centroid subset for IVF (vec_ids guaranteed present at every
     * fixture scale; a k-means trainer would replace this — see ivfAssign).
@@ -344,5 +355,23 @@ object LlmQueries {
          |k AS (SELECT f, min(doc_id) AS keep FROM fp GROUP BY f)
          |SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
-         |FROM fp JOIN k ON fp.doc_id = k.keep""".stripMargin)
+         |FROM fp JOIN k ON fp.doc_id = k.keep""".stripMargin,
+
+    "q43a_approx_moments" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val blocks = cols.flatMap { c =>
+        val v = s"CAST($c AS DOUBLE)"
+        Seq(
+          ("count", s"CAST(count($v) AS DOUBLE)"),
+          ("null_count", s"CAST(sum(CASE WHEN $v IS NULL THEN 1 ELSE 0 END) AS DOUBLE)"),
+          ("min", s"round(min($v), 4)"),
+          ("max", s"round(max($v), 4)"),
+          ("mean", s"round(avg($v), 4)"),
+          ("stddev", s"round(stddev_samp($v), 4)"))
+          .map { case (m, e) =>
+            s"SELECT '$c' AS col_name, '$m' AS metric, $e AS value FROM lineitem" }
+      }
+      s"SELECT * FROM (${blocks.mkString(" UNION ALL ")}) ORDER BY col_name, metric"
+    })
 }

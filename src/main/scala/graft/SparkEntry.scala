@@ -375,7 +375,9 @@ object SparkEntry {
     // covered by StorageMonitorSpec + driver rows-only check.
     "q27_storage_inventory" -> ((s, dir) => {
       StorageMonitor.inventory(s, Seq(dir))
-        .select("file_name", "size_bytes", "content_type", "storage_class")
+        .select(col("file_name"), col("size_bytes"), col("content_type"),
+          col("storage_class"), col("parts_count"),
+          to_json(col("metadata")).as("metadata"))
         .orderBy("file_name")
     }),
 
@@ -409,7 +411,10 @@ object SparkEntry {
          |       WHEN filename LIKE '%.json' THEN 'application/json'
          |       WHEN filename LIKE '%.csv' THEN 'text/csv'
          |       ELSE 'application/octet-stream' END AS content_type,
-         |  's3 standard' AS storage_class
+         |  's3 standard' AS storage_class,
+         |  CAST(greatest(1, ceil(size / ${StorageMonitor.MultipartPartSizeBytes}.0))
+         |    AS INTEGER) AS parts_count,
+         |  '{}' AS metadata
          |FROM read_blob('$storageOracleGlob')
          |ORDER BY file_name""".stripMargin,
     "q28_storage_summary" ->

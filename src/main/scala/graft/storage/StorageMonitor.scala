@@ -23,10 +23,20 @@ import org.apache.spark.util.SerializableConfiguration
   */
 object StorageMonitor {
 
+  /** Multipart-part-size model for `parts_count` (the S3 multipart default
+    * part size): the Hadoop FS API exposes no upload-part metadata, so the
+    * count is derived deterministically from the object size — 1 for
+    * anything under one part, ceil(size/part) above.
+    */
+  val MultipartPartSizeBytes: Long = 8L * 1024 * 1024
+
   /** One row per object: the S3-key-metadata relation. `content_type` is
     * derived from the extension (the HDFS API has no MIME metadata —
     * SURVEY S11); `storage_class` defaults like the reference's
-    * `"s3 standard"` fallback (`s3_key_monitor.py:82-86`).
+    * `"s3 standard"` fallback (`s3_key_monitor.py:82-86`); `parts_count`
+    * and the user-`metadata` map mirror the reference's key metrics
+    * (`s3_key_monitor.py:78-86`) — the filesystem API carries no user
+    * metadata, so the map is empty (a store with tags would fill it).
     */
   def inventory(spark: SparkSession, roots: Seq[String]): DataFrame = {
     import spark.implicits._
@@ -60,6 +70,10 @@ object StorageMonitor {
           .when(col("extension") === "csv", lit("text/csv"))
           .otherwise(lit("application/octet-stream")))
       .withColumn("storage_class", lit("s3 standard"))
+      .withColumn("parts_count",
+        greatest(lit(1L), ceil(col("size_bytes") / lit(MultipartPartSizeBytes.toDouble)))
+          .cast("int"))
+      .withColumn("metadata", map().cast("map<string,string>"))
   }
 
   /** Per-root (prefix) aggregate block — the whole `monitor_S3_prefix`

@@ -103,4 +103,64 @@ object ContinuousMonitor {
     q.awaitTermination(lifetimeMs)
     q.stop()
   }
+
+  /** Outcome of a [[runSupervised]] loop: restart cycles completed, failed
+    * starts absorbed by the retry budget, queries that needed the force
+    * path after ignoring the polite stop.
+    */
+  final case class SupervisionReport(cycles: Int, failures: Int, forceKills: Int)
+
+  /** The full O4 supervisor, mirroring the reference's restart semantics
+    * (`/root/reference/databand_airflow_monitor.py:13-18,106-115`): each
+    * cycle runs the monitor for `lifetimeMs` (AUTO_RESTART_TIMEOUT), then
+    * restarts it; a cycle that fails consumes one of `retries` (= 10, with
+    * a fixed `retryDelayMs` = 1 s, no backoff — `retries=10` /
+    * `retry_delay=1s` / `retry_exponential_backoff=False`); a query that
+    * ignores the polite stop for `forceKillGraceMs` past its lifetime is
+    * force-killed by cancelling its scheduler job group (the
+    * FORCE_RESTART_TIMEOUT = lifetime + 5 min backup kill).
+    *
+    * `mkQuery` starts one monitor incarnation (e.g. [[metricsStream]] with
+    * a durable checkpoint, so restarts resume exactly-once from state).
+    * `maxCycles` bounds the loop for tests/drain scenarios; production
+    * passes Int.MaxValue and supervises forever.
+    */
+  def runSupervised(mkQuery: () => org.apache.spark.sql.streaming.StreamingQuery,
+      lifetimeMs: Long = 30L * 60 * 1000,
+      forceKillGraceMs: Long = 5L * 60 * 1000,
+      retries: Int = 10,
+      retryDelayMs: Long = 1000L,
+      maxCycles: Int = Int.MaxValue): SupervisionReport = {
+    var cycles = 0
+    var failures = 0
+    var forceKills = 0
+    while (cycles < maxCycles) {
+      try {
+        val q = mkQuery()
+        val endedOnItsOwn = q.awaitTermination(lifetimeMs)
+        if (!endedOnItsOwn) {
+          // auto-restart: polite stop first; if the query is stuck past the
+          // grace window, cancel its job group (StreamExecution runs every
+          // micro-batch under jobGroup = runId)
+          val runId = q.runId.toString
+          val stopper = new Thread(() => try q.stop() catch { case _: Throwable => () })
+          stopper.setDaemon(true)
+          stopper.start()
+          stopper.join(forceKillGraceMs)
+          if (q.isActive) {
+            forceKills += 1
+            q.sparkSession.sparkContext.cancelJobGroup(runId)
+            stopper.join(forceKillGraceMs)
+          }
+        }
+        cycles += 1
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          failures += 1
+          if (failures > retries) throw e
+          Thread.sleep(retryDelayMs)
+      }
+    }
+    SupervisionReport(cycles, failures, forceKills)
+  }
 }

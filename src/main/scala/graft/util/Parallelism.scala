@@ -1,6 +1,7 @@
 package graft.util
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Guard against under-partitioned scans feeding compute-heavy stages.
   *
@@ -9,15 +10,46 @@ import org.apache.spark.sql.DataFrame
   * data) is read by exactly one task, so everything fused into the scan
   * stage — explodes, hashes, melts, partial aggregates — runs on one
   * core no matter the cluster size. [[ensure]] repartitions ONLY when
-  * the current partition count is below the session's default
+  * the scan's expected split count is below the session's default
   * parallelism; a healthy 100 TB table (thousands of row groups) passes
   * through untouched, so the shuffle cost is paid exactly when it buys
   * parallelism.
+  *
+  * The probe reads the analyzed plan's file index (size already cached by
+  * the listing) and mirrors Spark's own `FilePartition.maxSplitBytes`
+  * arithmetic — no physical planning and no plan→RDD conversion, which
+  * the previous `df.rdd.getNumPartitions` probe paid once per wrapped
+  * operator (a full extra QueryExecution down to RDD lineage).
   */
 object Parallelism {
 
   def ensure(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val conf = spark.sessionState.conf
+    val fileRelations = df.queryExecution.analyzed.collect {
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+        l.relation.asInstanceOf[HadoopFsRelation]
+    }
+    if (fileRelations.nonEmpty) {
+      // Spark packs splits of maxSplitBytes = min(maxPartitionBytes,
+      // max(openCostInBytes, totalBytes/cores)); estimated task count =
+      // ceil(total/maxSplit) per relation (file-boundary padding ignored —
+      // a slight underestimate, erring toward repartitioning, which is
+      // the safe direction for this guard).
+      val est = fileRelations.map { r =>
+        val total = math.max(1L, r.location.sizeInBytes)
+        val bytesPerCore = total / math.max(1, target)
+        val maxSplit = math.min(conf.filesMaxPartitionBytes,
+          math.max(conf.filesOpenCostInBytes, bytesPerCore))
+        (total + maxSplit - 1) / maxSplit
+      }.sum
+      if (est < target) df.repartition(target) else df
+    } else {
+      // non-file source (local relation, jdbc): fall back to the RDD probe
+      // — these are small driver-adjacent inputs where the conversion is
+      // negligible
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
   }
 }

@@ -62,6 +62,13 @@ class MonitorsSpec extends AnyFunSuite {
     assert(byName("lineitem.parquet").getAs[Long]("size_bytes") > 0)
     assert(byName("lineitem.parquet").getAs[String]("content_type")
       == "application/vnd.apache.parquet")
+    // S11 key-metadata parity: parts_count models multipart parts from the
+    // size; metadata is the (empty, for plain filesystems) user-tag map
+    val li = byName("lineitem.parquet")
+    assert(li.getAs[Int]("parts_count") >= 1)
+    assert(li.getAs[Map[String, String]]("metadata").isEmpty)
+    val big = inv.filter(_.getAs[Long]("size_bytes") > StorageMonitor.MultipartPartSizeBytes)
+    assert(big.forall(_.getAs[Int]("parts_count") > 1))
   }
 
   test("prefix summary: counts, totals and deterministic largest file") {
@@ -81,6 +88,39 @@ class MonitorsSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed == batch)
+  }
+
+  test("runSupervised restarts the monitor across bounded lifetimes, then stops") {
+    var starts = 0
+    val mk = () => {
+      starts += 1
+      ContinuousMonitor.hourlyEventCounts(spark, Tables.path(sf, "events"))
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+        .format("memory")
+        .queryName("supervised_" + System.nanoTime())
+        .outputMode("complete")
+        .start()
+    }
+    val report = ContinuousMonitor.runSupervised(mk, lifetimeMs = 500,
+      forceKillGraceMs = 20000, maxCycles = 2)
+    assert(starts == 2, "supervisor must restart the query after each lifetime")
+    assert(report.cycles == 2 && report.failures == 0)
+    assert(spark.streams.active.forall(q =>
+      !Option(q.name).exists(_.startsWith("supervised_"))),
+      "supervised queries must all be stopped when the loop exits")
+  }
+
+  test("runSupervised absorbs failures up to the retry budget, then rethrows") {
+    var attempts = 0
+    val boom: () => org.apache.spark.sql.streaming.StreamingQuery =
+      () => { attempts += 1; throw new RuntimeException("monitor died") }
+    val ex = intercept[RuntimeException] {
+      ContinuousMonitor.runSupervised(boom, lifetimeMs = 100,
+        retries = 2, retryDelayMs = 1)
+    }
+    assert(ex.getMessage == "monitor died")
+    assert(attempts == 3, "initial attempt + 2 retries")
   }
 
   test("multimodal: payload schema contract and deterministic stub features") {

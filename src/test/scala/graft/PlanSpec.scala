@@ -60,6 +60,20 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly 1 user_id shuffle:\n$p")
   }
 
+  test("q46: salted join replicates the small side (orders), never the fact") {
+    // SkewJoin's cost model: the replicated (exploded) side pays salts×
+    // through the exchange, so it must be the smaller relation. The
+    // Generate explode(sequence(...)) node must sit over the orders scan;
+    // lineitem — the fact — must reach the join un-replicated.
+    val p = plan("q46_salted_join")
+    assert(p.contains("Generate explode"), s"no salt replication node in:\n$p")
+    val afterGen = p.split("Generate").last
+    assert(afterGen.contains("orders"),
+      s"replicated side should scan orders:\n$p")
+    assert(!afterGen.contains("lineitem"),
+      s"fact table lineitem must not be under the replication Generate:\n$p")
+  }
+
   test("q10: null counts are a single aggregation over a single scan") {
     val p = plan("q10_null_counts")
     // one scan; one stat-row exchange to the final aggregate; plus (on
