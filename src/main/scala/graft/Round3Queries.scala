@@ -136,7 +136,9 @@ object Round3Queries {
     "CASE WHEN len(ws) < 2 THEN []::VARCHAR[] ELSE " +
       "list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) END"
 
-  private val idHashSql = s"(doc_id * 2654435761) % ${Sampling.HashMod}"
+  // reduce-then-multiply, mirroring Sampling.idHash's overflow-safe form
+  private val idHashSql =
+    s"((doc_id % ${Sampling.HashMod}) * 2654435761) % ${Sampling.HashMod}"
 
   val oracleSql: Map[String, String] = Map(
     "q52_decontaminate" ->
@@ -174,8 +176,10 @@ object Round3Queries {
          |      x -> len(list_filter(bg, y -> y = x))))::DOUBLE / len(bg), 4)
          |  END AS top_frac FROM g)
          |SELECT source, count(*) AS n_docs,
-         |  round(avg(token_rep), 4) AS avg_token_rep,
-         |  round(avg(top_frac), 4) AS avg_top_ngram_frac,
+         |  round(sum(CAST(round(token_rep * 10000, 0) AS BIGINT))
+         |    / (count(*) * 10000.0), 4) AS avg_token_rep,
+         |  round(sum(CAST(round(top_frac * 10000, 0) AS BIGINT))
+         |    / (count(*) * 10000.0), 4) AS avg_top_ngram_frac,
          |  CAST(sum(CASE WHEN top_frac > $MaxTopNgramFrac THEN 1 ELSE 0 END)
          |    AS BIGINT) AS would_drop
          |FROM d GROUP BY source ORDER BY source""".stripMargin,
@@ -217,7 +221,7 @@ object Round3Queries {
          |  CAST(sum(CASE WHEN $anyPii = 0 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS clean_docs,
          |  CAST(sum(length(text) - length($scrubbed)) AS BIGINT)
-         |    AS chars_removed
+         |    AS chars_delta
          |FROM documents GROUP BY source ORDER BY source""".stripMargin
     },
 

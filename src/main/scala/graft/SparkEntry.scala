@@ -141,7 +141,10 @@ object SparkEntry {
     // exposes df.sample(fraction) for production use.
     "q09_sample_stats" -> ((s, dir) => {
       t(s, dir, "lineitem")
-        .filter((col("l_orderkey") * lit(2654435761L)) % 97 < 2)
+        // reduce mod 97 before multiplying: identical values ((k·c) mod 97
+        // = ((k mod 97)·c) mod 97) but no silent long overflow at the
+        // orderkey magnitudes a 100 TB TPC-H reaches
+        .filter(((col("l_orderkey") % 97) * lit(2654435761L)) % 97 < 2)
         .agg(
           count(lit(1)).as("cnt"),
           round(avg("l_quantity"), 4).as("avg_qty"),
@@ -254,7 +257,7 @@ object SparkEntry {
         |  round(min(l_extendedprice), 2) AS min_price,
         |  round(max(l_extendedprice), 2) AS max_price,
         |  round(sum(l_extendedprice), 2) AS sum_price
-        |FROM lineitem WHERE (l_orderkey * 2654435761) % 97 < 2""".stripMargin,
+        |FROM lineitem WHERE ((l_orderkey % 97) * 2654435761) % 97 < 2""".stripMargin,
     "q10_null_counts" -> {
       val dbl = Set("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val ordered = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
@@ -525,11 +528,11 @@ object SparkEntry {
     * (ExtQueries: sessions, normalize, salted join, n-gram dedup). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational ++ monitors ++ LlmQueries.queries ++ ExtQueries.queries ++
-      Round3Queries.queries
+      Round3Queries.queries ++ Round4Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relationalOracle ++ monitorsOracle ++ LlmQueries.oracleSql ++
-      ExtQueries.oracleSql ++ Round3Queries.oracleSql
+      ExtQueries.oracleSql ++ Round3Queries.oracleSql ++ Round4Queries.oracleSql
 }

@@ -100,7 +100,12 @@ case class TopKBy(
   override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case s: StructType if TypeUtils.getInterpretedOrdering(s) != null =>
+    // RowOrdering.isOrderable, not getInterpretedOrdering != null: the
+    // latter never returns null (orderings are built lazily and only fail
+    // on first compare), so a struct with an unorderable field (e.g. a
+    // map) would pass analysis and blow up mid-execution instead
+    case s: StructType
+        if org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(s) =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"TopKBy requires an orderable struct child, got ${other.catalogString}")

@@ -23,6 +23,31 @@ import org.apache.spark.sql.functions._
   * All hashes are the deterministic mod-every-step rolling hash from
   * [[TextOps.rollingHash]] so the DuckDB oracle reproduces every value.
   */
+/** Skew-cap configuration for the near-dup operators.
+  *
+  * The quadratic stages (shingle equi-join, LSH bucket self-join) fan out
+  * d² rows per hot key; the caps bound that fan-out by dropping
+  * over-frequent shingles / over-full buckets, trading a measured recall
+  * loss (DedupSpec asserts it) for a bounded intermediate.
+  *
+  * - [[DedupConfig.Exact]] (both caps off) is the oracle mode: every true
+  *   pair is reachable, intermediates unbounded — correct at fixture
+  *   scale, a skew hazard at 100 TB.
+  * - [[DedupConfig.Production]] is the 100 TB default: shingles seen in
+  *   >1024 docs of a block are stop-shingles (near-zero discrimination);
+  *   LSH buckets over 64 docs are skipped (on the sf0.01 fixture this
+  *   drops 29 of 245 true pairs — the hot buckets do hold real dups, which
+  *   is why the cap is a config, not hardcoded).
+  */
+final case class DedupConfig(
+    maxShingleDocs: Option[Long],
+    maxBucketSize: Option[Long])
+
+object DedupConfig {
+  val Exact: DedupConfig = DedupConfig(None, None)
+  val Production: DedupConfig = DedupConfig(Some(1024L), Some(64L))
+}
+
 object Dedup {
 
   import TextOps.HashMod
@@ -169,6 +194,8 @@ object Dedup {
     * fan-out at the cost of recall for pairs that ONLY collide in hot
     * buckets — off by default because it is lossy (on the fixture a cap
     * of 64 drops 29 of 245 true pairs; the hot buckets hold real dups).
+    * [[DedupConfig.Production]] carries the recommended 100 TB caps;
+    * DedupSpec measures the recall loss they cost.
     */
   def lshCandidates(signatures: DataFrame, rowsPerBand: Int = 4,
       maxBucketSize: Option[Long] = None): DataFrame = {
@@ -203,8 +230,10 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, k: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val cands = lshCandidates(minhashSignatures(docs, k, idCol, textCol), rowsPerBand)
+      textCol: String = "text",
+      maxBucketSize: Option[Long] = None): DataFrame = {
+    val cands = lshCandidates(minhashSignatures(docs, k, idCol, textCol),
+      rowsPerBand, maxBucketSize)
     // cached (Caches.releaseAll to drop): joined twice (a-side and b-side)
     val sh = graft.util.Caches.cached(graft.util.Parallelism.ensure(docs)
       .select(col(idCol).as("doc_id"), TextOps.bigrams(col(textCol)).as("sh")))

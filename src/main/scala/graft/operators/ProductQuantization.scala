@@ -118,9 +118,17 @@ object ProductQuantization {
     * pins [[codebookFromIds]] for oracle determinism). All M subspaces
     * train in ONE DataFrame loop — assignment and centroid recomputation
     * are keyed by (m, cid), so a round is one broadcast join + one
-    * partial-aggregated shuffle regardless of M. Deterministic given
-    * init ids and iteration count (integer distances, ties to smallest
-    * cid). Returns (cid, m, cv, cn2) like [[codebookFromIds]].
+    * partial-aggregated shuffle regardless of M.
+    *
+    * Determinism caveats: ASSIGNMENT is deterministic given init ids and
+    * iteration count (integer distances, ties to smallest cid), but
+    * centroid recomputation averages doubles, whose value depends on
+    * partition combine order — trained codebooks are statistically stable
+    * but not bit-stable across runs/layouts (only the pinned
+    * [[codebookFromIds]] path is). A cell that loses all members emits no
+    * centroid and silently vanishes, shrinking the effective K — standard
+    * Lloyd behavior, same as [[Similarity.ivfTrain]].
+    * Returns (cid, m, cv, cn2) like [[codebookFromIds]].
     */
   def train(embeddings: DataFrame, initIds: Seq[Long], iters: Int, m: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

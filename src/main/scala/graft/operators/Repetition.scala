@@ -60,17 +60,27 @@ object Repetition {
 
   /** Per-group repetition report: doc counts, mean ratios, and how many
     * docs a `maxTopNgramFrac` filter would drop.
+    *
+    * Means are accumulated as integer basis points (the 4-dp per-doc
+    * ratios ×10⁴, an exact long) and divided once at the end — a double
+    * `avg` would depend on partition combine order, so the 4th decimal
+    * could flip between Spark partitionings and the sequential oracle
+    * (same hazard [[Decontaminate.report]] documents and avoids).
     */
   def report(docs: DataFrame, groupCol: String, maxTopNgramFrac: Double,
       ngram: Int = 2, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text"): DataFrame = {
+    def bp(c: Column): Column = round(c * 10000, 0).cast("long")
     docStats(docs, ngram, idCol, textCol)
       .join(docs.select(col(idCol).as("doc_id"), col(groupCol)), "doc_id")
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n_docs"),
-        round(avg("token_rep"), 4).as("avg_token_rep"),
-        round(avg("top_ngram_frac"), 4).as("avg_top_ngram_frac"),
+        round(sum(bp(col("token_rep"))) / (count(lit(1)) * 10000.0), 4)
+          .as("avg_token_rep"),
+        round(sum(bp(col("top_ngram_frac"))) / (count(lit(1)) * 10000.0), 4)
+          .as("avg_top_ngram_frac"),
         sum(when(col("top_ngram_frac") > maxTopNgramFrac, 1L).otherwise(0L))
           .as("would_drop"))
       .orderBy(groupCol)
+  }
 }

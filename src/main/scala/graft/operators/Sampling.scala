@@ -25,11 +25,15 @@ object Sampling {
 
   val HashMod = 1000000007L
 
-  /** Knuth multiplicative hash → [0, 1e9+7). Overflow-safe for ids up to
-    * ~3.5e9 (fits BIGINT in DuckDB too, which errors on overflow rather
-    * than wrapping).
+  /** Knuth multiplicative hash → [0, 1e9+7). The id is reduced mod p
+    * BEFORE the multiply — mathematically identical ((id·c) mod p =
+    * ((id mod p)·c) mod p) but overflow-safe for the FULL long id domain:
+    * the naive (id * c) % p silently wraps in Spark above ~3.46e9 (ids a
+    * billion-doc corpus reaches) while DuckDB errors, a silent
+    * engine divergence. (p-1)·c ≈ 2.7e18 stays inside Long.
     */
-  def idHash(id: Column): Column = (id * lit(2654435761L)) % lit(HashMod)
+  def idHash(id: Column): Column =
+    ((id % lit(HashMod)) * lit(2654435761L)) % lit(HashMod)
 
   /** Keep at most `k` rows per group, chosen by hash rank — a fixed
     * per-domain quota (the "cap any one source's share" rule of corpus

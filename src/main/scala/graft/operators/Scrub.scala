@@ -39,6 +39,16 @@ object Scrub {
 
   /** Per-doc PII profile: one count column per rule + scrubbed length
     * delta (0 for clean docs).
+    *
+    * Metric semantics (by design, consistent on both engines):
+    *  - `chars_delta` = raw length − scrubbed length. It can be NEGATIVE
+    *    when a placeholder is longer than its match (a 6-char email →
+    *    `<EMAIL>`), hence "delta", not "removed".
+    *  - per-rule `n_*` counts are computed independently on the RAW text,
+    *    while [[scrub]] applies rules sequentially — nested matches (a
+    *    digit run inside an email) count under every rule that matches
+    *    them, so the counts can overlap and their sum can exceed what one
+    *    sequential pass actually redacts.
     */
   def docStats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -48,7 +58,7 @@ object Scrub {
     }
     graft.util.Parallelism.ensure(docs).select(
       col(idCol).as("doc_id") +: countCols :+
-        (length(t) - length(scrub(t))).cast("long").as("chars_removed"): _*)
+        (length(t) - length(scrub(t))).cast("long").as("chars_delta"): _*)
   }
 
   /** Per-group scrub report: docs, per-rule totals, clean-doc count. */
@@ -64,7 +74,7 @@ object Scrub {
       .agg(count(lit(1)).as("n_docs"),
         totalCols.head +: totalCols.tail :+
           sum(when(anyPii === 0, 1L).otherwise(0L)).cast("long").as("clean_docs") :+
-          sum("chars_removed").cast("long").as("chars_removed"): _*)
+          sum("chars_delta").cast("long").as("chars_delta"): _*)
       .orderBy(groupCol)
   }
 }

@@ -195,30 +195,55 @@ object Similarity {
 
   /** IVF top-k ANN: assign every vector to its nearest centroid's cell
     * (one scan + broadcast of K centroids), then brute-force rank within
-    * the query's cell only. At scale the per-cell join replaces the full
-    * cross join; recall vs nprobe is the standard IVF tradeoff (this is
-    * single-probe).
+    * the `nprobe` cells nearest each QUERY. At scale the per-cell join
+    * replaces the full cross join; recall vs nprobe is the standard IVF
+    * tradeoff (nprobe=1 searches only the query's own cell — that is the
+    * oracle-matched q42 configuration; raising nprobe widens the candidate
+    * set and recall monotonically, measured in SimilaritySpec).
     */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       centroidIds: Seq[Long], idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", nprobe: Int = 1): DataFrame = {
     val corpus = graft.util.Parallelism.ensure(embeddings)
       .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nv", norm(col("v")))
     val centroids = corpus.filter(col("vec_id").isin(centroidIds: _*))
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("ncv"))
-    ivfTopKWith(corpus, queryIds, k, centroids)
+    ivfTopKWith(corpus, queryIds, k, centroids, nprobe)
   }
 
   /** [[ivfTopK]] against an explicit centroid relation (cid, cv, ncv) —
     * e.g. one produced by [[ivfTrain]].
     */
   def ivfTopKWith(corpus: DataFrame, queryIds: Seq[Long], k: Int,
-      centroids: DataFrame): DataFrame = {
+      centroids: DataFrame, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
     val cells = ivfAssign(corpus, centroids)
-    val queries = cells.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nv").as("nqv"), col("cell"))
+    val queries =
+      if (nprobe == 1)
+        // single-probe: the query's probe cell IS its own assignment —
+        // reuse the corpus-wide assignment, no extra centroid scoring
+        cells.filter(col("vec_id").isin(queryIds: _*))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nv").as("nqv"), col("cell"))
+      else {
+        // multi-probe: score each query against ALL centroids and keep its
+        // nprobe nearest cells. The window runs on the query relation only
+        // (a handful of rows — the broadcast-small side), so the "windows
+        // sort the world" concern from topKPerQuery does not apply here.
+        val qVecs = corpus.filter(col("vec_id").isin(queryIds: _*))
+        val probeScores = qVecs.crossJoin(broadcast(centroids))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nv").as("nqv"), col("cid"),
+            round(dot(col("v"), col("cv")) / (col("nv") * col("ncv")), 4).as("ccos"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("ccos").desc, col("cid").asc)
+        probeScores.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= nprobe)
+          .select(col("query_id"), col("qv"), col("nqv"), col("cid").as("cell"))
+      }
+    // probe cells are distinct per query and each corpus vector lives in
+    // exactly one cell, so a (query, vec) pair matches at most once
     val scored = cells.join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, DedupConfig}
 
 class DedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -70,6 +70,35 @@ class DedupSpec extends AnyFunSuite {
     val pairs = Dedup.simhashPairs(corpus, "source", maxHamming = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
+  }
+
+  test("production skew caps: capped output is a subset with bounded recall loss") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val exact = Dedup.minhashNearDups(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.util.Caches.releaseAll()
+    val capped = Dedup.minhashNearDups(docs,
+      maxBucketSize = DedupConfig.Production.maxBucketSize)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.util.Caches.releaseAll()
+    // the cap only ever removes candidates — never invents pairs
+    assert(capped.subsetOf(exact),
+      s"capped pairs must be a subset; extras: ${(capped -- exact).take(5)}")
+    // documented tradeoff: skipping hot buckets costs recall, but the loss
+    // is bounded (hot buckets hold SOME real dups, not most of them)
+    if (exact.nonEmpty) {
+      val recall = capped.size.toDouble / exact.size
+      assert(recall >= 0.5, s"capped recall $recall collapsed — cap too tight")
+    }
+
+    // same law for the shingle-frequency cap on the Jaccard path: with a
+    // tiny cap the pair set can only shrink, and survivors keep scores
+    val uncapped = Dedup.jaccardPairs(docs, "source", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shCapped = Dedup.jaccardPairs(docs, "source", 0.5,
+      maxShingleDocs = Some(16L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shCapped.subsetOf(uncapped))
   }
 
   test("simhash of empty doc is 0") {

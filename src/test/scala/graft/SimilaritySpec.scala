@@ -95,6 +95,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.1, s"recall=$recall")
   }
 
+  test("ivf multi-probe: recall(nprobe=2) >= recall(nprobe=1), scores stay exact") {
+    val sf = "/root/testdata/sf0.001"
+    val embs = Tables.load(spark, sf, "embeddings")
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val cids = (0 until 16).map(_.toLong * 7)
+    val brute = Similarity.bruteForceTopK(embs, qids, 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def run(np: Int): Array[((Long, Long), Double)] =
+      Similarity.ivfTopK(embs, qids, 10, cids, nprobe = np)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    def recall(xs: Array[((Long, Long), Double)]): Double =
+      xs.map(_._1).count(brute.contains).toDouble / brute.size
+    val p1 = run(1)
+    val p2 = run(2)
+    assert(recall(p2) >= recall(p1),
+      s"nprobe=2 recall ${recall(p2)} < nprobe=1 recall ${recall(p1)}")
+    // widening the probe set must never change a score, only add candidates
+    p2.foreach { case (k, c) => assert(brute.get(k).forall(_ == c)) }
+  }
+
   test("ivfTrain: deterministic Lloyd iterations improve assignment quality") {
     val sf = "/root/testdata/sf0.001"
     val embs = Tables.load(spark, sf, "embeddings")
