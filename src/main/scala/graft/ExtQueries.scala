@@ -48,13 +48,16 @@ object ExtQueries {
     // the skewed fact (lineitem, many rows per orderkey) is the salted
     // LEFT; the smaller orders relation is the replicated RIGHT — only
     // the small side pays the salts× replication through the exchange.
+    // salts=4 here: lineitem:orders is ~4:1, so higher salt counts push
+    // the replicated side PAST the fact size and the "small side pays"
+    // premise stops holding — salt count is bounded by the size ratio.
     "q46_salted_join" -> ((s, dir) => {
       val joined = SkewJoin.saltedInnerJoin(
         Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey").as("k"), col("l_extendedprice"), col("l_discount")),
         Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority")
           .withColumnRenamed("o_orderkey", "k"),
-        Seq("k"), salts = 8)
+        Seq("k"), salts = 4)
       joined.groupBy("o_orderpriority")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("cnt"))
