@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, DedupConfig}
+import graft.operators.{AsOfJoin, Dedup, DedupConfig}
 
 /** Round-4 queries: the production-capped dedup variants.
   *
@@ -23,7 +23,33 @@ object Round4Queries {
     "q61_minhash_capped" -> ((s, dir) =>
       Dedup.minhashNearDups(docs(s, dir),
         maxBucketSize = DedupConfig.Production.maxBucketSize)
-        .orderBy("doc_a", "doc_b")))
+        .orderBy("doc_a", "doc_b")),
 
-  val oracleSql: Map[String, String] = Map.empty
+    // As-of join: attribute each click to the user's most recent
+    // at-or-before purchase. The right side is pre-aggregated to one row
+    // per (user_id, ts) (max_by on event_id) so the carried payload is
+    // deterministic — matching what DuckDB's native ASOF JOIN picks.
+    "q62_asof_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("p_event"),
+          max_by(col("value"), col("event_id")).as("p_value"))
+      AsOfJoin.asofLast(clicks, purchases, Seq("user_id"), "ts", "ts",
+        Seq("p_event", "p_value"))
+        .orderBy("user_id", "event_id")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q62_asof_join" ->
+      """WITH c AS (SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, max(event_id) AS p_event,
+        |    arg_max(value, event_id) AS p_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.user_id, c.event_id, c.ts, p.p_event, p.p_value
+        |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.user_id, c.event_id""".stripMargin)
 }

@@ -74,6 +74,19 @@ class PlanSpec extends AnyFunSuite {
       s"fact table lineitem must not be under the replication Generate:\n$p")
   }
 
+  test("q62: as-of join is one union-side shuffle and one sort, no range explosion") {
+    // the union formulation's whole point: |L|+|R| rows through ONE
+    // Exchange + ONE Sort — a range join here would cross-product per key
+    val p = plan("q62_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of join regressed to a product join:\n$p")
+    // exactly one key-only shuffle for the window (the (user_id, ts)
+    // hashpartitioning is the right side's dedup pre-aggregation, the
+    // range one the final presentation ORDER BY)
+    assert("Exchange hashpartitioning\\(user_id#\\d+L, \\d+\\)".r.findAllIn(p).size == 1,
+      s"expected exactly 1 key-only shuffle for the as-of window:\n$p")
+  }
+
   test("q10: null counts are a single aggregation over a single scan") {
     val p = plan("q10_null_counts")
     // one scan; one stat-row exchange to the final aggregate; plus (on
