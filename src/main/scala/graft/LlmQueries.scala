@@ -110,12 +110,10 @@ object LlmQueries {
     // come from the same codegen moments aggregate in BOTH modes, so this
     // slice of q43 hash-matches the exact oracle even with sketches on —
     // only the sketch metrics (distincts, percentiles) stay rows-only.
+    // numericMoments runs JUST that aggregate (one scan, no sketch pass).
     "q43a_approx_moments" -> ((s, dir) =>
-      graft.core.Profiler.numericProfile(Tables.load(s, dir, "lineitem"),
-        graft.core.ProfileConfig(exact = false))
-        .where(col("metric").isin("count", "null_count", "min", "max",
-          "mean", "stddev"))
-        .orderBy("col_name", "metric")))
+      graft.core.Profiler.numericMoments(Tables.load(s, dir, "lineitem"),
+        graft.core.ProfileConfig(exact = false))))
 
   /** Fixed centroid subset for IVF (vec_ids guaranteed present at every
     * fixture scale; a k-means trainer would replace this — see ivfAssign).

@@ -51,6 +51,12 @@ object Profiler {
     Seq("count", "null_count", "distinct_count", "min", "max", "mean",
       "stddev", "p25", "median", "p75")
 
+  /** The moment (non-order-statistic) subset of [[numericMetrics]] — exact
+    * in BOTH profile modes (computed by the same codegen aggregate).
+    */
+  val momentMetrics: Seq[String] =
+    Seq("count", "null_count", "min", "max", "mean", "stddev")
+
   def isNumeric(f: StructField): Boolean = f.dataType.isInstanceOf[NumericType]
 
   def numericColumns(df: DataFrame): Seq[String] =
@@ -121,16 +127,7 @@ object Profiler {
     val cols = numericColumns(df)
     require(cols.nonEmpty, "no numeric columns to profile")
 
-    val momentMetrics = Seq("count", "null_count", "min", "max", "mean", "stddev")
-    val momentsLong = cols.grouped(cfg.statColumnsPerJob).toSeq.map { batch =>
-      val wide = df.agg(momentExprs(df, batch.head, cfg).head,
-        batch.flatMap(c => momentExprs(df, c, cfg)).tail: _*)
-      val stackArgs = batch.flatMap { c =>
-        momentMetrics.map(m => s"'$c', '$m', `${c}__$m`")
-      }.mkString(", ")
-      val n = batch.length * momentMetrics.length
-      wide.select(expr(s"stack($n, $stackArgs) as (col_name, metric, value)"))
-    }.reduce(_ unionByName _)
+    val momentsLong = momentsLongOf(df, cols, cfg)
 
     val longResult =
       if (!cfg.exact) {
@@ -220,6 +217,39 @@ object Profiler {
       // order stats stay NULL
       .withColumn("value", when(col("metric") === "distinct_count",
         coalesce(col("value"), lit(0.0))).otherwise(col("value")))
+      .orderBy("col_name", "metric")
+  }
+
+  /** Long-format (col_name, metric, value) moments for `cols`: one wide
+    * codegen HashAggregate per `statColumnsPerJob` batch, melted via stack.
+    */
+  private def momentsLongOf(df: DataFrame, cols: Seq[String],
+      cfg: ProfileConfig): DataFrame =
+    cols.grouped(cfg.statColumnsPerJob).toSeq.map { batch =>
+      val wide = df.agg(momentExprs(df, batch.head, cfg).head,
+        batch.flatMap(c => momentExprs(df, c, cfg)).tail: _*)
+      val stackArgs = batch.flatMap { c =>
+        momentMetrics.map(m => s"'$c', '$m', `${c}__$m`")
+      }.mkString(", ")
+      val n = batch.length * momentMetrics.length
+      wide.select(expr(s"stack($n, $stackArgs) as (col_name, metric, value)"))
+    }.reduce(_ unionByName _)
+
+  /** Moments-only profile: the [[momentMetrics]] half of the grid in ONE
+    * codegen scan, skipping the order-statistics/sketch pass entirely.
+    * These values are identical in exact and approx modes (same moments
+    * aggregate), so this is both the cheap profiling tier and the
+    * oracle-verifiable half of the approx profile (q43a).
+    */
+  def numericMoments(df0: DataFrame, cfg: ProfileConfig = ProfileConfig()): DataFrame = {
+    val df = graft.util.Parallelism.ensure(df0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = numericColumns(df)
+    require(cols.nonEmpty, "no numeric columns to profile")
+    val grid = cols.flatMap(c => momentMetrics.map(m => (c, m)))
+      .toDF("col_name", "metric")
+    grid.join(momentsLongOf(df, cols, cfg), Seq("col_name", "metric"), "left")
       .orderBy("col_name", "metric")
   }
 

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Binned range join: points ⋈ intervals on `lo <= v < hi` (plus optional
+  * equi-keys) — the interval-containment primitive (event in window,
+  * value in band, IP in CIDR range) that Spark plans as a broadcast
+  * nested-loop or cartesian product when written as a raw inequality
+  * join.
+  *
+  * The bin trick makes it an EQUI-join: choose a bin width w; each
+  * interval registers under every bin it overlaps
+  * (floor(lo/w)..floor(hi/w) — an explode of (hi-lo)/w + 1 rows), each
+  * point under exactly the one bin floor(v/w). The equi-join on
+  * (keys, bin) then meets every qualifying (point, interval) pair in
+  * exactly ONE bin — the point's — so no post-join dedup is needed; a
+  * residual `lo <= v && v < hi` filter removes same-bin near-misses.
+  *
+  * Scale: shuffle keys are (keys, bin) — hash-partitionable, AQE-skew-
+  * splittable, sort-merge-joinable; cost scales with interval fan-out
+  * (pick w ≈ median interval width so fan-out is O(1) per interval),
+  * not |points|×|intervals|. This is the standard bin/bucket range-join
+  * optimization that warehouse engines apply automatically.
+  */
+object RangeJoin {
+
+  /** @param points    relation carrying `valCol` (numeric)
+    * @param intervals relation carrying `loCol`/`hiCol` (numeric,
+    *                  lo inclusive, hi exclusive; rows with hi <= lo
+    *                  match nothing)
+    * @param keyCols   equi-key columns present on both sides (may be empty)
+    * @param binWidth  bin width in value units — pick ≈ the median
+    *                  interval width
+    * @return          all (point, interval) joined rows: point columns +
+    *                  interval columns, one row per qualifying pair
+    */
+  def binnedRangeJoin(points: DataFrame, intervals: DataFrame,
+      keyCols: Seq[String], valCol: String, loCol: String, hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth >= 1, "binWidth must be >= 1")
+    val p = points.withColumn("__bin", floor(col(valCol) / binWidth))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+    p.join(i, keyCols :+ "__bin")
+      .filter(col(loCol) <= col(valCol) && col(valCol) < col(hiCol))
+      .drop("__bin")
+  }
+}

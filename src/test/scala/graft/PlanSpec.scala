@@ -87,6 +87,13 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly 1 key-only shuffle for the as-of window:\n$p")
   }
 
+  test("q63: range join is an equi-join on (key, bin) — no nested-loop product") {
+    val p = plan("q63_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join regressed to a product join:\n$p")
+    assert(p.contains("Generate explode"), s"no interval bin fan-out in:\n$p")
+  }
+
   test("q10: null counts are a single aggregation over a single scan") {
     val p = plan("q10_null_counts")
     // one scan; one stat-row exchange to the final aggregate; plus (on
