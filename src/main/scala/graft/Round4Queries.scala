@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Dedup, DedupConfig, RangeJoin}
+import graft.operators.{AsOfJoin, Dedup, DedupConfig, Pack, RangeJoin,
+  Sampling, Split, TextOps}
 
 /** Round-4 queries: the production-capped dedup variants.
   *
@@ -58,10 +59,40 @@ object Round4Queries {
         .groupBy("p_event")
         .agg(count(lit(1)).as("n_clicks"))
         .orderBy("p_event")
-    }))
+    }),
+
+    // Deterministic 80/10/10 split: per (split, source) doc counts. The
+    // assignment is a scan-stage hash CASE — no shuffle until the rollup.
+    "q64_split" -> ((s, dir) =>
+      Split.assignSplits(docs(s, dir), SplitWeights)
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("split", "source")),
+
+    // Token-budget shard packing: per (source, shard) doc/token totals.
+    "q65_pack_shards" -> ((s, dir) =>
+      Pack.assignShards(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+        ShardBudgetTokens, "source")
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("shard_tokens"))
+        .orderBy("source", "shard")))
 
   /** 2 h attribution window for q63 (seconds). */
   val WindowSeconds = 7200L
+
+  /** q64's split mix. */
+  val SplitWeights: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** q65's per-shard token budget — small enough that every source splits
+    * into multiple shards at the sf0.01 correctness gate, so the oracle
+    * actually exercises shard boundaries (production would use a context
+    * window size, e.g. 8192).
+    */
+  val ShardBudgetTokens = 512L
 
   val oracleSql: Map[String, String] = Map(
     "q62_asof_join" ->
@@ -83,5 +114,32 @@ object Round4Queries {
          |  WHERE event_type = 'click')
          |SELECT p_event, count(*) AS n_clicks
          |FROM p JOIN c ON p.user_id = c.user_id AND c.v >= p.lo AND c.v < p.hi
-         |GROUP BY p_event ORDER BY p_event""".stripMargin)
+         |GROUP BY p_event ORDER BY p_event""".stripMargin,
+
+    "q64_split" -> {
+      val m = Sampling.HashMod
+      val h = s"((doc_id % $m) * 2654435761) % $m"
+      val conds = SplitWeights.zip(Split.thresholds(SplitWeights))
+      val cases = conds.init
+        .map { case ((name, _), thr) => s"WHEN $h < $thr THEN '$name'" }
+        .mkString(" ")
+      s"""SELECT split, source, count(*) AS n_docs FROM (
+         |  SELECT source, CASE $cases ELSE '${conds.last._1._1}' END AS split
+         |  FROM documents)
+         |GROUP BY split, source ORDER BY split, source""".stripMargin
+    },
+
+    "q65_pack_shards" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |s AS (SELECT source, n_tokens,
+         |    CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens)
+         |      / $ShardBudgetTokens) AS BIGINT) AS shard
+         |  FROM t)
+         |SELECT source, shard, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+         |FROM s GROUP BY source, shard ORDER BY source, shard""".stripMargin)
 }
