@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's correctness gate.
 
-Usage: python3 tools/selfcheck.py [sfDir] [outDir]
+Usage: python3 tools/selfcheck.py [sfDir] [outDir] [--only q44,q46]
 
 Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` already ran (or run
 with --run to invoke it). Registers each parquet fixture as a DuckDB view
@@ -12,8 +12,13 @@ sorted by name and rows sorted by all columns.
 import json, math, subprocess, sys
 import duckdb
 
-sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+out_dir = args[1] if len(args) > 1 else "/tmp/verify"
+only = None
+for a in sys.argv[1:]:
+    if a.startswith("--only="):
+        only = set(a.split("=", 1)[1].split(","))
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -26,6 +31,8 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+if only is not None:
+    oracle = {k: v for k, v in oracle.items() if k in only}
 
 def norm(df):
     df = df[sorted(df.columns)]
