@@ -15,6 +15,19 @@ class ProfilerSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1)) ->
         (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
 
+  test("numericMoments equals the moments slice of the full profile (both modes)") {
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    for (exact <- Seq(true, false)) {
+      val cfg = ProfileConfig(exact = exact)
+      val moments = Profiler.numericMoments(df, cfg).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      val slice = profileMap(df, cfg)
+        .filter { case ((_, metric), _) => Profiler.momentMetrics.contains(metric) }
+      assert(moments == slice, s"moments tier diverged from full profile (exact=$exact)")
+    }
+  }
+
   test("numericProfile: stats on a known column") {
     val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
     val m = profileMap(df)
