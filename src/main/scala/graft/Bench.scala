@@ -41,7 +41,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "method" records the timing protocol so cross-round comparisons stay
+    // apples-to-apples: min-of-2 since round 4 (rounds 1-3 were single-run,
+    // so their numbers include scheduler noise this protocol excludes)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","method":"min_of_2"}""")
     spark.stop()
   }
 }

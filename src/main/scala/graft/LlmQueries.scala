@@ -173,25 +173,43 @@ object LlmQueries {
 
   /** The CTE chain producing verified MinHash-LSH pairs as relation `j`
     * — q34's body, shared with ExtQueries' duplicate-cluster oracle.
+    * With `maxBucketSize` set, band buckets holding more than that many
+    * docs are dropped before candidate generation — the exact SQL twin of
+    * [[graft.operators.Dedup.lshCandidates]]'s deterministic skew cap, so
+    * the capped production pipeline (q61) oracles exactly too.
     */
-  val minhashPairsCtes: String = {
+  def minhashPairsCtesCapped(maxBucketSize: Option[Long]): String = {
     val bands = (0 until 4).map { bi =>
       val key = (0 until 4).map(r => s"CAST(s${bi * 4 + r} AS VARCHAR)")
         .mkString(" || ',' || ")
       s"SELECT doc_id, $bi AS band_idx, $key AS band_key FROM sig"
     }.mkString(" UNION ALL ")
+    // the cap is a deterministic filter (bucket size > cap), not a sketch:
+    // the same buckets drop on both engines
+    val (capCte, candSrc) = maxBucketSize match {
+      case Some(cap) => (
+        s"""hot AS (SELECT band_idx, band_key FROM bands
+           |  GROUP BY band_idx, band_key HAVING count(*) > $cap),
+           |banded AS (SELECT b.doc_id, b.band_idx, b.band_key FROM bands b
+           |  LEFT JOIN hot h ON b.band_idx = h.band_idx AND b.band_key = h.band_key
+           |  WHERE h.band_idx IS NULL),
+           |""".stripMargin, "banded")
+      case None => ("", "bands")
+    }
     s"""t AS (SELECT doc_id, $tokSql AS ws FROM documents),
        |sh AS (SELECT doc_id, $bigramsSql AS shingles FROM t),
        |h AS (SELECT doc_id, shingles,
        |  list_transform(shingles, s -> ${rollSql("s")}) AS hs FROM sh),
        |sig AS (SELECT doc_id, $minhashSigSql FROM h),
        |bands AS ($bands),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+       |${capCte}cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM $candSrc a JOIN $candSrc b ON a.band_idx = b.band_idx
        |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
        |j AS (SELECT doc_a, doc_b, ${jaccardSql("x.shingles", "y.shingles")} AS jaccard
        |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)""".stripMargin
   }
+
+  val minhashPairsCtes: String = minhashPairsCtesCapped(None)
 
   val oracleSql: Map[String, String] = Map(
     "q29_token_stats" ->

@@ -108,22 +108,18 @@ object Round3Queries {
         .orderBy("o_custkey", "rank")
     }),
 
-    // Token-length deciles per source: ntile over (n_tokens, doc_id)
-    // within each source partition — windows stay parallel across
-    // sources; decile edges are exact integer math on both engines.
-    "q58_token_deciles" -> ((s, dir) => {
-      val w = Window.partitionBy("source")
-        .orderBy(col("n_tokens").asc, col("doc_id").asc)
-      docs(s, dir)
-        .select(col("source"), col("doc_id"),
-          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-        .withColumn("decile", ntile(10).over(w))
-        .groupBy("source", "decile")
-        .agg(count(lit(1)).as("n_docs"),
-          min("n_tokens").as("min_tokens"),
-          max("n_tokens").as("max_tokens"))
-        .orderBy("source", "decile")
-    }))
+    // Token-length deciles per source, exact path: ntile over
+    // (n_tokens, doc_id) — bit-exact for the oracle; decile edges are
+    // exact integer math on both engines. NB the window partitions on
+    // the low-cardinality source key — fine at the gate SF, serial per
+    // source at 100 TB; q58a (Round5Queries) is the scale-safe approx
+    // axis of the same operator.
+    "q58_token_deciles" -> ((s, dir) =>
+      graft.operators.Deciles.report(
+        docs(s, dir)
+          .select(col("source"), col("doc_id"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "source", "n_tokens", "doc_id", exact = true)))
 
   private val tokSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 

@@ -9,21 +9,30 @@ import graft.operators.{AsOfJoin, Dedup, DedupConfig, Pack, RangeJoin,
 /** Round-4 queries: the production-capped dedup variants.
   *
   * q61 runs the MinHash near-dup pipeline with [[DedupConfig.Production]]
-  * skew caps ON — the configuration a 100 TB run would use. The capped
-  * pipeline is deliberately lossy (hot LSH buckets are skipped), so there
-  * is no exact SQL oracle; the driver records a rows-only check and
-  * DedupSpec asserts the capped output is a subset of the exact q34
-  * output with bounded recall loss. Bench-wise the row exists so the
-  * capped and uncapped pipelines are both measured every round.
+  * skew caps ON — the configuration a 100 TB run would use. The cap is
+  * lossy but fully DETERMINISTIC (skip band buckets holding > cap docs),
+  * so it oracles exactly: [[LlmQueries.minhashPairsCtesCapped]] rebuilds
+  * the same bucket-size filter in SQL. At sf0.01 the production cap (64)
+  * does not bind, so q61a runs the same pipeline with a cap of 2 — which
+  * DOES drop buckets at the gate SF — proving the capped candidate set,
+  * not just the uncapped one, matches the oracle.
   */
 object Round4Queries {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
+  /** q61a's deliberately tight bucket cap — binds at sf0.01. */
+  val TightBucketCap = 2L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_minhash_capped" -> ((s, dir) =>
       Dedup.minhashNearDups(docs(s, dir),
         maxBucketSize = DedupConfig.Production.maxBucketSize)
+        .orderBy("doc_a", "doc_b")),
+
+    "q61a_minhash_cap_bind" -> ((s, dir) =>
+      Dedup.minhashNearDups(docs(s, dir),
+        maxBucketSize = Some(TightBucketCap))
         .orderBy("doc_a", "doc_b")),
 
     // As-of join: attribute each click to the user's most recent
@@ -95,6 +104,18 @@ object Round4Queries {
   val ShardBudgetTokens = 512L
 
   val oracleSql: Map[String, String] = Map(
+    "q61_minhash_capped" -> {
+      val cap = DedupConfig.Production.maxBucketSize.get
+      s"""WITH ${LlmQueries.minhashPairsCtesCapped(Some(cap))}
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q61a_minhash_cap_bind" ->
+      s"""WITH ${LlmQueries.minhashPairsCtesCapped(Some(TightBucketCap))}
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q62_asof_join" ->
       """WITH c AS (SELECT user_id, event_id, ts FROM events
         |  WHERE event_type = 'click'),

@@ -320,6 +320,11 @@ object SparkEntry {
     // S4/S7 + A2/J2: table shapes (rows × columns) via broadcast left join.
     "q19_table_shapes" -> ((s, dir) => CatalogMonitor.tableShapes(s, dir)),
 
+    // S4 exact relation shape: the `show columns` analogue, including the
+    // reference's autoincrement flag (NULL for Parquet — no such
+    // property), oracled against DuckDB's information_schema.
+    "q19a_catalog_columns" -> ((s, dir) => CatalogMonitor.tableColumns(s, dir)),
+
     // The database-monitor metric block (A7-A9, A11, corrected min/max).
     "q20_db_summary" -> ((s, dir) =>
       CatalogMonitor.databaseSummary(CatalogMonitor.tableRowCounts(s, dir))),
@@ -438,6 +443,21 @@ object SparkEntry {
         s"SELECT '$tn' AS table_name, (SELECT count(*) FROM $tn) AS row_count, " +
         s"(SELECT count(*) FROM (DESCRIBE $tn)) AS column_count")
         .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY table_name"),
+    "q19a_catalog_columns" -> {
+      // DuckDB type names → Spark simpleString names for the fixture's
+      // type surface; both ordinals 0-based
+      val tablesIn = Tables.all.map(t => s"'$t'").mkString("(", ", ", ")")
+      s"""SELECT table_name, column_name,
+         |  CASE data_type WHEN 'INTEGER' THEN 'int' WHEN 'BIGINT' THEN 'bigint'
+         |    WHEN 'DOUBLE' THEN 'double' WHEN 'VARCHAR' THEN 'string'
+         |    WHEN 'TIMESTAMP' THEN 'timestamp' WHEN 'FLOAT[]' THEN 'array<float>'
+         |    ELSE lower(data_type) END AS data_type,
+         |  CAST(ordinal_position - 1 AS INTEGER) AS ordinal,
+         |  CAST(NULL AS BOOLEAN) AS autoincrement
+         |FROM information_schema.columns
+         |WHERE table_name IN $tablesIn
+         |ORDER BY table_name, ordinal""".stripMargin
+    },
     "q20_db_summary" ->
       s"""$catalogCountsCte, m AS (SELECT
          |  CAST(count(*) AS DOUBLE) AS table_count,
@@ -528,11 +548,12 @@ object SparkEntry {
     * (ExtQueries: sessions, normalize, salted join, n-gram dedup). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational ++ monitors ++ LlmQueries.queries ++ ExtQueries.queries ++
-      Round3Queries.queries ++ Round4Queries.queries
+      Round3Queries.queries ++ Round4Queries.queries ++ Round5Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relationalOracle ++ monitorsOracle ++ LlmQueries.oracleSql ++
-      ExtQueries.oracleSql ++ Round3Queries.oracleSql ++ Round4Queries.oracleSql
+      ExtQueries.oracleSql ++ Round3Queries.oracleSql ++
+      Round4Queries.oracleSql ++ Round5Queries.oracleSql
 }

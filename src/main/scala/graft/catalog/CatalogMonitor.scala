@@ -37,16 +37,30 @@ object CatalogMonitor {
     counts.toDF("table_name", "row_count").orderBy("table_name")
   }
 
-  /** (table_name, column_name, data_type, ordinal) — `show columns`. */
+  /** (table_name, column_name, data_type, ordinal, autoincrement) —
+    * `show columns`. The reference extracts an autoincrement flag per
+    * column (`/root/reference/Snowflake/snowflake_database_monitor.py:38-42`);
+    * Parquet schemas carry no such property, so the column is present for
+    * relation-shape parity and always NULL — exactly what `show columns`
+    * reports for a table with no autoincrement columns.
+    */
   def tableColumns(spark: SparkSession, dir: String,
       tables: Seq[String] = Tables.all): DataFrame = {
     import spark.implicits._
     val rows = tables.flatMap { t =>
       Tables.load(spark, dir, t).schema.fields.zipWithIndex.map {
-        case (f, i) => (t, f.name, f.dataType.simpleString, i)
+        case (f, i) =>
+          // NTZ vs LTZ is Spark's storage-level split of one catalog-level
+          // type; warehouse catalogs (and the DuckDB oracle) report both
+          // as TIMESTAMP, so the monitor does too
+          val dt = f.dataType.simpleString match {
+            case "timestamp_ntz" => "timestamp"
+            case other => other
+          }
+          (t, f.name, dt, i, Option.empty[Boolean])
       }
     }
-    rows.toDF("table_name", "column_name", "data_type", "ordinal")
+    rows.toDF("table_name", "column_name", "data_type", "ordinal", "autoincrement")
       .orderBy("table_name", "ordinal")
   }
 

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-group quantile bucketing (token-length deciles and friends), with
+  * the same exact-vs-approx axis as the profiler.
+  *
+  * - `exact = true` (the oracle path): `ntile(n)` over a per-group window
+  *   — bit-exact, equal-count buckets, but the window partitions on the
+  *   GROUP key. With a handful of groups (sources) that serializes each
+  *   group's full sort onto one task: correct at fixture scale, the wrong
+  *   plan at 100 TB.
+  * - `exact = false` (the 100 TB path): one `approx_percentile` aggregate
+  *   computes the n-1 boundary values per group (a stat row per group,
+  *   never data rows), then a scan-stage classification assigns each row
+  *   `1 + #(boundaries < value)`. No data-path window, no per-group sort;
+  *   parallelism is the scan's. Bucket populations are approximate at the
+  *   boundaries (sketch error + ties grouping together, where ntile splits
+  *   ties by the tiebreak column) — the standard trade.
+  */
+object Deciles {
+
+  /** Add a `decile` column (1..n) to `df`.
+    *
+    * @param orderCol tiebreak for the exact path's total order
+    * @param accuracy approx_percentile accuracy (1/eps) for the approx path
+    */
+  def assign(df: DataFrame, groupCol: String, valCol: String,
+      orderCol: String, n: Int = 10, exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
+    require(n >= 2, "need at least 2 buckets")
+    if (exact) {
+      val w = Window.partitionBy(groupCol)
+        .orderBy(col(valCol).asc, col(orderCol).asc)
+      df.withColumn("decile", ntile(n).over(w))
+    } else {
+      val pcts = array((1 until n).map(i => lit(i.toDouble / n)): _*)
+      val bounds = df.groupBy(groupCol)
+        .agg(percentile_approx(col(valCol), pcts, lit(accuracy)).as("__bounds"))
+      val rank: Column = aggregate(col("__bounds"), lit(0),
+        (acc, b) => acc + when(col(valCol) > b, 1).otherwise(0))
+      df.join(broadcast(bounds), Seq(groupCol))
+        .withColumn("decile", (rank + 1).cast("int"))
+        .drop("__bounds")
+    }
+  }
+
+  /** The decile report shape q58 exposes: per-(group, decile) row count
+    * and value min/max.
+    */
+  def report(df: DataFrame, groupCol: String, valCol: String,
+      orderCol: String, n: Int = 10, exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame =
+    assign(df, groupCol, valCol, orderCol, n, exact, accuracy)
+      .groupBy(col(groupCol), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(valCol)).as(s"min_tokens"),
+        max(col(valCol)).as(s"max_tokens"))
+      .orderBy(col(groupCol), col("decile"))
+}

@@ -8,13 +8,18 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, plus a batched per-partition
   * feature-extraction pipeline.
   *
-  * The media decode itself is STUBBED (this environment has no image/audio
-  * codecs): [[FakeDecoder]] derives deterministic pseudo-features from the
-  * bytes. Everything Spark-side is real and is what matters at 100 TB —
-  * the schema contract, the `mapPartitions` batch shape (decoder state
-  * initialized once per partition, rows streamed through it), and the
-  * fact that payload bytes never shuffle: features are extracted in the
-  * scan stage and only (id, metadata, features) move on.
+  * Decode strategy: payloads carrying a real image signature (PNG / JPEG /
+  * GIF / BMP magic bytes) are decoded with the JDK's built-in
+  * `javax.imageio` — real dimensions, real luminance features, zero extra
+  * dependencies ([[ImageCodec]]). Everything else (and any byte stream
+  * ImageIO rejects) falls back to [[FakeDecoder]], the deterministic
+  * pseudo-decoder standing in for codecs this environment lacks
+  * (audio/video). The Spark side is identical either way and is what
+  * matters at 100 TB — the schema contract, the `mapPartitions` batch
+  * shape (decoder state initialized once per partition, rows streamed
+  * through it), and the fact that payload bytes never shuffle: features
+  * are extracted in the scan stage and only (id, metadata, features)
+  * move on.
   */
 object Multimodal {
 
@@ -56,6 +61,62 @@ object Multimodal {
     }
   }
 
+  /** Real image decode on the JDK's built-in `javax.imageio` — no new
+    * dependencies. Only consulted for payloads whose leading bytes carry a
+    * known image signature, so non-image payloads never pay a decode
+    * attempt. Luminance features use the same 8-bucket-histogram contract
+    * as [[FakeDecoder.features]] (pixel luma 0-255 instead of raw bytes).
+    */
+  object ImageCodec {
+    def looksLikeImage(bytes: Array[Byte]): Boolean =
+      bytes.length >= 4 && (
+        (bytes(0) == 0x89.toByte && bytes(1) == 'P'.toByte &&
+          bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte) ||
+        (bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte &&
+          bytes(2) == 0xFF.toByte) ||
+        (bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte && bytes(2) == 'F'.toByte) ||
+        (bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte))
+
+    def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+    private def lumas(im: java.awt.image.BufferedImage): Iterator[Int] =
+      for (y <- (0 until im.getHeight).iterator; x <- 0 until im.getWidth) yield {
+        val rgb = im.getRGB(x, y)
+        (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+      }
+
+    def meanLuma(im: java.awt.image.BufferedImage): Double = {
+      val n = im.getWidth.toLong * im.getHeight
+      if (n == 0) 0.0 else lumas(im).foldLeft(0L)(_ + _).toDouble / n
+    }
+
+    /** 8-dim luminance histogram, normalized — mirrors FakeDecoder's shape. */
+    def features(im: java.awt.image.BufferedImage): Array[Double] = {
+      val hist = new Array[Double](8)
+      lumas(im).foreach(l => hist(l / 32) += 1.0)
+      val n = math.max(im.getWidth.toLong * im.getHeight, 1L)
+      hist.map(_ / n)
+    }
+
+    /** Decode → smooth-scale → re-encode PNG. */
+    def resize(bytes: Array[Byte], width: Int, height: Int): Option[Array[Byte]] =
+      decode(bytes).map { im =>
+        val out = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(im, 0, 0, width, height, null)
+        } finally g.dispose()
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", buf)
+        buf.toByteArray
+      }
+  }
+
   /** Build a multimodal table from the documents fixture: text bytes stand
     * in for a media payload; mime is derived from the source column. The
     * schema contract (binary + typed metadata struct) is the real thing.
@@ -83,19 +144,29 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val (w, h) = FakeDecoder.dimensions(bytes)
-          Row(id, r.getLong(2), r.getString(3), w, h,
-            FakeDecoder.meanByte(bytes), FakeDecoder.features(bytes).toSeq)
+          val real =
+            if (ImageCodec.looksLikeImage(bytes)) ImageCodec.decode(bytes)
+            else None
+          real match {
+            case Some(im) =>
+              Row(id, r.getLong(2), r.getString(3), im.getWidth, im.getHeight,
+                ImageCodec.meanLuma(im), ImageCodec.features(im).toSeq)
+            case None =>
+              val (w, h) = FakeDecoder.dimensions(bytes)
+              Row(id, r.getLong(2), r.getString(3), w, h,
+                FakeDecoder.meanByte(bytes), FakeDecoder.features(bytes).toSeq)
+          }
         }
       }
     spark.createDataFrame(rdd, featureSchema)
   }
 
-  /** STUB resize: a real build decodes, scales and re-encodes; the stub
-    * derives the "resized" payload deterministically (truncate/repeat the
-    * byte stream to the area-scaled length) so schema, partition behavior
-    * and downstream feature extraction are exercised end to end. Runs in
-    * the scan stage — payloads never shuffle.
+  /** Resize: real-image payloads decode → scale → re-encode (PNG) via
+    * [[ImageCodec]]; other payloads use the deterministic byte-stream
+    * stand-in (truncate/repeat to the area-scaled length) so schema,
+    * partition behavior and downstream feature extraction are exercised
+    * end to end either way. Runs in the scan stage — payloads never
+    * shuffle.
     */
   def resize(payloads: DataFrame, width: Int, height: Int): DataFrame = {
     val spark = payloads.sparkSession
@@ -104,14 +175,19 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](1)
-          val (w0, h0) = FakeDecoder.dimensions(bytes)
-          val target = math.max(1,
-            (bytes.length.toLong * (width.toLong * height) / math.max(1L, w0.toLong * h0)).toInt)
-          // empty payload (zero-length doc) → empty output, matching
-          // meanByte/features' empty handling — indexing bytes(0) would throw
-          val out =
+          val real =
+            if (ImageCodec.looksLikeImage(bytes))
+              ImageCodec.resize(bytes, width, height)
+            else None
+          val out = real.getOrElse {
+            val (w0, h0) = FakeDecoder.dimensions(bytes)
+            val target = math.max(1,
+              (bytes.length.toLong * (width.toLong * height) / math.max(1L, w0.toLong * h0)).toInt)
+            // empty payload (zero-length doc) → empty output, matching
+            // meanByte/features' empty handling — indexing bytes(0) would throw
             if (bytes.isEmpty) Array.empty[Byte]
             else Array.tabulate(target)(i => bytes(i % bytes.length))
+          }
           Row(r.getLong(0), out, Row(out.length.toLong, r.getString(2),
             width, height))
         }

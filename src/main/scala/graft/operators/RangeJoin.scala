@@ -46,4 +46,23 @@ object RangeJoin {
       .filter(col(loCol) <= col(valCol) && col(valCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** Adaptive-width variant: derives the bin width as the median interval
+    * width (`approx_percentile` over hi - lo — one tiny agg returning a
+    * scalar, never data rows), so per-interval fan-out is O(1) without
+    * the caller knowing the value distribution. Join OUTPUT is identical
+    * for any width (the bin is an internal blocking key; the residual
+    * filter decides membership) — only the intermediate size varies.
+    */
+  def binnedRangeJoin(points: DataFrame, intervals: DataFrame,
+      keyCols: Seq[String], valCol: String, loCol: String,
+      hiCol: String): DataFrame = {
+    val row = intervals
+      .agg(percentile_approx((col(hiCol) - col(loCol)).cast("double"),
+        lit(0.5), lit(10000)))
+      .head()
+    val med = if (row.isNullAt(0)) 1.0 else row.getDouble(0)
+    binnedRangeJoin(points, intervals, keyCols, valCol, loCol, hiCol,
+      math.max(1L, med.toLong))
+  }
 }

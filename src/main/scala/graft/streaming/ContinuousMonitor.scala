@@ -110,6 +110,14 @@ object ContinuousMonitor {
     */
   final case class SupervisionReport(cycles: Int, failures: Int, forceKills: Int)
 
+  /** Raised (never retried) when an incarnation survives the force-kill:
+    * starting the next one while it lives would mean two writers on one
+    * checkpoint.
+    */
+  final class StuckIncarnationException(runId: String) extends IllegalStateException(
+    s"monitor query $runId still active after force-kill + grace; " +
+      "refusing to start an overlapping incarnation")
+
   /** The full O4 supervisor, mirroring the reference's restart semantics
     * (`/root/reference/databand_airflow_monitor.py:13-18,106-115`): each
     * cycle runs the monitor for `lifetimeMs` (AUTO_RESTART_TIMEOUT), then
@@ -124,6 +132,15 @@ object ContinuousMonitor {
     * a durable checkpoint, so restarts resume exactly-once from state).
     * `maxCycles` bounds the loop for tests/drain scenarios; production
     * passes Int.MaxValue and supervises forever.
+    *
+    * The failure budget is PER RUN, matching the reference's Airflow
+    * `retries=10` semantics: it resets after every successful cycle, so
+    * sporadic transient failures spread over months never accumulate to a
+    * kill — only `retries` consecutive failures do. And if an incarnation
+    * survives even the force-kill (job-group cancel + grace), the
+    * supervisor fails loudly instead of starting a second incarnation on
+    * top of it — with a shared durable checkpoint the overlapped start
+    * would fail anyway and silently burn the budget.
     */
   def runSupervised(mkQuery: () => org.apache.spark.sql.streaming.StreamingQuery,
       lifetimeMs: Long = 30L * 60 * 1000,
@@ -133,6 +150,7 @@ object ContinuousMonitor {
       maxCycles: Int = Int.MaxValue): SupervisionReport = {
     var cycles = 0
     var failures = 0
+    var consecutiveFailures = 0
     var forceKills = 0
     while (cycles < maxCycles) {
       try {
@@ -152,12 +170,19 @@ object ContinuousMonitor {
             q.sparkSession.sparkContext.cancelJobGroup(runId)
             stopper.join(forceKillGraceMs)
           }
+          if (q.isActive)
+            throw new StuckIncarnationException(runId)
         }
         cycles += 1
+        consecutiveFailures = 0 // per-run retry budget, as in the reference
       } catch {
+        // a stuck incarnation must NOT be retried — starting another query
+        // on top of a live one corrupts the shared checkpoint contract
+        case e: StuckIncarnationException => throw e
         case scala.util.control.NonFatal(e) =>
           failures += 1
-          if (failures > retries) throw e
+          consecutiveFailures += 1
+          if (consecutiveFailures > retries) throw e
           Thread.sleep(retryDelayMs)
       }
     }

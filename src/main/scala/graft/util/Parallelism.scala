@@ -15,11 +15,15 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * through untouched, so the shuffle cost is paid exactly when it buys
   * parallelism.
   *
-  * The probe reads the analyzed plan's file index (size already cached by
-  * the listing) and mirrors Spark's own `FilePartition.maxSplitBytes`
-  * arithmetic — no physical planning and no plan→RDD conversion, which
-  * the previous `df.rdd.getNumPartitions` probe paid once per wrapped
-  * operator (a full extra QueryExecution down to RDD lineage).
+  * The probe reads the OPTIMIZED plan's file index — after
+  * PruneFileSourcePartitions, so a partition-pruned scan is estimated at
+  * its pruned size, not the table total (the analyzed plan would
+  * overestimate pruned scans and skip the repartition exactly when the
+  * real scan is small) — and mirrors Spark's own
+  * `FilePartition.maxSplitBytes` arithmetic. No physical planning and no
+  * plan→RDD conversion, which the previous `df.rdd.getNumPartitions`
+  * probe paid once per wrapped operator (a full extra QueryExecution down
+  * to RDD lineage).
   */
 object Parallelism {
 
@@ -27,7 +31,7 @@ object Parallelism {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val conf = spark.sessionState.conf
-    val fileRelations = df.queryExecution.analyzed.collect {
+    val fileRelations = df.queryExecution.optimizedPlan.collect {
       case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
         l.relation.asInstanceOf[HadoopFsRelation]
     }

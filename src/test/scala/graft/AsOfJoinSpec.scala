@@ -50,6 +50,41 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(m(4L) == null)
   }
 
+  test("fixture scale: every quadrant matches the brute-force range-join reference") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "event_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("p_event"))
+
+    def brute(inclusive: Boolean, left: Boolean): Set[(Long, Long, Any)] = {
+      val cmp = if (inclusive) col("c.ts") >= col("p.ts") else col("c.ts") > col("p.ts")
+      val joined = clicks.as("c").join(purchases.as("p"),
+        col("c.user_id") === col("p.user_id") && cmp,
+        if (left) "left" else "inner")
+      val w = Window.partitionBy(col("c.user_id"), col("c.event_id"))
+        .orderBy(col("p.ts").desc)
+      joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("c.user_id"), col("c.event_id"), col("p.p_event"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
+    }
+    def asof(inclusive: Boolean, left: Boolean): Set[(Long, Long, Any)] =
+      AsOfJoin.asofLast(clicks, purchases, Seq("user_id"), "ts", "ts",
+        Seq("p_event"), if (left) "left" else "inner", inclusive)
+        .select("user_id", "event_id", "p_event")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
+
+    for (inclusive <- Seq(true, false); left <- Seq(true, false)) {
+      val b = brute(inclusive, left)
+      val a = asof(inclusive, left)
+      assert(a == b, s"quadrant (inclusive=$inclusive, left=$left) diverged: " +
+        s"asof=${a.size} rows, brute=${b.size} rows")
+      assert(a.nonEmpty, "fixture quadrant should produce rows")
+    }
+  }
+
   test("a legitimately-null payload value on a matched row survives inner mode") {
     val r = Seq(("A", ts("2026-01-01 10:00:00"), Option.empty[Long]))
       .toDF("sym", "q_ts", "q_id")

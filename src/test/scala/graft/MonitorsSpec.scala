@@ -123,6 +123,27 @@ class MonitorsSpec extends AnyFunSuite {
     assert(attempts == 3, "initial attempt + 2 retries")
   }
 
+  test("runSupervised: retry budget is per run — resets after a successful cycle") {
+    // 2 failures, success, 2 failures, success with retries=2: a GLOBAL
+    // budget dies at the 3rd failure; the per-run budget (the reference's
+    // Airflow retries=10 semantics) completes both cycles
+    var calls = 0
+    val flaky = () => {
+      calls += 1
+      if (calls % 3 != 0) throw new RuntimeException("transient")
+      ContinuousMonitor.hourlyEventCounts(spark, Tables.path(sf, "events"))
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("memory")
+        .queryName("flaky_" + System.nanoTime())
+        .outputMode("complete")
+        .start()
+    }
+    val report = ContinuousMonitor.runSupervised(flaky, lifetimeMs = 60000,
+      retries = 2, retryDelayMs = 1, maxCycles = 2)
+    assert(report.cycles == 2 && report.failures == 4)
+  }
+
   test("multimodal: payload schema contract and deterministic stub features") {
     val docs = Tables.load(spark, sf, "documents").limit(50)
     val payloads = Multimodal.synthesizePayloads(docs)
@@ -161,6 +182,44 @@ class MonitorsSpec extends AnyFunSuite {
     val er = Multimodal.resize(empty, 32, 32).collect().head
     assert(er.getAs[Array[Byte]]("payload").isEmpty)
     assert(Multimodal.sampleFrames(empty, n = 4).count() == 0)
+  }
+
+  test("multimodal: real PNG payloads decode via javax.imageio, not the stub") {
+    // generate a real PNG in-memory (JDK-only): 17×9, left half black,
+    // right half white → meanLuma ≈ 127, features concentrated in the
+    // lowest and highest luminance buckets
+    val im = new java.awt.image.BufferedImage(17, 9,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 9; x <- 0 until 17)
+      im.setRGB(x, y, if (x < 8) 0x000000 else 0xFFFFFF)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", buf)
+    val png = buf.toByteArray
+    assert(Multimodal.ImageCodec.looksLikeImage(png))
+
+    val payloads = Seq((1L, png)).toDF("doc_id", "payload")
+      .withColumn("metadata", struct(
+        length(col("payload")).cast("long").as("size_bytes"),
+        lit("image/png").as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height")))
+    val row = Multimodal.extractFeatures(payloads).collect().head
+    assert(row.getAs[Int]("width") == 17 && row.getAs[Int]("height") == 9,
+      "real decode must report the true pixel dimensions")
+    val feat = row.getSeq[Double](row.fieldIndex("feature"))
+    assert(feat.length == 8 && math.abs(feat.sum - 1.0) < 1e-9)
+    assert(feat.head > 0.4 && feat.last > 0.4,
+      "black/white halves must land in the extreme luminance buckets")
+
+    // real resize: output payload is a decodable PNG at the target size
+    val rr = Multimodal.resize(payloads, 10, 8).collect().head
+    val outBytes = rr.getAs[Array[Byte]]("payload")
+    assert(Multimodal.ImageCodec.looksLikeImage(outBytes))
+    val back = Multimodal.ImageCodec.decode(outBytes).get
+    assert(back.getWidth == 10 && back.getHeight == 8)
+
+    // text payloads must keep taking the deterministic stub path
+    assert(!Multimodal.ImageCodec.looksLikeImage("hello world".getBytes))
   }
 
   test("sinks: partitioned parquet round-trip with partition pruning") {

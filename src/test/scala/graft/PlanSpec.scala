@@ -160,6 +160,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"q59 must not fall back to a window:\n$p")
   }
 
+  test("q65: shard packing never sorts keyed only by the low-cardinality group") {
+    // the distributed-prefix-sum rework: every Window/Sort in the DATA path
+    // must be keyed by (source, bucket), never by source alone — a
+    // source-only window serializes a whole source onto one task at 100 TB.
+    // The one allowed source-only window runs over the tiny subtotal
+    // relation (input = an Aggregate, not the scan).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+    val df = SparkEntry.queries("q65_pack_shards")(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected window operators in the packing plan")
+    // a window sits over the tiny subtotal relation iff its child chain
+    // reaches an Aggregate through UNARY nodes only (a join in between
+    // means the window consumes re-joined data rows)
+    def overAggregate(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case u if u.children.size == 1 => overAggregate(u.children.head)
+      case _ => false
+    }
+    val dataPathSourceOnly = windows.filter { w =>
+      w.partitionSpec.size == 1 &&
+        w.partitionSpec.head.references.map(_.name).toSeq == Seq("source") &&
+        !overAggregate(w.child)
+    }
+    assert(dataPathSourceOnly.isEmpty,
+      s"data-path window keyed only by source:\n${df.queryExecution.optimizedPlan}")
+  }
+
   test("q56: top tokens plans TakeOrderedAndProject over a partial agg") {
     val p = plan("q56_top_tokens")
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$p")

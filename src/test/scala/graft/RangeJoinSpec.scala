@@ -48,6 +48,22 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptive width (median interval width) yields the identical result") {
+    val auto = RangeJoin.binnedRangeJoin(points, intervals, Seq("k"), "v", "lo", "hi")
+      .select("k", "v", "name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(auto == expected)
+  }
+
+  test("adaptive width survives degenerate inputs (empty / zero-width intervals)") {
+    val none = intervals.filter(col("name") === "zzz") // empty relation
+    assert(RangeJoin.binnedRangeJoin(points, none, Seq("k"), "v", "lo", "hi")
+      .count() == 0)
+    val zero = Seq(("u1", "z", 10L, 10L)).toDF("k", "name", "lo", "hi")
+    assert(RangeJoin.binnedRangeJoin(points, zero, Seq("k"), "v", "lo", "hi")
+      .count() == 0) // median width 0 clamps to 1, empty interval matches nothing
+  }
+
   test("plans as an equi-join on (key, bin), not a nested-loop product") {
     val p = RangeJoin.binnedRangeJoin(points, intervals, Seq("k"),
       "v", "lo", "hi", 10).queryExecution.executedPlan.toString

@@ -67,4 +67,45 @@ class SplitPackSpec extends AnyFunSuite {
       .filter(col("t") > budget + maxDoc).count()
     assert(over == 0L, s"a shard exceeded budget ($budget) + max doc ($maxDoc)")
   }
+
+  test("assignShards: distributed prefix sum equals the global-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("source"),
+        graft.operators.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val budget = 1024L
+    // reference: the serial-per-group window (correct, wrong plan at scale)
+    val w = Window.partitionBy("source").orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = docs.withColumn("shard",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget))
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chunked prefix sum, with a bucket count that forces many chunks
+    val got = Pack.assignShards(docs, budget, "source", buckets = 13)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, "bucketed prefix sum must match the global window exactly")
+  }
+
+  test("assignShards: a single-source frame still packs on >1 task") {
+    // AQE coalesces the tiny test shuffle into one partition (a scale
+    // artifact, not a plan property) — disable coalescing so the probe
+    // sees the plan's intrinsic key space
+    val prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .select(col("doc_id"), lit("one").as("source"),
+          graft.operators.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      // shard must stay referenced through the collect or the optimizer
+      // prunes the window (cardinality-preserving) and the probe reads
+      // the scan stage instead of the packing stage
+      val parts = Pack.assignShards(docs, 1024L, "source", buckets = 8)
+        .select(spark_partition_id().as("pid"), col("shard"))
+        .collect().map(_.getInt(0)).distinct.length
+      assert(parts > 1,
+        "packing one group must not serialize onto a single task")
+    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+  }
 }

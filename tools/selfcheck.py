@@ -12,17 +12,33 @@ sorted by name and rows sorted by all columns.
 import json, math, subprocess, sys
 import duckdb
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
-out_dir = args[1] if len(args) > 1 else "/tmp/verify"
+args = []
 only = None
-for a in sys.argv[1:]:
+run = False
+argv = sys.argv[1:]
+i = 0
+while i < len(argv):
+    a = argv[i]
     if a.startswith("--only="):
         only = set(a.split("=", 1)[1].split(","))
+    elif a == "--only":  # two-token form: --only q44,q46
+        if i + 1 >= len(argv):
+            sys.exit("--only requires a comma-separated query list")
+        i += 1
+        only = set(argv[i].split(","))
+    elif a == "--run":
+        run = True
+    elif a.startswith("--"):
+        sys.exit(f"unrecognized flag: {a}")
+    else:
+        args.append(a)
+    i += 1
+sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+out_dir = args[1] if len(args) > 1 else "/tmp/verify"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-if "--run" in sys.argv:
+if run:
     subprocess.run(["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
                    check=True)
 
