@@ -42,7 +42,9 @@ object Pack {
     *
     * @param tokensCol per-doc token count column
     * @param orderCol  deterministic layout order within the group —
-    *                  must be numeric and unique per row (doc ids)
+    *                  must be numeric, non-null and unique per row (doc
+    *                  ids); rows with null group/order keys are dropped
+    *                  by the offset join
     * @param buckets   prefix-sum chunk count (parallelism of the packing
     *                  stage); defaults to 4× the cluster's default
     *                  parallelism
@@ -59,25 +61,29 @@ object Pack {
     val lo = if (bounds.isNullAt(0)) 0L else bounds.getLong(0)
     val hi = if (bounds.isNullAt(1)) 0L else bounds.getLong(1)
     val width = math.max(1L, (hi - lo) / nBuckets + 1)
-    val bucketed = docs.withColumn("__bkt",
-      floor((col(orderCol).cast("long") - lo) / width))
+    val staged = docs
+      .withColumn("__bkt", floor((col(orderCol).cast("long") - lo) / width))
     // step 2: per-(group, bucket) subtotals → bucket starting offsets.
-    // The offsets window partitions by groupCol, but over the SUBTOTAL
-    // relation (≤ groups × buckets rows), not the data.
-    val subs = bucketed.groupBy(col(groupCol), col("__bkt"))
+    // Partial aggregation collapses each scan partition to ≤ buckets rows
+    // before any shuffle, so this pass moves only stat rows; it does
+    // re-read the (group, order, tokens) projection — when tokensCol is
+    // expensive to derive (tokenizing raw text), materialize it upstream
+    // so both passes read a cheap column. The offsets window partitions
+    // by groupCol, but over the SUBTOTAL relation (≤ groups × buckets
+    // rows), not the data.
+    val subs = staged.groupBy(col(groupCol), col("__bkt"))
       .agg(sum(col(tokensCol)).as("__sub"))
     val wOff = Window.partitionBy(groupCol).orderBy(col("__bkt").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = subs
       .withColumn("__off", coalesce(sum("__sub").over(wOff), lit(0L)))
       .select(col(groupCol), col("__bkt"), col("__off"))
-    // step 3: partition-local running sum, rebased. The join and the
-    // window share the (groupCol, __bkt) partitioning — one shuffle of
-    // the data total, keyed fine-grained enough to balance.
+    // step 3: partition-local running sum, rebased. The offsets relation
+    // is stat rows (≤ groups × buckets), always broadcastable.
     val wLocal = Window.partitionBy(col(groupCol), col("__bkt"))
       .orderBy(col(orderCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bucketed.join(offsets, Seq(groupCol, "__bkt"))
+    staged.join(broadcast(offsets), Seq(groupCol, "__bkt"))
       .withColumn("shard", floor(
         (col("__off") + sum(col(tokensCol)).over(wLocal) - col(tokensCol)) / budget))
       .select(docs.columns.map(col) :+ col("shard"): _*)

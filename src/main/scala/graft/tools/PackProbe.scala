@@ -3,22 +3,19 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev diagnostic: partition distribution of the packing stage. */
+/** Dev diagnostic: plan shape + partition distribution of the packing stage. */
 object PackProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
-      .select(col("doc_id"), lit("one").as("source"),
-        graft.operators.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-    val out = graft.operators.Pack.assignShards(docs, 1024L, "source", buckets = 8)
-    println("rdd partitions: " + out.rdd.getNumPartitions)
-    val rows = out.select(spark_partition_id().as("pid"), col("shard")).collect().map(_.getInt(0))
-    println("pid histogram: " + rows.groupBy(identity).view.mapValues(_.length).toMap)
-    println(out.queryExecution.executedPlan)
+    val out = graft.SparkEntry.queries("q65_pack_shards")(spark, "/root/testdata/sf0.01")
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    println("scans: " + "Scan parquet".r.findAllIn(p).size)
+    println("reused: " + "ReusedExchange".r.findAllIn(p).size)
+    println(p.linesIterator.filter(l => l.contains("Exchange") || l.contains("Scan parquet") || l.contains("Reused")).mkString("\n"))
     spark.stop()
   }
 }
