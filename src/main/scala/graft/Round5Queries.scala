@@ -3,13 +3,15 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Dedup, Deciles, Sampling, Split, TextOps}
+import graft.operators.{AsOfJoin, Chunk, Dedup, Deciles, Sampling, Split, TextOps}
 
 /** Round-5 queries: the scale-safe decile axis (q58a), the remaining
   * as-of-join quadrants oracled against DuckDB's native ASOF variants
-  * (q62a strict, q62b left), and the leakage-safe split (q64a) oracled
-  * via the recursive-CTE connected components composed with the split
-  * hash CASE.
+  * (q62a strict, q62b left), the leakage-safe split (q64a) oracled via
+  * the recursive-CTE connected components composed with the split hash
+  * CASE, plus three new pipeline operators — token-window chunking
+  * (q66), incremental exact dedup against an existing corpus (q67), and
+  * stratified deterministic sampling (q68).
   *
   * Oracle conventions as in [[LlmQueries]]: identical aliases, identical
   * rounding, deterministic total ORDER BY on both sides. q58a is the one
@@ -62,7 +64,59 @@ object Round5Queries {
         .groupBy("split", "source")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("split", "source")
-    }))
+    }),
+
+    // Token-window chunking: scan-stage row multiplication, no shuffle;
+    // every chunk row is oracle-compared including its text.
+    "q66_chunking" -> ((s, dir) =>
+      Chunk.chunkByTokens(docs(s, dir), ChunkWindow, ChunkStride)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Incremental exact dedup: the doc_id % BenchMod == 0 slice plays the
+    // already-ingested corpus, the rest the incoming delivery; per-source
+    // accounting of new/known/within-batch duplicates.
+    "q67_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val existing = d.filter(col("doc_id") % Round3Queries.BenchMod === 0)
+      val incoming = d.filter(col("doc_id") % Round3Queries.BenchMod =!= 0)
+      val fp = TextOps.fingerprint(col("text"))
+      val knownFps = existing.select(fp.as("__fp")).distinct()
+        .withColumn("__known", lit(1L))
+      val flagged = incoming.withColumn("__fp", fp)
+        .join(knownFps, Seq("__fp"), "left")
+      val perSource = flagged.groupBy("source").agg(
+        count(lit(1)).as("n_incoming"),
+        sum(coalesce(col("__known"), lit(0L))).as("n_dup_existing"))
+      val keptCounts = Dedup.incrementalNewDocs(incoming, existing)
+        .groupBy("source").agg(count(lit(1)).as("n_new_unique"))
+      perSource.join(keptCounts, Seq("source"), "left")
+        .na.fill(0L, Seq("n_new_unique"))
+        .withColumn("n_dup_within",
+          col("n_incoming") - col("n_dup_existing") - col("n_new_unique"))
+        .select("source", "n_incoming", "n_dup_existing", "n_new_unique",
+          "n_dup_within")
+        .orderBy("source")
+    }),
+
+    // Stratified deterministic sampling: per-stratum keep rates, still a
+    // pure scan-stage hash filter (no shuffle, no window).
+    "q68_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), "source", StratRates, StratDefault)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"))
+        .orderBy("source")))
+
+  /** q66's chunk geometry: window 32, stride 24 → 8-token overlap, and
+    * the ~54-token fixture docs split into ≥2 chunks at every SF so the
+    * oracle exercises both interior and short tail chunks.
+    */
+  val ChunkWindow = 32
+  val ChunkStride = 24
+
+  /** q68's stratum keep rates (sources beyond the map use the default). */
+  val StratRates: Map[String, Double] = Map("src0" -> 0.5, "src1" -> 0.25)
+  val StratDefault = 0.04
 
   /** q62*'s shared sides: clicks probe, purchases pre-aggregated to one
     * row per (user_id, ts) so the carried payload is deterministic.
@@ -111,6 +165,56 @@ object Round5Queries {
          |SELECT c.user_id, c.event_id, c.ts, p.p_event, p.p_value
          |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
          |ORDER BY c.user_id, c.event_id""".stripMargin,
+
+    "q66_chunking" -> {
+      val (w, s) = (ChunkWindow, ChunkStride)
+      s"""WITH t AS (SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+         |c AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+         |    unnest(range(0, CAST(ceil(len(ws)::DOUBLE / $s) AS BIGINT))) AS ci
+         |  FROM t WHERE len(ws) > 0)
+         |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+         |  CAST(least(n - ci * $s, $w) AS BIGINT) AS n_tokens,
+         |  array_to_string(ws[ci * $s + 1 : least(ci * $s + $w, n)], ' ')
+         |    AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+
+    "q67_incremental_dedup" -> {
+      val mod = Round3Queries.BenchMod
+      val fpSql = "md5(array_to_string(list_sort(list_distinct(" +
+        "regexp_extract_all(lower(text), '[a-z0-9]+'))), ' '))"
+      s"""WITH fp AS (SELECT doc_id, source, $fpSql AS f FROM documents),
+         |ex AS (SELECT DISTINCT f FROM fp WHERE doc_id % $mod = 0),
+         |inc AS (SELECT fp.doc_id, fp.source, fp.f,
+         |    CASE WHEN ex.f IS NOT NULL THEN 1 ELSE 0 END AS known
+         |  FROM fp LEFT JOIN ex ON fp.f = ex.f WHERE doc_id % $mod <> 0),
+         |kept AS (SELECT source FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY f ORDER BY doc_id) AS rn FROM inc WHERE known = 0)
+         |  WHERE rn = 1),
+         |g1 AS (SELECT source, count(*) AS n_incoming,
+         |    CAST(sum(known) AS BIGINT) AS n_dup_existing
+         |  FROM inc GROUP BY source),
+         |g2 AS (SELECT source, count(*) AS n_new_unique FROM kept GROUP BY source)
+         |SELECT g1.source, n_incoming, n_dup_existing,
+         |  CAST(coalesce(n_new_unique, 0) AS BIGINT) AS n_new_unique,
+         |  n_incoming - n_dup_existing - coalesce(n_new_unique, 0) AS n_dup_within
+         |FROM g1 LEFT JOIN g2 ON g1.source = g2.source
+         |ORDER BY g1.source""".stripMargin
+    },
+
+    "q68_stratified_sample" -> {
+      val m = Sampling.HashMod
+      val h = s"((doc_id % $m) * 2654435761) % $m"
+      val cases = StratRates.toSeq.sortBy(_._1)
+        .map { case (g, r) => s"WHEN source = '$g' THEN ${(m * r).toLong}" }
+        .mkString(" ")
+      val thr = s"CASE $cases ELSE ${(m * StratDefault).toLong} END"
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM documents WHERE $h < $thr
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
 
     // CC over the verified MinHash pairs (q50's recursive CTE), then the
     // q64 hash CASE keyed by coalesce(cluster, doc_id).

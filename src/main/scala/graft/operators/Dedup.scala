@@ -81,6 +81,33 @@ object Dedup {
     graft.util.Parallelism.ensure(docs).withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Incremental exact dedup: of an `incoming` batch, keep only docs
+    * whose fingerprint is new versus BOTH the `existing` corpus and
+    * earlier (lower-id) docs of the batch itself — the daily-ingest step
+    * that avoids re-deduplicating the whole corpus per delivery.
+    *
+    * Scale shape: the existing side reduces to a distinct-fingerprint
+    * relation (32-byte keys, no text) before the anti-join; within-batch
+    * survivors come from the same min-id-per-fingerprint window as
+    * [[dropExactDuplicates]], keyed by the high-cardinality fingerprint.
+    * Nothing ever shuffles document bodies except the incoming batch
+    * itself, and cost scales with |incoming| + |existing fingerprints| —
+    * not |corpus| × deliveries. (In production the fingerprint relation
+    * would be a maintained table; here it derives from `existing`.)
+    */
+  def incrementalNewDocs(incoming: DataFrame, existing: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val knownFps = graft.util.Parallelism.ensure(existing)
+      .select(TextOps.fingerprint(col(textCol)).as("__fp")).distinct()
+    val fresh = graft.util.Parallelism.ensure(incoming)
+      .withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .join(knownFps, Seq("__fp"), "left_anti")
+    val w = Window.partitionBy("__fp").orderBy(col(idCol).asc)
+    fresh.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
   // -------------------------------------------------------------------
   // n-gram Jaccard near-dup (blocked pairwise)
   // -------------------------------------------------------------------

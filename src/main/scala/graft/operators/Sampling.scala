@@ -56,4 +56,24 @@ object Sampling {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0,1]")
     df.filter(idHash(col(idCol)) < lit((HashMod * fraction).toLong))
   }
+
+  /** Stratified deterministic sample: per-stratum keep rates (corpus
+    * mixing by RATE where [[quotaSample]] mixes by absolute count).
+    * Same scan-stage hash filter as [[hashSample]] — the stratum only
+    * selects the threshold, so there is still no shuffle and no window;
+    * unlisted strata fall back to `defaultRate`.
+    */
+  def stratifiedSample(df: DataFrame, groupCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      idCol: String = "doc_id"): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, "rates in [0,1]"))
+    // deterministic CASE order (sorted keys) so plans are stable
+    val thr = rates.toSeq.sortBy(_._1)
+      .foldRight(lit((HashMod * defaultRate).toLong): Column) {
+        case ((g, r), acc) =>
+          when(col(groupCol) === g, lit((HashMod * r).toLong)).otherwise(acc)
+      }
+    df.filter(idHash(col(idCol)) < thr)
+  }
 }

@@ -76,15 +76,89 @@ class Round5Spec extends AnyFunSuite {
     assert(capped.subsetOf(exact), "the cap may only DROP pairs, never add")
   }
 
+  test("chunking: window/stride geometry on a hand-built doc") {
+    import spark.implicits._
+    val d = Seq((1L, "aa bb cc dd ee"), (2L, ""), (3L, "zz"))
+      .toDF("doc_id", "text")
+    val chunks = graft.operators.Chunk.chunkByTokens(d, window = 3, stride = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    // doc 1: 5 tokens, starts 0/2/4 -> "aa bb cc", "cc dd ee", "ee";
+    // doc 2: empty -> no rows; doc 3: single token
+    assert(chunks.toSeq == Seq(
+      (1L, 0, 3L, "aa bb cc"), (1L, 1, 3L, "cc dd ee"), (1L, 2, 1L, "ee"),
+      (3L, 0, 1L, "zz")))
+  }
+
+  test("chunking: fixture coverage — chunk counts and token accounting") {
+    val (w, s) = (Round5Queries.ChunkWindow, Round5Queries.ChunkStride)
+    val d = Tables.load(spark, sf, "documents")
+    val chunks = graft.operators.Chunk.chunkByTokens(d, w, s)
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), max("chunk_idx").as("max_idx"),
+        sum("n_tokens").as("tok_sum"))
+    val docs = d.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n"))
+    val joined = perDoc.join(docs, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (nChunks, maxIdx, tokSum, n) =
+        (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))
+      assert(nChunks == math.ceil(n.toDouble / s).toLong, s"doc ${r.getLong(0)}")
+      assert(maxIdx == nChunks - 1)
+      // overlap = w - s per interior boundary; token accounting is exact
+      val expected = (0L until nChunks).map(i => math.min(n - i * s, w.toLong)).sum
+      assert(tokSum == expected)
+    }
+  }
+
+  test("incremental dedup: drops known and within-batch duplicates, keeps min id") {
+    import spark.implicits._
+    val existing = Seq((100L, "the same old text")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "the same old text"),      // known fingerprint -> dropped
+      (2L, "THE SAME old TEXT!!"),    // same token set -> known -> dropped
+      (3L, "fresh words here"),       // new fp, min id -> kept
+      (4L, "fresh words here"),       // within-batch dup -> dropped
+      (5L, "another new doc"))        // kept
+      .toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.incrementalNewDocs(incoming, existing)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 5L))
+  }
+
+  test("stratified sample: per-stratum rates are honored exactly") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val out = graft.operators.Sampling.stratifiedSample(df, "source",
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("src0") == 100L, "rate 1.0 keeps every row")
+    assert(!out.contains("src1"), "rate 0.0 keeps none")
+    val mid = out.getOrElse("src2", 0L)
+    assert(mid > 20L && mid < 80L, s"default 0.5 kept $mid of 100")
+    // determinism + subset property: same rows on rerun
+    val again = graft.operators.Sampling.stratifiedSample(df, "source",
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = graft.operators.Sampling.stratifiedSample(df, "source",
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == first)
+  }
+
   test("round-5 queries are wired with oracles (q58a rows-only by design)") {
     val qs = SparkEntry.queries
     val os = SparkEntry.oracleSql
     Seq("q58a_token_deciles_approx", "q62a_asof_strict", "q62b_asof_left",
-      "q64a_split_leakage_safe", "q61a_minhash_cap_bind").foreach { q =>
+      "q64a_split_leakage_safe", "q61a_minhash_cap_bind", "q66_chunking",
+      "q67_incremental_dedup", "q68_stratified_sample").foreach { q =>
       assert(qs.contains(q), s"$q missing from SparkEntry.queries")
     }
     Seq("q61_minhash_capped", "q61a_minhash_cap_bind", "q62a_asof_strict",
-      "q62b_asof_left", "q64a_split_leakage_safe").foreach { q =>
+      "q62b_asof_left", "q64a_split_leakage_safe", "q66_chunking",
+      "q67_incremental_dedup", "q68_stratified_sample").foreach { q =>
       assert(os.contains(q), s"$q missing from SparkEntry.oracleSql")
     }
     assert(!os.contains("q58a_token_deciles_approx"),
