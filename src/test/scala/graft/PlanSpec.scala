@@ -187,6 +187,26 @@ class PlanSpec extends AnyFunSuite {
       s"data-path window keyed only by source:\n${df.queryExecution.optimizedPlan}")
   }
 
+  test("chunking is scan-stage only: no hash shuffle, no window") {
+    val p = graft.operators.Chunk.chunkByTokens(
+      Tables.load(spark, sf, "documents"), 32, 24)
+      .queryExecution.executedPlan.toString
+    // Parallelism.ensure may insert one round-robin repartition for the
+    // single-row-group fixture; a KEYED shuffle or window would mean the
+    // operator stopped being scan-stage
+    assert(!p.contains("hashpartitioning") && !p.contains("Window"),
+      s"chunking must stay scan-stage:\n$p")
+  }
+
+  test("stratifiedSample is a pure filter: no shuffle, no window") {
+    val p = graft.operators.Sampling.stratifiedSample(
+      Tables.load(spark, sf, "documents"), "source",
+      Map("src0" -> 0.5), 0.1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Window"),
+      s"stratifiedSample must stay a scan-stage filter:\n$p")
+  }
+
   test("q56: top tokens plans TakeOrderedAndProject over a partial agg") {
     val p = plan("q56_top_tokens")
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$p")

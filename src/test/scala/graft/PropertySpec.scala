@@ -116,6 +116,55 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pack: bucketed prefix sum ≡ global window for random docs/budgets/buckets") {
+    import org.apache.spark.sql.functions.{col, floor, sum => fsum}
+    import org.apache.spark.sql.expressions.Window
+    val docsGen = for {
+      n <- Gen.chooseNum(1, 40)
+      toks <- Gen.listOfN(n, Gen.chooseNum(0L, 500L))
+      grps <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+      budget <- Gen.chooseNum(1L, 800L)
+      buckets <- Gen.chooseNum(1, 9)
+    } yield (toks, grps, budget, buckets)
+    for ((toks, grps, budget, buckets) <- samples(docsGen, 4)) {
+      val df = toks.zip(grps).zipWithIndex
+        .map { case ((t, g), i) => (i.toLong * 3 + 1, g, t) } // sparse ids
+        .toDF("doc_id", "source", "n_tokens")
+      val w = Window.partitionBy("source").orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val expect = df.withColumn("shard",
+          floor((fsum(col("n_tokens")).over(w) - col("n_tokens")) / budget))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val got = graft.operators.Pack
+        .assignShards(df, budget, "source", buckets = buckets)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got == expect,
+        s"budget=$budget buckets=$buckets diverged from the window formulation")
+    }
+  }
+
+  test("chunking properties: counts, coverage, reconstruction for stride == window") {
+    val gen = for {
+      n <- Gen.chooseNum(0, 30)
+      ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta"))
+      window <- Gen.chooseNum(1, 8)
+    } yield (ws, window)
+    for ((ws, window) <- samples(gen, 4)) {
+      val df = Seq((1L, ws.mkString(" "))).toDF("doc_id", "text")
+      // stride == window: chunks partition the token stream exactly
+      val chunks = graft.operators.Chunk.chunkByTokens(df, window, window)
+        .orderBy("chunk_idx").collect()
+      if (ws.isEmpty) assert(chunks.isEmpty)
+      else {
+        assert(chunks.length == math.ceil(ws.size.toDouble / window).toInt)
+        val rebuilt = chunks.map(_.getString(3)).mkString(" ")
+        assert(rebuilt == ws.mkString(" "),
+          "stride==window chunks must reconstruct the token stream")
+        assert(chunks.map(_.getLong(2)).sum == ws.size.toLong)
+      }
+    }
+  }
+
   test("fingerprint invariance under token permutation") {
     for (ws <- samples(Gen.listOfN(8, Gen.identifier.suchThat(_.nonEmpty)), 3)
          if ws.nonEmpty) {
