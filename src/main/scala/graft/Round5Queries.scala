@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Chunk, Dedup, Deciles, Sampling, Split, TextOps}
+import graft.operators.{AsOfJoin, Chunk, Dedup, Deciles, Mixture, Sampling,
+  Split, TextOps}
 
 /** Round-5 queries: the scale-safe decile axis (q58a), the remaining
   * as-of-join quadrants oracled against DuckDB's native ASOF variants
@@ -105,6 +106,15 @@ object Round5Queries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").cast("long").as("total_chars"))
+        .orderBy("source")),
+
+    // Mixture rebalancing: rates DERIVED from target shares inside the
+    // plan (stat-row agg + scalar min + broadcast), then the scan-stage
+    // hash filter; strata outside the target mix are dropped.
+    "q69_mixture_rebalance" -> ((s, dir) =>
+      Mixture.rebalance(docs(s, dir), "source", MixShares)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
         .orderBy("source")))
 
   /** q66's chunk geometry: window 32, stride 24 → 8-token overlap, and
@@ -117,6 +127,12 @@ object Round5Queries {
   /** q68's stratum keep rates (sources beyond the map use the default). */
   val StratRates: Map[String, Double] = Map("src0" -> 0.5, "src1" -> 0.25)
   val StratDefault = 0.04
+
+  /** q69's target mixture (fixture sources are uniform, so src0 binds —
+    * rate 1.0 — and the rest downsample to 0.75 / 0.5 / 0.25).
+    */
+  val MixShares: Map[String, Double] =
+    Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
 
   /** q62*'s shared sides: clicks probe, purchases pre-aggregated to one
     * row per (user_id, ts) so the carried payload is deterministic.
@@ -214,6 +230,26 @@ object Round5Queries {
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM documents WHERE $h < $thr
          |GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "q69_mixture_rebalance" -> {
+      val m = Sampling.HashMod
+      val h = s"((d.doc_id % $m) * 2654435761) % $m"
+      val values = MixShares.toSeq.sortBy(_._1)
+        .map { case (g, sh) => s"('$g', $sh)" }.mkString(", ")
+      // the rate expression mirrors Mixture.rebalance's double arithmetic
+      // term for term (share * t / n, then rate * HashMod) so IEEE
+      // evaluation is bit-identical on both engines
+      s"""WITH c AS (SELECT source, count(*)::DOUBLE AS n FROM documents
+         |  GROUP BY source),
+         |sh AS (SELECT * FROM (VALUES $values) AS t(source, share)),
+         |j AS (SELECT c.source, n, share FROM c JOIN sh ON c.source = sh.source),
+         |mt AS (SELECT min(n / share) AS t FROM j),
+         |r AS (SELECT source, share * t / n AS rate FROM j, mt)
+         |SELECT d.source, count(*) AS n_docs
+         |FROM documents d JOIN r ON d.source = r.source
+         |WHERE CAST($h AS DOUBLE) < rate * $m
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
     },
 
     // CC over the verified MinHash pairs (q50's recursive CTE), then the

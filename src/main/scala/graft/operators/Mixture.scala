@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus mixture rebalancing: downsample strata so the OUTPUT matches a
+  * target share distribution — the "20% code, 30% web, …" dataset-mixing
+  * step, where [[Sampling.stratifiedSample]] applies caller-chosen rates,
+  * this derives the rates from the data.
+  *
+  * Rate math: the largest total satisfying every target share without
+  * upsampling is T = min_g(n_g / share_g); stratum g then keeps
+  * rate_g = share_g · T / n_g of its rows (the binding stratum keeps
+  * everything). Groups not in `shares` are dropped.
+  *
+  * Scale shape: one count aggregate (stat rows, one per stratum), a
+  * scalar min over it, and the same scan-stage hash filter as
+  * [[Sampling.hashSample]] — data rows never shuffle; the rate relation
+  * is broadcast. Rates are computed inside the plan (no driver loop), so
+  * the whole rebalance is ONE declarative query and the DuckDB oracle
+  * reproduces it exactly (same IEEE double expression on both engines).
+  */
+object Mixture {
+
+  /** @param shares target share per stratum value, summing to ~1; listed
+    *               shares must be > 0. Rows of unlisted strata are
+    *               dropped.
+    */
+  def rebalance(df: DataFrame, groupCol: String, shares: Map[String, Double],
+      idCol: String = "doc_id"): DataFrame = {
+    require(shares.nonEmpty, "need at least one target share")
+    require(shares.values.forall(_ > 0.0), "listed shares must be > 0")
+    require(math.abs(shares.values.sum - 1.0) < 1e-9, "shares must sum to 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sharesDf = shares.toSeq.sortBy(_._1).toDF(groupCol, "__share")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val joined = counts.join(sharesDf, Seq(groupCol))
+    val t = joined.agg(min(col("__n") / col("__share")).as("__t"))
+    val rates = joined.crossJoin(broadcast(t))
+      .select(col(groupCol),
+        (col("__share") * col("__t") / col("__n")).as("__rate"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(Sampling.idHash(col(idCol)).cast("double")
+        < col("__rate") * Sampling.HashMod)
+      .drop("__rate")
+  }
+}

@@ -24,6 +24,73 @@ object StreamingOps {
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** One tagged input row of [[asofEnrichStream]]. */
+  final case class AsofEvent(user_id: Long, ts: java.sql.Timestamp,
+      side: Int, event_id: Long, value: Double)
+
+  /** Per-user carried state: the latest reference (purchase) row. */
+  final case class AsofCarry(tsMillis: Long, pEvent: Long, pValue: Double)
+
+  /** One enriched left (click) row. */
+  final case class AsofEnriched(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, p_event: Option[Long], p_value: Option[Double])
+
+  /** Streaming as-of enrichment: attach to each left event (clicks) the
+    * most recent right event (purchases) at-or-before it, per user — the
+    * continuous form of [[graft.operators.AsOfJoin.asofLast]]
+    * (inner/inclusive), via `flatMapGroupsWithState`.
+    *
+    * Semantics: within a micro-batch, each user's rows are processed in
+    * (ts, side, event_id) order — purchases at a timestamp become visible
+    * to clicks at the same timestamp (inclusive), and equal-ts purchases
+    * resolve to the max event id, matching q62's pre-aggregation. Across
+    * batches the carried state is the latest purchase seen so far, so a
+    * right row arriving AFTER a left row was already emitted cannot
+    * retro-attribute it — emit-once streaming semantics; bound lateness
+    * upstream with the watermark. State is one tuple per user (the
+    * latest purchase), independent of stream length.
+    */
+  def asofEnrichStream(events: DataFrame, watermarkDelay: String,
+      leftType: String = "click", rightType: String = "purchase",
+      joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left").contains(joinType), s"joinType: $joinType")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tagged = events
+      .filter(col("event_type").isin(leftType, rightType))
+      .select(
+        col("user_id").cast("long").as("user_id"), col("ts"),
+        when(col("event_type") === rightType, 0).otherwise(1).as("side"),
+        col("event_id").cast("long").as("event_id"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermarkDelay)
+      .as[AsofEvent]
+    tagged.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofCarry, AsofEnriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[AsofEvent], state: GroupState[AsofCarry]) =>
+          val sorted = rows.toSeq
+            .sortBy(e => (e.ts.getTime, e.side, e.event_id))
+          val out = Seq.newBuilder[AsofEnriched]
+          var carry = state.getOption
+          sorted.foreach { e =>
+            if (e.side == 0) {
+              // ascending (ts, event_id) order → last write wins = the
+              // max event id per timestamp, q62's determinism rule
+              carry = Some(AsofCarry(e.ts.getTime, e.event_id, e.value))
+            } else {
+              val m = carry.filter(_.tsMillis <= e.ts.getTime)
+              if (m.isDefined || joinType == "left")
+                out += AsofEnriched(user, e.event_id, e.ts,
+                  m.map(_.pEvent), m.map(_.pValue))
+            }
+          }
+          carry.foreach(state.update)
+          out.result().iterator
+      }.toDF()
+  }
+
   /** Streaming gap-based sessions via Spark's native `session_window`:
     * events within `gap` of each other merge into one session per user;
     * a session closes (and emits, in append mode) once the watermark

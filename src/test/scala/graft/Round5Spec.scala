@@ -148,17 +148,41 @@ class Round5Spec extends AnyFunSuite {
     assert(again == first)
   }
 
+  test("mixture rebalance: binding stratum keeps all, output tracks target shares") {
+    import spark.implicits._
+    // 400/200/100 rows of a/b/c with target 25/25/50: c binds (100/0.5=200),
+    // so expected kept ≈ 50/50/100
+    val df = ((0L until 400L).map(i => (i, "a")) ++
+      (1000L until 1200L).map(i => (i, "b")) ++
+      (2000L until 2100L).map(i => (i, "c")))
+      .toDF("doc_id", "source")
+    val shares = Map("a" -> 0.25, "b" -> 0.25, "c" -> 0.5)
+    val out = graft.operators.Mixture.rebalance(df, "source", shares)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("c") == 100L, "the binding stratum must keep every row")
+    // hash-filter keep counts are binomial around the exact rate
+    assert(out("a") > 25L && out("a") < 80L, s"a kept ${out("a")} of ~50")
+    assert(out("b") > 25L && out("b") < 80L, s"b kept ${out("b")} of ~50")
+    // unlisted strata are dropped
+    val withJunk = df.union(Seq((5000L, "junk")).toDF("doc_id", "source"))
+    val out2 = graft.operators.Mixture.rebalance(withJunk, "source", shares)
+    assert(out2.filter(col("source") === "junk").count() == 0)
+  }
+
   test("round-5 queries are wired with oracles (q58a rows-only by design)") {
     val qs = SparkEntry.queries
     val os = SparkEntry.oracleSql
     Seq("q58a_token_deciles_approx", "q62a_asof_strict", "q62b_asof_left",
       "q64a_split_leakage_safe", "q61a_minhash_cap_bind", "q66_chunking",
-      "q67_incremental_dedup", "q68_stratified_sample").foreach { q =>
+      "q67_incremental_dedup", "q68_stratified_sample",
+      "q69_mixture_rebalance").foreach { q =>
       assert(qs.contains(q), s"$q missing from SparkEntry.queries")
     }
     Seq("q61_minhash_capped", "q61a_minhash_cap_bind", "q62a_asof_strict",
       "q62b_asof_left", "q64a_split_leakage_safe", "q66_chunking",
-      "q67_incremental_dedup", "q68_stratified_sample").foreach { q =>
+      "q67_incremental_dedup", "q68_stratified_sample",
+      "q69_mixture_rebalance").foreach { q =>
       assert(os.contains(q), s"$q missing from SparkEntry.oracleSql")
     }
     assert(!os.contains("q58a_token_deciles_approx"),

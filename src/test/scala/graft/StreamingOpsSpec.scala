@@ -8,6 +8,7 @@ import java.sql.Timestamp
 import graft.streaming.StreamingOps
 
 case class StreamEv(doc_id: Long, fp: String, ts: Timestamp, user_id: Long, value: Double)
+case class RawEv(user_id: Long, ts: Timestamp, event_type: String, event_id: Long, value: Double)
 
 class StreamingOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -35,6 +36,67 @@ class StreamingOpsSpec extends AnyFunSuite {
       val ids = spark.table("dedup_stream").select("doc_id")
         .collect().map(_.getLong(0)).sorted
       assert(ids.toSeq == Seq(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
+  test("streaming as-of enrichment equals the batch as-of join on a drained stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val all = ev.select(col("user_id").cast("long"), col("ts"),
+        col("event_type"), col("event_id").cast("long"),
+        col("value").cast("double"))
+      .as[RawEv].collect().toSeq
+    val input = MemoryStream[RawEv]
+    val out = StreamingOps.asofEnrichStream(input.toDS().toDF(), "1 hour")
+    val name = "asof_stream_" + System.nanoTime()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(all) // one batch: in-batch ordering = exact as-of
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select("user_id", "event_id", "p_event", "p_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2), r.get(3))).toSet
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("p_event"),
+          max_by(col("value"), col("event_id")).as("p_value"))
+      val expect = graft.operators.AsOfJoin.asofLast(clicks, purchases,
+          Seq("user_id"), "ts", "ts", Seq("p_event", "p_value"))
+        .select("user_id", "event_id", "p_event", "p_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2), r.get(3))).toSet
+      assert(expect.nonEmpty && got == expect)
+    } finally q.stop()
+  }
+
+  test("streaming as-of carries state across batches but never retro-attributes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[RawEv]
+    val out = StreamingOps.asofEnrichStream(input.toDS().toDF(), "0 seconds",
+      joinType = "left")
+    val name = "asof_stream2_" + System.nanoTime()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: click with no purchase yet -> emitted unattributed
+      input.addData(RawEv(1, ts("2024-01-01 10:00:00"), "click", 100, 0.0))
+      q.processAllAvailable()
+      // batch 2: a purchase EARLIER than the batch-1 click (late arrival)
+      // plus a later click — only the later click attributes to it
+      input.addData(
+        RawEv(1, ts("2024-01-01 09:00:00"), "purchase", 50, 9.99),
+        RawEv(1, ts("2024-01-01 11:00:00"), "click", 101, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .select("event_id", "p_event")
+        .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+      assert(rows(100L) == null, "emit-once: no retro-attribution")
+      assert(rows(101L) == 50L, "state carries the purchase across batches")
     } finally q.stop()
   }
 
