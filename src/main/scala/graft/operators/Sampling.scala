@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   * Knuth multiplicative hash of the id — a deterministic pseudo-random
   * total order — instead of `rand()`.
   *
-  * Scale shape: `quotaSample` is a per-group top-k. The window
-  * formulation shuffles once on the group key and sorts only within
-  * groups; groups are source/domain-sized (≫ cores, ≪ rows each), so
-  * partitions balance. If one group could be corpus-sized, cap it first
-  *  with the aggregated top-k pattern (q06) — noted rather than built
-  * because quota sampling by construction wants modest k per group.
+  * Scale shape: `quotaSample` is a per-group top-k, built on the
+  * [[graft.functions.TopKBy]] aggregate rather than a
+  * `row_number() OVER (PARTITION BY group)` window: partial aggregation
+  * keeps a bounded k-heap per group per partition, so the shuffle moves
+  * ≤k rows per group and NO group is ever sorted whole on one task —
+  * safe even when a single source is corpus-sized (the window
+  * formulation would serialize that source's full sort onto one
+  * reducer, the q58/q65 hazard class).
   */
 object Sampling {
 
@@ -38,12 +40,26 @@ object Sampling {
   /** Keep at most `k` rows per group, chosen by hash rank — a fixed
     * per-domain quota (the "cap any one source's share" rule of corpus
     * mixing). Output keeps the hash rank as `rank` (1-based).
+    *
+    * The k smallest (hash, id) pairs are the k LARGEST negated pairs, so
+    * the [[graft.functions.TopKBy]] descending aggregate yields exactly
+    * the window formulation's rows and ranks (ids are non-negative and
+    * unique, making the order total). All non-group columns ride in the
+    * aggregated struct — ≤k full rows per group cross the exchange.
+    * Columns must be orderable (no maps) — true of the corpus tables.
     */
   def quotaSample(df: DataFrame, groupCol: String, k: Int,
       idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(idHash(col(idCol)).asc, col(idCol).asc)
-    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    import graft.functions.TopKBy.topKBy
+    val payloadCols = df.columns.filterNot(_ == groupCol).toSeq
+    val ordered = struct(
+      (-idHash(col(idCol))).as("__nh") +: (-col(idCol)).as("__nid") +:
+        payloadCols.map(col): _*)
+    df.groupBy(col(groupCol))
+      .agg(topKBy(ordered, k).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col(groupCol) +: payloadCols.map(c => col(s"__t.$c").as(c)) :+
+        (col("__pos") + 1).cast("int").as("rank"): _*)
   }
 
   /** Deterministic fraction sample: keep rows whose id-hash falls below

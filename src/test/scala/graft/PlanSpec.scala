@@ -146,11 +146,14 @@ class PlanSpec extends AnyFunSuite {
       s"hashSample must stay a scan-stage filter:\n$p")
   }
 
-  test("q54: quota sample windows partition by source (parallel), no global sort") {
+  test("q54: quota sample is a bounded-heap aggregate, not a per-source window sort") {
+    // TopKBy partial aggregation ships <=k rows per source through the
+    // exchange; a Window here would sort each whole source on one task —
+    // the q58/q65 serialization hazard class
     val p = plan("q54_quota_sample")
-    assert(p.contains("Window"), s"expected a window in:\n$p")
-    assert("Exchange hashpartitioning\\(source".r.findAllIn(p).nonEmpty,
-      s"window must partition by source, not a single global partition:\n$p")
+    assert(!p.contains("Window"), s"quota sample regressed to a window:\n$p")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_topkby"),
+      s"expected a partial TopKBy aggregate:\n$p")
   }
 
   test("q59: TopKBy plans as ObjectHashAggregate with a partial phase (<=k rows per group shuffle)") {
