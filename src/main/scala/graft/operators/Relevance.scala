@@ -36,6 +36,14 @@ object Relevance {
 
   /** Top-k terms per block by summed TF-IDF — the per-slice keyword
     * profile. Rounded before ranking so the oracle's cut is identical.
+    *
+    * The ranking window partitions on `block` (low cardinality), but its
+    * input is the per-block VOCABULARY relation (one stat row per
+    * distinct term, produced by the aggregate above) — bounded by
+    * vocabulary size, not corpus size, so the per-block sort stays small
+    * at any corpus scale. (An aggregate top-k would need a total order
+    * including the string tiebreak, which TopKBy's descending struct
+    * order can't express for ascending strings.)
     */
   def topTerms(docs: DataFrame, blockCol: String, k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
