@@ -48,12 +48,17 @@ object StreamingOps {
     * right row arriving AFTER a left row was already emitted cannot
     * retro-attribute it — emit-once streaming semantics; bound lateness
     * upstream with the watermark. State is one tuple per user (the
-    * latest purchase), independent of stream length.
+    * latest purchase); with an UNBOUNDED key space that still grows
+    * without bound over the stream's lifetime, so `stateTtlMs` arms an
+    * event-time timeout: a key idle past its last event time + TTL (as
+    * judged by the watermark) drops its carried state — keys seen after
+    * expiry start unattributed, exactly like new keys.
     */
   def asofEnrichStream(events: DataFrame, watermarkDelay: String,
       leftType: String = "click", rightType: String = "purchase",
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner", stateTtlMs: Option[Long] = None): DataFrame = {
     require(Seq("inner", "left").contains(joinType), s"joinType: $joinType")
+    require(stateTtlMs.forall(_ > 0), "stateTtlMs must be positive")
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
@@ -66,28 +71,45 @@ object StreamingOps {
         col("value").cast("double").as("value"))
       .withWatermark("ts", watermarkDelay)
       .as[AsofEvent]
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     tagged.groupByKey(_.user_id)
       .flatMapGroupsWithState[AsofCarry, AsofEnriched](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (user: Long, rows: Iterator[AsofEvent], state: GroupState[AsofCarry]) =>
-          val sorted = rows.toSeq
-            .sortBy(e => (e.ts.getTime, e.side, e.event_id))
-          val out = Seq.newBuilder[AsofEnriched]
-          var carry = state.getOption
-          sorted.foreach { e =>
-            if (e.side == 0) {
-              // ascending (ts, event_id) order → last write wins = the
-              // max event id per timestamp, q62's determinism rule
-              carry = Some(AsofCarry(e.ts.getTime, e.event_id, e.value))
-            } else {
-              val m = carry.filter(_.tsMillis <= e.ts.getTime)
-              if (m.isDefined || joinType == "left")
-                out += AsofEnriched(user, e.event_id, e.ts,
-                  m.map(_.pEvent), m.map(_.pValue))
+          if (state.hasTimedOut) {
+            // idle past TTL: the watermark passed last-event-time + TTL
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq
+              .sortBy(e => (e.ts.getTime, e.side, e.event_id))
+            val out = Seq.newBuilder[AsofEnriched]
+            var carry = state.getOption
+            sorted.foreach { e =>
+              if (e.side == 0) {
+                // ascending (ts, event_id) order → last write wins = the
+                // max event id per timestamp, q62's determinism rule
+                carry = Some(AsofCarry(e.ts.getTime, e.event_id, e.value))
+              } else {
+                val m = carry.filter(_.tsMillis <= e.ts.getTime)
+                if (m.isDefined || joinType == "left")
+                  out += AsofEnriched(user, e.event_id, e.ts,
+                    m.map(_.pEvent), m.map(_.pValue))
+              }
             }
+            carry.foreach { c =>
+              state.update(c)
+              // expire relative to the key's latest activity, not just
+              // the carried purchase
+              stateTtlMs.foreach { ttl =>
+                val base = (c.tsMillis +: sorted.map(_.ts.getTime)).max
+                state.setTimeoutTimestamp(base + ttl)
+              }
+            }
+            out.result().iterator
           }
-          carry.foreach(state.update)
-          out.result().iterator
       }.toDF()
   }
 

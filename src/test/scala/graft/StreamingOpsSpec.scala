@@ -100,6 +100,35 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of state TTL: idle keys expire once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[RawEv]
+    val out = StreamingOps.asofEnrichStream(input.toDS().toDF(), "0 seconds",
+      joinType = "left", stateTtlMs = Some(30L * 60 * 1000)) // 30 min TTL
+    val name = "asof_ttl_" + System.nanoTime()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // b1: user 1 purchase at 10:00 -> state carried, timeout armed 10:30
+      input.addData(RawEv(1, ts("2024-01-01 10:00:00"), "purchase", 50, 9.99))
+      q.processAllAvailable()
+      // b2: unrelated user advances the watermark past 10:30
+      input.addData(RawEv(2, ts("2024-01-01 11:00:00"), "click", 60, 0.0))
+      q.processAllAvailable()
+      // b3: another tick lets user 1's timeout fire (no data for key 1)
+      input.addData(RawEv(2, ts("2024-01-01 11:01:00"), "click", 61, 0.0))
+      q.processAllAvailable()
+      // b4: user 1 clicks after expiry -> unattributed, like a new key
+      input.addData(RawEv(1, ts("2024-01-01 12:00:00"), "click", 100, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table(name).select("event_id", "p_event")
+        .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+      assert(rows(100L) == null,
+        "state idle past the TTL must be dropped, not attributed")
+    } finally q.stop()
+  }
+
   test("streaming session windows merge near events and emit closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
