@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, Chunk, Dedup, Deciles, Mixture, Sampling,
-  Split, TextOps}
+  Similarity, Split, TextOps}
 
 /** Round-5 queries: the scale-safe decile axis (q58a), the remaining
   * as-of-join quadrants oracled against DuckDB's native ASOF variants
@@ -115,7 +115,22 @@ object Round5Queries {
       Mixture.rebalance(docs(s, dir), "source", MixShares)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"))
-        .orderBy("source")))
+        .orderBy("source")),
+
+    // Semantic dedup (SemDedup): per-label vec counts before/after
+    // keeping one representative per embedding near-dup cluster.
+    "q70_semantic_dedup" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val kept = Similarity.semanticDedup(e, "label", SemDedupThreshold)
+        .groupBy("label").agg(count(lit(1)).as("n_kept"))
+      e.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+        .join(kept, Seq("label"), "left")
+        .na.fill(0L, Seq("n_kept"))
+        .orderBy("label")
+    }))
+
+  /** q70's cosine threshold — q38's value, where the fixture has pairs. */
+  val SemDedupThreshold = 0.45
 
   /** q66's chunk geometry: window 32, stride 24 → 8-token overlap, and
     * the ~54-token fixture docs split into ≥2 chunks at every SF so the
@@ -251,6 +266,26 @@ object Round5Queries {
          |WHERE CAST($h AS DOUBLE) < rate * $m
          |GROUP BY d.source ORDER BY d.source""".stripMargin
     },
+
+    // q38's pair predicate + the q50-style recursive-CTE closure; kept =
+    // cluster minimum (or self when never paired).
+    "q70_semantic_dedup" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= $SemDedupThreshold),
+         |edges AS (SELECT vec_a AS src, vec_b AS dst FROM p
+         |  UNION SELECT vec_b, vec_a FROM p),
+         |r AS (SELECT DISTINCT src AS id, src AS lab FROM edges
+         |  UNION SELECT e2.src, r.lab FROM edges e2 JOIN r ON e2.dst = r.id),
+         |cc AS (SELECT id, min(lab) AS cluster FROM r GROUP BY id),
+         |k AS (SELECT e.label,
+         |    (cc.cluster IS NULL OR cc.cluster = e.vec_id) AS keep
+         |  FROM e LEFT JOIN cc ON e.vec_id = cc.id)
+         |SELECT label, count(*) AS n_vecs,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM k GROUP BY label ORDER BY label""".stripMargin,
 
     // CC over the verified MinHash pairs (q50's recursive CTE), then the
     // q64 hash CASE keyed by coalesce(cluster, doc_id).

@@ -297,4 +297,28 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select("vec_a", "vec_b", "cos_sim")
   }
+
+  /** Semantic dedup (SemDedup-style): keep ONE representative per
+    * embedding near-dup cluster — the connected component of
+    * cosine ≥ threshold pairs within blocks — the embedding-space
+    * analogue of exact dedup's keep-min-per-fingerprint. The kept row is
+    * the cluster's minimum id; rows in no near-dup pair keep themselves.
+    *
+    * Scale shape: the pair stage is [[nearDupPairs]] (blocked, never
+    * all-pairs); the closure is [[Dedup.connectedComponents]]
+    * (min-label propagation over the PAIR relation — near-dup-sized,
+    * not corpus-sized); the final keep decision is a left join of the
+    * corpus against the cluster relation keyed by the high-cardinality
+    * id, broadcast when small.
+    */
+  def semanticDedup(embeddings: DataFrame, blockCol: String,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val pairs = nearDupPairs(embeddings, blockCol, threshold, idCol, vecCol)
+    val cc = Dedup.connectedComponents(pairs, "vec_a", "vec_b")
+      .withColumnRenamed("doc_id", idCol)
+    embeddings.join(cc, Seq(idCol), "left")
+      .filter(col("cluster").isNull || col("cluster") === col(idCol))
+      .drop("cluster")
+  }
 }

@@ -170,19 +170,42 @@ class Round5Spec extends AnyFunSuite {
     assert(out2.filter(col("source") === "junk").count() == 0)
   }
 
+  test("semantic dedup: one representative per cluster, no kept near-dup pair") {
+    // sf0.01: the smallest fixture with cosine-0.45 near-dup pairs (q38)
+    val e = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val pairs = graft.operators.Similarity.nearDupPairs(e, "label", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should contain embedding near-dups")
+    val kept = graft.operators.Similarity.semanticDedup(e, "label", 0.45)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    graft.util.Caches.releaseAll()
+    // directly-paired vectors share a cluster — at most one survives
+    pairs.foreach { case (a, b) =>
+      assert(!(kept(a) && kept(b)), s"near-dup pair ($a, $b) both kept")
+    }
+    // count identity: kept = all - (clustered members - clusters)
+    val cc = graft.operators.Dedup.connectedComponents(
+      graft.operators.Similarity.nearDupPairs(e, "label", 0.45),
+      "vec_a", "vec_b")
+    val members = cc.count()
+    val clusters = cc.select("cluster").distinct().count()
+    graft.util.Caches.releaseAll()
+    assert(kept.size == e.count() - (members - clusters))
+  }
+
   test("round-5 queries are wired with oracles (q58a rows-only by design)") {
     val qs = SparkEntry.queries
     val os = SparkEntry.oracleSql
     Seq("q58a_token_deciles_approx", "q62a_asof_strict", "q62b_asof_left",
       "q64a_split_leakage_safe", "q61a_minhash_cap_bind", "q66_chunking",
       "q67_incremental_dedup", "q68_stratified_sample",
-      "q69_mixture_rebalance").foreach { q =>
+      "q69_mixture_rebalance", "q70_semantic_dedup").foreach { q =>
       assert(qs.contains(q), s"$q missing from SparkEntry.queries")
     }
     Seq("q61_minhash_capped", "q61a_minhash_cap_bind", "q62a_asof_strict",
       "q62b_asof_left", "q64a_split_leakage_safe", "q66_chunking",
       "q67_incremental_dedup", "q68_stratified_sample",
-      "q69_mixture_rebalance").foreach { q =>
+      "q69_mixture_rebalance", "q70_semantic_dedup").foreach { q =>
       assert(os.contains(q), s"$q missing from SparkEntry.oracleSql")
     }
     assert(!os.contains("q58a_token_deciles_approx"),
