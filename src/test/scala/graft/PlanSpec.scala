@@ -210,6 +210,28 @@ class PlanSpec extends AnyFunSuite {
       s"stratifiedSample must stay a scan-stage filter:\n$p")
   }
 
+  test("q67: incremental dedup broadcasts the fingerprint set; window keys on __fp") {
+    val p = plan("q67_incremental_dedup")
+    // known-fingerprint membership must be a broadcast anti-join (the
+    // corpus must not shuffle for the membership test)
+    assert("BroadcastHashJoin .*LeftAnti".r.findAllIn(p).nonEmpty,
+      s"expected a broadcast anti-join on fingerprints:\n$p")
+    // the within-batch min-id window partitions on the high-cardinality
+    // fingerprint, never a low-cardinality key
+    assert("Exchange hashpartitioning\\(__fp".r.findAllIn(p).nonEmpty,
+      s"window must partition by fingerprint:\n$p")
+  }
+
+  test("q69: mixture rates broadcast into a scan-stage filter") {
+    val p = plan("q69_mixture_rebalance")
+    // the rate relation joins broadcast — data rows never shuffle before
+    // the keep/drop decision
+    assert(p.contains("BroadcastHashJoin"),
+      s"rate application should be a broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"mixture filter must not shuffle the corpus:\n$p")
+  }
+
   test("q56: top tokens plans TakeOrderedAndProject over a partial agg") {
     val p = plan("q56_top_tokens")
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$p")
