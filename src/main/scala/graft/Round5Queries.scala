@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Chunk, Dedup, Deciles, Mixture, Sampling,
-  Similarity, Split, TextOps}
+import graft.operators.{AsOfJoin, Chunk, Dedup, Deciles, Mixture, Pack,
+  Pipeline, Sampling, Similarity, Split, TextOps}
 
 /** Round-5 queries: the scale-safe decile axis (q58a), the remaining
   * as-of-join quadrants oracled against DuckDB's native ASOF variants
@@ -117,6 +117,35 @@ object Round5Queries {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("source")),
 
+    // The full corpus-build capstone, ONE declarative plan: normalize →
+    // quality-filter → exact-dedup (Pipeline.prepareCorpus) → token-window
+    // chunking of the normalized text → token-budget shard packing of the
+    // chunks (distributed prefix sum) → per-(source, shard) rollup.
+    // Catalyst sees every stage at once: normalization fuses into the
+    // scan, the quality filter prunes before the dedup shuffle, chunking
+    // multiplies rows scan-stage, and packing adds its bounded stat-row
+    // machinery on top.
+    "q71_corpus_pipeline" -> ((s, dir) => {
+      val kept = Pipeline.prepareCorpus(docs(s, dir), minQuality = 0.5)
+      val chunks = Chunk.chunkByTokens(
+        kept.select(col("doc_id"), col("source"),
+          col("norm_text").as("text")),
+        ChunkWindow, ChunkStride, carryCols = Seq("source"))
+      // packing's two passes (subtotals + rebase) would otherwise re-run
+      // the whole normalize→dedup→chunk pipeline twice; cache the SLIM
+      // chunk relation (3 columns, no chunk text — ~30 bytes/row, released
+      // via Caches.releaseAll) so both passes read materialized stat rows
+      val slim = graft.util.Caches.cached(
+        chunks.select(col("source"), col("n_tokens"),
+          ((col("doc_id") * (1L << ChunkOrdShift)) + col("chunk_idx")).as("__ord")))
+      Pack.assignShards(slim, Round4Queries.ShardBudgetTokens, "source",
+        tokensCol = "n_tokens", orderCol = "__ord")
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum("n_tokens").cast("long").as("shard_tokens"))
+        .orderBy("source", "shard")
+    }),
+
     // Semantic dedup (SemDedup): per-label vec counts before/after
     // keeping one representative per embedding near-dup cluster.
     "q70_semantic_dedup" -> ((s, dir) => {
@@ -131,6 +160,12 @@ object Round5Queries {
 
   /** q70's cosine threshold — q38's value, where the fixture has pairs. */
   val SemDedupThreshold = 0.45
+
+  /** q71's chunk-order packing key: doc_id · 2^20 + chunk_idx — a single
+    * numeric layout order (chunk counts are far below 2^20; doc ids past
+    * ~2^43 would need a wider encoding).
+    */
+  val ChunkOrdShift = 20
 
   /** q66's chunk geometry: window 32, stride 24 → 8-token overlap, and
     * the ~54-token fixture docs split into ≥2 chunks at every SF so the
@@ -265,6 +300,45 @@ object Round5Queries {
          |FROM documents d JOIN r ON d.source = r.source
          |WHERE CAST($h AS DOUBLE) < rate * $m
          |GROUP BY d.source ORDER BY d.source""".stripMargin
+    },
+
+    // q51's prep CTEs + q66's chunk CTEs + q65's pack window, end to end.
+    "q71_corpus_pipeline" -> {
+      val (w, st) = (ChunkWindow, ChunkStride)
+      val budget = Round4Queries.ShardBudgetTokens
+      val stopList = TextOps.Stopwords.map(x => s"'$x'").mkString("[", ",", "]")
+      s"""WITH n AS (SELECT doc_id, source,
+         |    trim(regexp_replace(regexp_replace(text, 'https?://\\S+', '', 'g'),
+         |      '\\s+', ' ', 'g')) AS nt
+         |  FROM documents),
+         |t AS (SELECT doc_id, source, nt,
+         |    regexp_extract_all(lower(nt), '[a-z0-9]+') AS ws FROM n),
+         |q AS (SELECT doc_id, source, ws,
+         |  round((least(len(ws)::DOUBLE / 50.0, 1.0)
+         |    + least((CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+         |        len(list_filter(ws, x -> list_contains($stopList, x)))::DOUBLE / len(ws) END) * 5.0, 1.0)
+         |    + greatest(1.0 - (CASE WHEN length(nt) = 0 THEN 0.0 ELSE
+         |        len(regexp_extract_all(nt, '[^a-zA-Z0-9\\s]'))::DOUBLE / length(nt) END) * 10.0, 0.0)
+         |  ) / 3.0, 4) AS quality,
+         |  md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS f
+         |  FROM t),
+         |p AS (SELECT * FROM q WHERE quality >= 0.5),
+         |k AS (SELECT f, min(doc_id) AS keep FROM p GROUP BY f),
+         |kept AS (SELECT p.doc_id, p.source, p.ws
+         |  FROM p JOIN k ON p.doc_id = k.keep),
+         |c AS (SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS nn,
+         |    unnest(range(0, CAST(ceil(len(ws)::DOUBLE / $st) AS BIGINT))) AS ci
+         |  FROM kept WHERE len(ws) > 0),
+         |ch AS (SELECT source,
+         |    CAST(least(nn - ci * $st, $w) AS BIGINT) AS n_tokens,
+         |    doc_id * ${1L << ChunkOrdShift} + ci AS ord FROM c),
+         |sh AS (SELECT source, n_tokens,
+         |    CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY ord
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens) / $budget) AS BIGINT) AS shard
+         |  FROM ch)
+         |SELECT source, shard, count(*) AS n_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+         |FROM sh GROUP BY source, shard ORDER BY source, shard""".stripMargin
     },
 
     // q38's pair predicate + the q50-style recursive-CTE closure; kept =

@@ -23,25 +23,28 @@ import org.apache.spark.sql.functions._
   */
 object Chunk {
 
-  /** @return (idCol, chunk_idx, n_tokens, chunk_text) — one row per
-    *         chunk; docs with zero tokens produce no rows
+  /** @param carryCols extra input columns copied onto every chunk row
+    *                   (e.g. `source` for downstream packing)
+    * @return (idCol, carryCols..., chunk_idx, n_tokens, chunk_text) —
+    *         one row per chunk; docs with zero tokens produce no rows
     */
   def chunkByTokens(docs: DataFrame, window: Int, stride: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(window >= 1, "window must be >= 1")
     require(stride >= 1, "stride must be >= 1")
+    val carried = carryCols.map(col)
     graft.util.Parallelism.ensure(docs)
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("__ws"))
+      .select(col(idCol) +: carried :+ TextOps.tokens(col(textCol)).as("__ws"): _*)
       .withColumn("__n", size(col("__ws")).cast("long"))
       .filter(col("__n") > 0)
-      .select(col(idCol), col("__ws"), col("__n"),
+      .select(col(idCol) +: carried ++: Seq(col("__ws"), col("__n"),
         explode(sequence(lit(0L),
-          ceil(col("__n").cast("double") / stride).cast("long") - 1)).as("__ci"))
-      .select(
-        col(idCol),
+          ceil(col("__n").cast("double") / stride).cast("long") - 1)).as("__ci")): _*)
+      .select(col(idCol) +: carried ++: Seq(
         col("__ci").cast("int").as("chunk_idx"),
         least(col("__n") - col("__ci") * stride, lit(window.toLong)).as("n_tokens"),
         array_join(slice(col("__ws"),
-          (col("__ci") * stride + 1).cast("int"), lit(window)), " ").as("chunk_text"))
+          (col("__ci") * stride + 1).cast("int"), lit(window)), " ").as("chunk_text")): _*)
   }
 }

@@ -199,13 +199,15 @@ class Round5Spec extends AnyFunSuite {
     Seq("q58a_token_deciles_approx", "q62a_asof_strict", "q62b_asof_left",
       "q64a_split_leakage_safe", "q61a_minhash_cap_bind", "q66_chunking",
       "q67_incremental_dedup", "q68_stratified_sample",
-      "q69_mixture_rebalance", "q70_semantic_dedup").foreach { q =>
+      "q69_mixture_rebalance", "q70_semantic_dedup",
+      "q71_corpus_pipeline").foreach { q =>
       assert(qs.contains(q), s"$q missing from SparkEntry.queries")
     }
     Seq("q61_minhash_capped", "q61a_minhash_cap_bind", "q62a_asof_strict",
       "q62b_asof_left", "q64a_split_leakage_safe", "q66_chunking",
       "q67_incremental_dedup", "q68_stratified_sample",
-      "q69_mixture_rebalance", "q70_semantic_dedup").foreach { q =>
+      "q69_mixture_rebalance", "q70_semantic_dedup",
+      "q71_corpus_pipeline").foreach { q =>
       assert(os.contains(q), s"$q missing from SparkEntry.oracleSql")
     }
     assert(!os.contains("q58a_token_deciles_approx"),
