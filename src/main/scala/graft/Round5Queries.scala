@@ -10,9 +10,12 @@ import graft.operators.{AsOfJoin, Chunk, Dedup, Deciles, Mixture, Pack,
   * as-of-join quadrants oracled against DuckDB's native ASOF variants
   * (q62a strict, q62b left), the leakage-safe split (q64a) oracled via
   * the recursive-CTE connected components composed with the split hash
-  * CASE, plus three new pipeline operators — token-window chunking
-  * (q66), incremental exact dedup against an existing corpus (q67), and
-  * stratified deterministic sampling (q68).
+  * CASE, plus six new pipeline operators — token-window chunking (q66),
+  * incremental exact dedup against an existing corpus (q67), stratified
+  * deterministic sampling (q68), target-share mixture rebalancing
+  * (q69), SemDedup-style semantic dedup (q70), and the corpus-build
+  * capstone chaining normalize→filter→dedup→chunk→pack in one plan
+  * (q71).
   *
   * Oracle conventions as in [[LlmQueries]]: identical aliases, identical
   * rounding, deterministic total ORDER BY on both sides. q58a is the one

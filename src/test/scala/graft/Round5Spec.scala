@@ -88,6 +88,14 @@ class Round5Spec extends AnyFunSuite {
     assert(chunks.toSeq == Seq(
       (1L, 0, 3L, "aa bb cc"), (1L, 1, 3L, "cc dd ee"), (1L, 2, 1L, "ee"),
       (3L, 0, 1L, "zz")))
+
+    // carryCols ride through onto every chunk row
+    val withSrc = graft.operators.Chunk.chunkByTokens(
+      d.withColumn("source", concat(lit("s"), col("doc_id"))),
+      window = 3, stride = 2, carryCols = Seq("source"))
+      .select("doc_id", "source").distinct()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(withSrc == Map(1L -> "s1", 3L -> "s3"))
   }
 
   test("chunking: fixture coverage — chunk counts and token accounting") {
