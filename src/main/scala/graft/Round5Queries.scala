@@ -159,10 +159,30 @@ object Round5Queries {
         .join(kept, Seq("label"), "left")
         .na.fill(0L, Seq("n_kept"))
         .orderBy("label")
+    }),
+
+    // The 100 TB semantic-dedup path: hyperplane-bucket blocking instead
+    // of label blocking — deterministic, so oracle-exact too.
+    "q70a_semantic_dedup_lsh" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val kept = Similarity.semanticDedupLsh(e, SemDedupThreshold,
+          nPlanes = SemLshPlanes)
+        .groupBy("label").agg(count(lit(1)).as("n_kept"))
+      e.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+        .join(kept, Seq("label"), "left")
+        .na.fill(0L, Seq("n_kept"))
+        .orderBy("label")
     }))
 
   /** q70's cosine threshold — q38's value, where the fixture has pairs. */
   val SemDedupThreshold = 0.45
+
+  /** q70a's hyperplane count — 3 planes (8 buckets) is the coarsest
+    * blocking that still BINDS at sf0.01 (2 bucket-collision pairs
+    * survive the cosine threshold), so the oracle exercises real
+    * clustering, not the everything-kept trivial case.
+    */
+  val SemLshPlanes = 3
 
   /** q71's chunk-order packing key: doc_id · 2^20 + chunk_idx — a single
     * numeric layout order (chunk counts are far below 2^20; doc ids past
@@ -342,6 +362,36 @@ object Round5Queries {
          |SELECT source, shard, count(*) AS n_chunks,
          |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
          |FROM sh GROUP BY source, shard ORDER BY source, shard""".stripMargin
+    },
+
+    // q37's bucket CTEs as the blocking key + the q70 closure.
+    "q70a_semantic_dedup_lsh" -> {
+      val planeRows = for (p <- 0 until SemLshPlanes; j <- 0 until 64)
+        yield s"($p, ${j + 1}, ${Similarity.planeWeight(p, j)}.0)"
+      val planes = s"(VALUES ${planeRows.mkString(", ")}) AS planes(p, j, w)"
+      s"""WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |d AS (SELECT vec_id, p, sum(v[j] * w) AS dot
+         |  FROM e, $planes GROUP BY vec_id, p),
+         |bk AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0
+         |    THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM d GROUP BY vec_id),
+         |eb AS (SELECT e.vec_id, e.v, bk.bucket
+         |  FROM e JOIN bk ON e.vec_id = bk.vec_id),
+         |pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= $SemDedupThreshold),
+         |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr
+         |  UNION SELECT vec_b, vec_a FROM pr),
+         |r AS (SELECT DISTINCT src AS id, src AS lab FROM edges
+         |  UNION SELECT e2.src, r.lab FROM edges e2 JOIN r ON e2.dst = r.id),
+         |cc AS (SELECT id, min(lab) AS cluster FROM r GROUP BY id),
+         |k AS (SELECT e.label,
+         |    (cc.cluster IS NULL OR cc.cluster = e.vec_id) AS keep
+         |  FROM e LEFT JOIN cc ON e.vec_id = cc.id)
+         |SELECT label, count(*) AS n_vecs,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM k GROUP BY label ORDER BY label""".stripMargin
     },
 
     // q38's pair predicate + the q50-style recursive-CTE closure; kept =

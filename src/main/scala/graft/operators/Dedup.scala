@@ -308,7 +308,14 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
-    var prevSum = labels.select(sum("label")).collect().head.getLong(0)
+    // sum over an EMPTY edge set is NULL — an empty pair list is a valid
+    // input (nothing to cluster) and must yield an empty label relation,
+    // not a crash
+    def labelSum(df: DataFrame): Long = {
+      val r = df.select(sum("label")).collect().head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -317,7 +324,7 @@ object Dedup {
       val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(labels("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint()
-      val s = next.select(sum("label")).collect().head.getLong(0)
+      val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
       labels = next

@@ -321,4 +321,27 @@ object Similarity {
       .filter(col("cluster").isNull || col("cluster") === col(idCol))
       .drop("cluster")
   }
+
+  /** The 100 TB path of [[semanticDedup]]: block by the deterministic
+    * hyperplane LSH bucket instead of a metadata column — needs no label,
+    * and the pairwise stage is bounded by bucket occupancy (corpus /
+    * 2^nPlanes expected) rather than metadata-group size. Near-identical
+    * vectors agree on every projection sign with high probability, so
+    * they share a bucket; recall loss is pairs that straddle a hyperplane
+    * (mitigate with more buckets of fewer planes upstream — same trade as
+    * [[lshTopK]]'s probes). Fully deterministic (fixed planes), so the
+    * capped pipeline oracles exactly.
+    */
+  def semanticDedupLsh(embeddings: DataFrame, threshold: Double,
+      nPlanes: Int = 6, dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val bucketed = embeddings.withColumn("__bucket",
+      lshBucket(asDouble(col(vecCol)), nPlanes, dim))
+    val pairs = nearDupPairs(bucketed, "__bucket", threshold, idCol, vecCol)
+    val cc = Dedup.connectedComponents(pairs, "vec_a", "vec_b")
+      .withColumnRenamed("doc_id", idCol)
+    bucketed.join(cc, Seq(idCol), "left")
+      .filter(col("cluster").isNull || col("cluster") === col(idCol))
+      .drop("cluster", "__bucket")
+  }
 }

@@ -1,22 +1,21 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
-/** Dev diagnostic: executed-plan shapes of selected queries. */
+/** Dev diagnostic: LSH-bucket pair counts per plane count. */
 object PackProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Seq("q67_incremental_dedup", "q69_mixture_rebalance").foreach { q =>
-      val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
-      df.collect()
-      val p = df.queryExecution.executedPlan.toString
-      println(s"=== $q ===")
-      println(p.linesIterator.filter(l =>
-        l.contains("Join") || l.contains("Exchange") || l.contains("Window"))
-        .map(_.trim.take(120)).mkString("\n"))
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    for (np <- Seq(1, 2, 3, 4, 6)) {
+      val b = e.withColumn("__bucket",
+        graft.operators.Similarity.lshBucket(col("embedding").cast("array<double>"), np, 64))
+      val pairs = graft.operators.Similarity.nearDupPairs(b, "__bucket", 0.45)
+      println(s"nPlanes=$np pairs=" + pairs.count())
     }
     spark.stop()
   }

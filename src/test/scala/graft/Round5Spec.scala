@@ -201,6 +201,20 @@ class Round5Spec extends AnyFunSuite {
     assert(kept.size == e.count() - (members - clusters))
   }
 
+  test("connected components: empty pair relation yields empty labels, not a crash") {
+    import spark.implicits._
+    // regression: sum over the empty edge set is NULL; an LSH blocking
+    // that finds no pairs is a legitimate input
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.operators.Dedup.connectedComponents(empty).count() == 0)
+    graft.util.Caches.releaseAll()
+    // semantic dedup over a pairless corpus keeps everything
+    val e = Tables.load(spark, sf, "embeddings")
+    val kept = graft.operators.Similarity.semanticDedupLsh(e, 0.9999, nPlanes = 6)
+    assert(kept.count() == e.count())
+    graft.util.Caches.releaseAll()
+  }
+
   test("round-5 queries are wired with oracles (q58a rows-only by design)") {
     val qs = SparkEntry.queries
     val os = SparkEntry.oracleSql
@@ -208,14 +222,14 @@ class Round5Spec extends AnyFunSuite {
       "q64a_split_leakage_safe", "q61a_minhash_cap_bind", "q66_chunking",
       "q67_incremental_dedup", "q68_stratified_sample",
       "q69_mixture_rebalance", "q70_semantic_dedup",
-      "q71_corpus_pipeline").foreach { q =>
+      "q70a_semantic_dedup_lsh", "q71_corpus_pipeline").foreach { q =>
       assert(qs.contains(q), s"$q missing from SparkEntry.queries")
     }
     Seq("q61_minhash_capped", "q61a_minhash_cap_bind", "q62a_asof_strict",
       "q62b_asof_left", "q64a_split_leakage_safe", "q66_chunking",
       "q67_incremental_dedup", "q68_stratified_sample",
       "q69_mixture_rebalance", "q70_semantic_dedup",
-      "q71_corpus_pipeline").foreach { q =>
+      "q70a_semantic_dedup_lsh", "q71_corpus_pipeline").foreach { q =>
       assert(os.contains(q), s"$q missing from SparkEntry.oracleSql")
     }
     assert(!os.contains("q58a_token_deciles_approx"),
