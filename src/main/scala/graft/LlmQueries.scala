@@ -125,10 +125,10 @@ object LlmQueries {
   // =====================================================================
 
   private val M = TextOps.HashMod
-  private val tokSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  private[graft] val tokSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
   /** Guarded bigram shingles from a token-list column `ws`. */
-  private val bigramsSql =
+  private[graft] val bigramsSql =
     "CASE WHEN len(ws) < 2 THEN []::VARCHAR[] ELSE " +
       "list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) END"
 

@@ -548,12 +548,14 @@ object SparkEntry {
     * (ExtQueries: sessions, normalize, salted join, n-gram dedup). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational ++ monitors ++ LlmQueries.queries ++ ExtQueries.queries ++
-      Round3Queries.queries ++ Round4Queries.queries ++ Round5Queries.queries
+      Round3Queries.queries ++ Round4Queries.queries ++
+      Round5Queries.queries ++ Round5bQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relationalOracle ++ monitorsOracle ++ LlmQueries.oracleSql ++
       ExtQueries.oracleSql ++ Round3Queries.oracleSql ++
-      Round4Queries.oracleSql ++ Round5Queries.oracleSql
+      Round4Queries.oracleSql ++ Round5Queries.oracleSql ++
+      Round5bQueries.oracleSql
 }

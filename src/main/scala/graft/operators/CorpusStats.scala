@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistical quality signals: the two-pass operators a
+  * training-data pipeline derives FROM the corpus itself rather than
+  * from per-document features — boilerplate detection by shingle
+  * document-frequency (the CCNet/C4 move: text shared by many documents
+  * is template noise), a corpus-unigram language-model score (the
+  * sandbox-honest stand-in for a KenLM perplexity filter: rare-token-
+  * heavy documents read as gibberish), and the pairwise source-overlap
+  * matrix used to design de-duplicated mixtures.
+  *
+  * These extend the reference's profile-and-emit pattern
+  * (`/root/reference/DataFrames/databand_tracking_template.py:21-31`)
+  * with signals that need a full corpus pass before a document can be
+  * scored.
+  *
+  * Scale shape, common to all three: tokens/shingles explode scan-stage
+  * (no shuffle), the corpus statistic is ONE grouped count whose key is
+  * the term/shingle itself — high-cardinality, so the shuffle spreads
+  * evenly — and the score join re-shuffles on that same key. Per-doc
+  * re-aggregation shuffles on doc_id (also high-cardinality). No
+  * windows, no driver-side data; the only scalars that cross stages
+  * ride a broadcast stat row (grand totals), never rows.
+  */
+object CorpusStats {
+
+  /** Document frequency of each distinct bigram shingle: (s, df).
+    * [[TextOps.bigrams]] is distinct per document, so a plain count IS
+    * the number of distinct documents containing the shingle (the same
+    * trick [[Relevance.tfidf]] uses for terms).
+    */
+  def shingleDocFrequency(docs: DataFrame, textCol: String = "text"): DataFrame =
+    graft.util.Parallelism.ensure(docs)
+      .select(explode(TextOps.bigrams(col(textCol))).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+
+  /** Per-document boilerplate ratio: the fraction of the document's
+    * distinct shingles that occur in at least `minDf` documents.
+    * Returns idCol + carryCols + (n_shingles, n_frequent, boiler_ratio);
+    * shingle-less documents score 0.0 (nothing shared ⇒ no boilerplate).
+    *
+    * Two passes over the shingle relation — the document-frequency
+    * aggregate, then the score join — both keyed on the shingle, plus
+    * the per-doc re-aggregate keyed on doc id. At 100 TB each key is
+    * high-cardinality; the known hot spot (a shingle present in
+    * millions of docs) still produces ONE df row and fans join rows
+    * only at the docs that contain it — linear, never quadratic.
+    */
+  def boilerplateScores(docs: DataFrame, minDf: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      carryCols: Seq[String] = Seq("source")): DataFrame = {
+    val carry = carryCols.map(col)
+    val sh = graft.util.Parallelism.ensure(docs)
+      .select(col(idCol) +: carry :+
+        explode_outer(TextOps.bigrams(col(textCol))).as("s"): _*)
+    val dfreq = sh.filter(col("s").isNotNull)
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("s"), "left")
+      .groupBy(col(idCol) +: carry: _*)
+      .agg(count(col("s")).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_frequent"))
+      .withColumn("boiler_ratio",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(round(col("n_frequent") / col("n_shingles"), 4)))
+  }
+
+  /** Per-document corpus-unigram negative log-likelihood: every token
+    * occurrence scores ln(T / count(token)) — its surprisal under the
+    * corpus's own unigram distribution — and the document's score is
+    * the mean over its occurrences (rounded to 4, the engine-parity
+    * convention). High avg_nll = rare-token-heavy = the documents a
+    * perplexity filter would drop. Token-less documents are absent
+    * from the result (they have no distribution to score under).
+    *
+    * The vocabulary aggregate keys on the token (high-cardinality);
+    * the grand total T crosses stages as ONE broadcast stat row, and
+    * the score join shuffles occurrences by token. At 100 TB the
+    * vocabulary relation is bounded by distinct-token count (≪ corpus),
+    * exactly like [[Relevance.tfidf]]'s df relation.
+    */
+  def unigramNll(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      carryCols: Seq[String] = Seq("source")): DataFrame = {
+    val carry = carryCols.map(col)
+    val tok = graft.util.Parallelism.ensure(docs)
+      .select(col(idCol) +: carry :+
+        explode(TextOps.tokens(col(textCol))).as("w"): _*)
+    val vocab = tok.groupBy("w").agg(count(lit(1)).cast("double").as("cnt"))
+    val total = vocab.agg(sum("cnt").as("t"))
+    tok.join(vocab.crossJoin(broadcast(total)), Seq("w"))
+      .groupBy(col(idCol) +: carry: _*)
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("t") / col("cnt"))), 4).as("avg_nll"))
+  }
+
+  /** Pairwise shingle overlap between corpus slices: for every unordered
+    * source pair, the distinct-shingle intersection size and Jaccard —
+    * the contamination/redundancy matrix a mixture designer reads before
+    * weighting sources. Returns the FULL upper-triangular matrix
+    * (zero-overlap pairs included).
+    *
+    * The intersection count joins the (source, shingle)-distinct
+    * relation with itself ON THE SHINGLE: per-shingle fan-out is capped
+    * by (#sources choose 2) — independent of corpus size — so the join
+    * output is |distinct shingles| · O(S²) at worst, and the per-source
+    * size relation (S rows) broadcasts to complete the matrix.
+    */
+  def sourceOverlap(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val sh = graft.util.Parallelism.ensure(docs)
+      .select(col(groupCol).as("g"),
+        explode(TextOps.bigrams(col(textCol))).as("s"))
+      .distinct()
+    val sizes = sh.groupBy("g").agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.g") < col("y.g"))
+      .groupBy(col("x.g").as("ga"), col("y.g").as("gb"))
+      .agg(count(lit(1)).as("n_common"))
+    // sizes is S rows — broadcast both sides of the matrix scaffold
+    val scaffold = broadcast(sizes.select(col("g").as("ga"), col("n").as("n_a")))
+      .join(broadcast(sizes.select(col("g").as("gb"), col("n").as("n_b"))),
+        col("ga") < col("gb"))
+    scaffold.join(inter, Seq("ga", "gb"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .withColumn("jaccard",
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 4))
+      .select(col("ga").as("source_a"), col("gb").as("source_b"),
+        col("n_a"), col("n_b"), col("n_common"), col("jaccard"))
+  }
+}

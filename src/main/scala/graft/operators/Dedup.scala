@@ -224,16 +224,23 @@ object Dedup {
     * [[DedupConfig.Production]] carries the recommended 100 TB caps;
     * DedupSpec measures the recall loss they cost.
     */
+  /** (doc_id, band_idx, band_key): each signature exploded into its LSH
+    * band keys — the blocking relation both the self-join ([[lshCandidates]])
+    * and the cross-corpus join ([[incrementalNearDups]]) are built on.
+    */
+  def bandExplode(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame =
+    signatures.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), (size(col("sig")) / rowsPerBand).cast("int") - 1),
+        bIdx => array_join(slice(col("sig"), bIdx * rowsPerBand + 1, lit(rowsPerBand)), ","))))
+      .toDF("doc_id", "band_idx", "band_key")
+
   def lshCandidates(signatures: DataFrame, rowsPerBand: Int = 4,
       maxBucketSize: Option[Long] = None): DataFrame = {
     // cached (release via graft.util.Caches.releaseAll): the self-join
     // below would otherwise re-run the whole signature pipeline
     // (explode + hash + groupBy) once per side
-    val bandedAll = graft.util.Caches.cached(signatures.select(col("doc_id"),
-      posexplode(transform(
-        sequence(lit(0), (size(col("sig")) / rowsPerBand).cast("int") - 1),
-        bIdx => array_join(slice(col("sig"), bIdx * rowsPerBand + 1, lit(rowsPerBand)), ","))))
-      .toDF("doc_id", "band_idx", "band_key"))
+    val bandedAll = graft.util.Caches.cached(bandExplode(signatures, rowsPerBand))
     val banded = maxBucketSize match {
       case Some(cap) =>
         val hot = bandedAll.groupBy("band_idx", "band_key")
@@ -274,6 +281,42 @@ object Dedup {
         graft.functions.ArrayJaccard.arrayJaccard(col("sa"), col("sb")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Cross-corpus NEAR-dup detection, the fuzzy twin of
+    * [[incrementalNewDocs]]: incoming docs that LSH-collide with any
+    * already-ingested doc, verified by true bigram Jaccard ≥ threshold.
+    * Returns (doc_id, dup_of, jaccard) — one row per verified
+    * (incoming, existing) pair.
+    *
+    * Scale shape: both corpora reduce to band relations (doc_id,
+    * band_idx, band_key) — never text — and the ONLY cross-corpus work
+    * is the equi-join of those bands, so cost scales with
+    * |incoming bands| + |existing bands| + collisions, not
+    * |corpus| × |delivery|. Verification re-joins text only at the
+    * collision pairs. The pair set equals the cross-membership slice of
+    * [[minhashNearDups]] on the union (same signatures, same bands), so
+    * it oracles through the same SQL CTE chain.
+    */
+  def incrementalNearDups(incoming: DataFrame, existing: DataFrame,
+      k: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bNew = bandExplode(minhashSignatures(incoming, k, idCol, textCol), rowsPerBand)
+    val bOld = bandExplode(minhashSignatures(existing, k, idCol, textCol), rowsPerBand)
+    val cands = bNew.as("n").join(bOld.as("o"),
+        col("n.band_idx") === col("o.band_idx") &&
+        col("n.band_key") === col("o.band_key"))
+      .select(col("n.doc_id").as("doc_id"), col("o.doc_id").as("dup_of"))
+      .distinct()
+    val shNew = graft.util.Parallelism.ensure(incoming)
+      .select(col(idCol).as("doc_id"), TextOps.bigrams(col(textCol)).as("sa"))
+    val shOld = graft.util.Parallelism.ensure(existing)
+      .select(col(idCol).as("dup_of"), TextOps.bigrams(col(textCol)).as("sb"))
+    cands.join(shNew, "doc_id").join(shOld, "dup_of")
+      .withColumn("jaccard", round(
+        graft.functions.ArrayJaccard.arrayJaccard(col("sa"), col("sb")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id", "dup_of", "jaccard")
   }
 
   // -------------------------------------------------------------------

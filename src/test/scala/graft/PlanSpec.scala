@@ -238,4 +238,35 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate.*partial".r.findAllIn(p).nonEmpty
       || p.contains("partial_count"), s"word count should partial-agg map-side:\n$p")
   }
+
+  test("q72/q73: corpus-stat scoring has no window and no low-cardinality sort") {
+    Seq("q72_boilerplate", "q73_unigram_lm").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q must score via aggregates + joins, not windows:\n$p")
+      // every Sort in the plan belongs to the final presentation ORDER BY,
+      // not the data path (SortAggregate / sort-merge fallback would show
+      // up as extra sorts)
+      assert(!p.contains("SortAggregate"),
+        s"$q aggregates must hash, not sort:\n$p")
+    }
+  }
+
+  test("q75: shard manifest is aggregate-only — no window, no global sort of data rows") {
+    val p = plan("q75_export_shards")
+    assert(!p.contains("Window"), s"manifest regressed to a window:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_max") ||
+      "HashAggregate.*partial".r.findAllIn(p).nonEmpty,
+      s"expected partial min/max struct aggregates:\n$p")
+  }
+
+  test("q76: overlap matrix broadcasts the size relation; intersection joins on the shingle") {
+    val p = plan("q76_source_overlap")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"size scaffold should broadcast:\n$p")
+    // the data-volume join (sh x sh on the shingle) must be an equi-join,
+    // never a cartesian product
+    assert(!p.contains("CartesianProduct"),
+      s"intersection must equi-join on the shingle:\n$p")
+  }
 }
