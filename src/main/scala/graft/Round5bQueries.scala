@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusStats, Dedup, Export}
+import graft.operators.{CorpusStats, Dedup, Export, Multimodal}
 
 /** Round-5 additions, part two: the corpus-statistics quality operators
   * (boilerplate-by-document-frequency q72, corpus-unigram LM scoring
@@ -102,7 +102,44 @@ object Round5bQueries {
     // of corpus size; the size relation broadcasts.
     "q76_source_overlap" -> ((s, dir) =>
       CorpusStats.sourceOverlap(docs(s, dir))
-        .orderBy("source_a", "source_b")))
+        .orderBy("source_a", "source_b")),
+
+    // Duplicated-span coverage (substring-dedup criterion): fraction of
+    // each doc's tokens covered by 8-token spans occurring in >= 2 docs;
+    // per-source mean and span-duplicate-heavy doc counts. Shingle-keyed
+    // aggregate + semi-join; interval union under a doc_id window.
+    "q78_span_coverage" -> ((s, dir) =>
+      CorpusStats.spanCoverage(docs(s, dir), SpanK)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("dup_coverage"), 4).as("avg_coverage"),
+          sum(when(col("dup_coverage") >= SpanHeavyThreshold, 1L)
+            .otherwise(0L)).as("n_dup_heavy"))
+        .orderBy("source")),
+
+    // Perceptual-hash near-dup over multimodal payloads: 60-bit aHash
+    // per payload (byte-stream path on the text-byte fixture), banded
+    // Hamming pairing, pair counts by distance. The fixture's closest
+    // payloads sit at Hamming 4-5, so maxHamming=5 BINDS (6 pairs) and
+    // the 6-band pigeonhole guarantee (5 < 6) makes the pair set exact.
+    "q77_phash_neardup" -> ((s, dir) =>
+      Multimodal.imageNearDups(
+        Multimodal.synthesizePayloads(docs(s, dir)), PhashMaxHamming)
+        .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("hamming")))
+
+  /** q77's Hamming radius — binds at sf0.01 (closest fixture pairs are
+    * at distance 4-5) while staying under the 6-band recall guarantee.
+    */
+  val PhashMaxHamming = 5
+
+  /** q78's span length and heavy-doc threshold: 8-token spans flag the
+    * near-dup copies (47 of 500 docs at sf0.01, all past 0.5 coverage)
+    * without tripping on the fixture's shared small vocabulary the way
+    * shorter spans would.
+    */
+  val SpanK = 8
+  val SpanHeavyThreshold = 0.5
 
   val oracleSql: Map[String, String] = Map(
     "q72_boilerplate" -> {
@@ -179,6 +216,59 @@ object Round5bQueries {
          |       JOIN lr ON s.shard = lr.shard AND lr.rn = 1
          |GROUP BY s.shard ORDER BY s.shard""".stripMargin
     },
+
+    "q78_span_coverage" -> {
+      val tok = LlmQueries.tokSql
+      val k = SpanK
+      s"""WITH t AS (SELECT doc_id, source, $tok AS ws FROM documents),
+         |ps AS (SELECT doc_id, source, len(ws) AS n, i AS pos,
+         |    array_to_string(ws[i+1:i+$k], ' ') AS sh
+         |  FROM t CROSS JOIN unnest(range(0, greatest(len(ws) - $k + 1, 0)))
+         |    AS u(i)),
+         |dfq AS (SELECT sh, count(DISTINCT doc_id) AS df FROM ps GROUP BY sh),
+         |dup AS (SELECT ps.doc_id, ps.source, ps.n, ps.pos
+         |  FROM ps JOIN dfq USING (sh) WHERE df >= 2),
+         |sw AS (SELECT doc_id, source, n, pos,
+         |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dup),
+         |cv AS (SELECT doc_id, source, n,
+         |    sum(CASE WHEN prev IS NULL THEN $k
+         |             ELSE least($k, pos - prev) END) AS covered
+         |  FROM sw GROUP BY doc_id, source, n),
+         |al AS (SELECT d.source,
+         |    CASE WHEN cv.covered IS NULL THEN 0.0
+         |         ELSE round(cv.covered::DOUBLE / cv.n, 4) END AS cov
+         |  FROM documents d LEFT JOIN cv ON d.doc_id = cv.doc_id)
+         |SELECT source, count(*) AS n_docs, round(avg(cov), 4) AS avg_coverage,
+         |  CAST(sum(CASE WHEN cov >= $SpanHeavyThreshold THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup_heavy
+         |FROM al GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // byteAHash mirrored over ascii codes (the payload is the UTF-8 text
+    // bytes and the fixture text is pure ASCII — same caveat as q39's
+    // oracle); banding identical to Dedup.hammingPairs' chunk arithmetic.
+    "q77_phash_neardup" ->
+      s"""WITH f AS (SELECT doc_id, list_transform(regexp_extract_all(text, '.'),
+         |    c -> CAST(ascii(c) AS BIGINT)) AS codes FROM documents),
+         |m AS (SELECT doc_id, codes, len(codes) AS n,
+         |  CASE WHEN len(codes) = 0 THEN 0.0
+         |       ELSE list_sum(codes)::DOUBLE / len(codes) END AS mu FROM f),
+         |h AS (SELECT doc_id, CASE WHEN n = 0 THEN 0 ELSE
+         |    list_sum(list_transform(range(0, 60), i ->
+         |      CASE WHEN codes[(n * i) // 60 + 1] >= mu
+         |           THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END))
+         |  END AS ph FROM m),
+         |b AS (SELECT doc_id, ph, unnest(range(0, 6)) AS bi FROM h),
+         |bb AS (SELECT doc_id, ph, bi,
+         |  (ph >> CAST(10 * bi AS INTEGER)) & 1023 AS bv FROM b),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db,
+         |    a.ph AS pa, b2.ph AS pb
+         |  FROM bb a JOIN bb b2 ON a.bi = b2.bi AND a.bv = b2.bv
+         |    AND a.doc_id < b2.doc_id),
+         |p AS (SELECT bit_count(xor(pa, pb)) AS hamming FROM cand
+         |  WHERE bit_count(xor(pa, pb)) <= $PhashMaxHamming)
+         |SELECT hamming, count(*) AS n_pairs FROM p
+         |GROUP BY hamming ORDER BY hamming""".stripMargin,
 
     "q76_source_overlap" -> {
       val tok = LlmQueries.tokSql

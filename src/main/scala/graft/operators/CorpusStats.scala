@@ -96,6 +96,62 @@ object CorpusStats {
         round(avg(log(col("t") / col("cnt"))), 4).as("avg_nll"))
   }
 
+  /** Per-document duplicated-span coverage — the practical approximation
+    * of suffix-array substring dedup (the "dedup exact substrings ≥ k
+    * tokens" criterion): the fraction of a document's tokens covered by
+    * k-token spans that also occur in at least one OTHER document.
+    * Returns idCol + carryCols + (n_tokens, covered_tokens,
+    * dup_coverage); docs shorter than k tokens score 0.0.
+    *
+    * Positional k-grams explode scan-stage from the materialized token
+    * array (the array is a projected column, so the lambda reads it —
+    * never re-tokenizes per span); span document-frequency is one
+    * shingle-keyed aggregate; the semi-join back is shingle-keyed; and
+    * the interval union runs under a window PARTITIONED BY doc_id —
+    * high-cardinality, each task sweeps single documents. For
+    * fixed-length sorted intervals the union length is exactly
+    * Σ min(k, posᵢ − posᵢ₋₁) (first span contributes k), so no
+    * interval-merge state is needed.
+    */
+  def spanCoverage(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text",
+      carryCols: Seq[String] = Seq("source")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val carry = carryCols.map(col)
+    val base = graft.util.Parallelism.ensure(docs)
+      .select(col(idCol).as("doc_id") +: carry :+
+        TextOps.tokens(col(textCol)).as("ws"): _*)
+      .withColumn("n", size(col("ws")).cast("long"))
+    val spans = base
+      .select(col("doc_id") +: carry :+ col("n") :+ explode(
+        when(col("n") >= k,
+          transform(sequence(lit(0), (col("n") - k).cast("int")),
+            i => struct(i.as("pos"),
+              array_join(slice(col("ws"), i + 1, lit(k)), " ").as("sh"))))
+          .otherwise(array().cast("array<struct<pos:int,sh:string>>")))
+        .as("sp"): _*)
+      .select(col("doc_id") +: carry :+ col("n") :+
+        col("sp.pos").as("pos") :+ col("sp.sh").as("sh"): _*)
+    val dupShingles = spans.groupBy("sh")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select("sh")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val covered = spans.join(dupShingles, Seq("sh"), "left_semi")
+      .withColumn("prev", lag("pos", 1).over(w))
+      .groupBy(col("doc_id") +: carry :+ col("n"): _*)
+      .agg(sum(when(col("prev").isNull, lit(k.toLong))
+        .otherwise(least(lit(k.toLong), col("pos") - col("prev"))))
+        .as("covered_tokens"))
+    base.select(col("doc_id") +: carry :+ col("n"): _*)
+      .join(covered.select("doc_id", "covered_tokens"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("covered_tokens"))
+      .withColumn("dup_coverage",
+        when(col("n") === 0, lit(0.0))
+          .otherwise(round(col("covered_tokens") / col("n"), 4)))
+      .select(col("doc_id") +: carry :+ col("n").as("n_tokens") :+
+        col("covered_tokens") :+ col("dup_coverage"): _*)
+  }
+
   /** Pairwise shingle overlap between corpus slices: for every unordered
     * source pair, the distinct-shingle intersection size and Jaccard —
     * the contamination/redundancy matrix a mixture designer reads before

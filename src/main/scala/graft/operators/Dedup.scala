@@ -436,4 +436,43 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** Band-blocked Hamming pairing over precomputed bit-hashes (doc_id,
+    * hashCol): pairs within `maxHamming` bit flips, found WITHOUT an
+    * all-pairs product. The hash splits into `bands` chunks of
+    * `bitsPerBand` bits; by pigeonhole, two hashes differing in fewer
+    * than `bands` bits agree on at least one chunk — so with
+    * `maxHamming < bands` (enforced) the equi-join on (band_idx,
+    * band_val) finds EVERY qualifying pair, and the only shuffle keys on
+    * the band value. This is [[simhashPairs]]' generalization: no
+    * external blocking column needed, recall guaranteed by construction.
+    * Hashes must use < 64 bits (`bands × bitsPerBand ≤ 63`) so shifted
+    * chunks never touch the BIGINT sign bit — keeps the arithmetic
+    * identical in the DuckDB oracle.
+    */
+  def hammingPairs(hashes: DataFrame, maxHamming: Int = 5, bands: Int = 6,
+      bitsPerBand: Int = 10, idCol: String = "doc_id",
+      hashCol: String = "ph"): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming ($maxHamming) < bands ($bands)")
+    require(bands * bitsPerBand <= 63, "chunks must stay below the sign bit")
+    val mask = (1L << bitsPerBand) - 1
+    val chunks = (0 until bands).map(bi =>
+      shiftright(col(hashCol), bi * bitsPerBand).bitwiseAND(lit(mask)))
+    // cached (Caches.releaseAll to drop): self-joined below
+    val banded = graft.util.Caches.cached(hashes
+      .select(col(idCol).as("doc_id"), col(hashCol).as("ph"),
+        posexplode(array(chunks: _*)))
+      .toDF("doc_id", "ph", "band_idx", "band_val"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.ph").as("ha"), col("y.ph").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
 }

@@ -59,6 +59,30 @@ object Multimodal {
       val n = math.max(bytes.length, 1)
       hist.map(_ / n)
     }
+
+    /** 60-bit average-hash over the byte stream — the non-image stand-in
+      * for [[ImageCodec.aHash]]: bit i set iff the byte sampled at
+      * position ⌊n·i/60⌋ is at or above the payload's mean byte.
+      * Locality-preserving (small payload edits flip few bits) and
+      * mirrored 1:1 by the DuckDB oracle over ascii codes (60 bits keeps
+      * every band chunk below the BIGINT sign bit — see
+      * [[Dedup.hammingPairs]]).
+      */
+    def byteAHash(bytes: Array[Byte]): Long = {
+      val n = bytes.length
+      if (n == 0) 0L
+      else {
+        var sum = 0L; var j = 0
+        while (j < n) { sum += (bytes(j) & 0xff); j += 1 }
+        val mu = sum.toDouble / n
+        var ph = 0L; var i = 0
+        while (i < 60) {
+          if ((bytes(((n.toLong * i) / 60).toInt) & 0xff) >= mu) ph |= (1L << i)
+          i += 1
+        }
+        ph
+      }
+    }
   }
 
   /** Real image decode on the JDK's built-in `javax.imageio` — no new
@@ -98,6 +122,30 @@ object Multimodal {
       lumas(im).foreach(l => hist(l / 32) += 1.0)
       val n = math.max(im.getWidth.toLong * im.getHeight, 1L)
       hist.map(_ / n)
+    }
+
+    /** 60-bit perceptual average-hash (aHash): bilinear-scale to a 10×6
+      * luma grid, bit per cell set iff the cell is at or above the grid
+      * mean. The standard near-dup image signature — robust to resize,
+      * re-encode and small edits; Hamming distance between hashes tracks
+      * visual difference. 60 bits (not the classic 64) so the banded
+      * pairing arithmetic ([[Dedup.hammingPairs]]) never touches the
+      * sign bit.
+      */
+    def aHash(im: java.awt.image.BufferedImage): Long = {
+      val out = new java.awt.image.BufferedImage(10, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(im, 0, 0, 10, 6, null)
+      } finally g.dispose()
+      val ls = lumas(out).toArray
+      val mu = ls.foldLeft(0L)(_ + _).toDouble / ls.length
+      ls.zipWithIndex.foldLeft(0L) { case (acc, (l, i)) =>
+        if (l >= mu) acc | (1L << i) else acc
+      }
     }
 
     /** Decode → smooth-scale → re-encode PNG. */
@@ -160,6 +208,40 @@ object Multimodal {
       }
     spark.createDataFrame(rdd, featureSchema)
   }
+
+  /** Per-payload 60-bit perceptual hash: real images via
+    * [[ImageCodec.aHash]] (decode → 10×6 luma grid → threshold), other
+    * payloads via [[FakeDecoder.byteAHash]] (same contract over raw
+    * bytes). mapPartitions shape as [[extractFeatures]] — decode cost
+    * stays in the scan stage and payloads never shuffle; only (id, hash)
+    * rows leave the stage.
+    */
+  def perceptualHashes(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    val rdd = graft.util.Parallelism.ensure(payloads)
+      .select("doc_id", "payload").rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val ph =
+            if (ImageCodec.looksLikeImage(bytes))
+              ImageCodec.decode(bytes).map(ImageCodec.aHash)
+                .getOrElse(FakeDecoder.byteAHash(bytes))
+            else FakeDecoder.byteAHash(bytes)
+          Row(r.getLong(0), ph)
+        }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ph", LongType))))
+  }
+
+  /** Near-duplicate payload pairs by perceptual hash: banded Hamming
+    * pairing ([[Dedup.hammingPairs]]) over [[perceptualHashes]] — the
+    * image twin of MinHash-LSH text dedup, with guaranteed recall for
+    * `maxHamming < bands` and no all-pairs product.
+    */
+  def imageNearDups(payloads: DataFrame, maxHamming: Int = 5): DataFrame =
+    Dedup.hammingPairs(perceptualHashes(payloads), maxHamming)
 
   /** Resize: real-image payloads decode → scale → re-encode (PNG) via
     * [[ImageCodec]]; other payloads use the deterministic byte-stream

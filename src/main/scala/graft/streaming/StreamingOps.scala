@@ -113,6 +113,37 @@ object StreamingOps {
       }.toDF()
   }
 
+  /** Streaming incremental dedup against a STATIC corpus: the continuous
+    * form of [[graft.operators.Dedup.incrementalNewDocs]]. Incoming docs
+    * fingerprint scan-stage; a stream-static LEFT ANTI join against the
+    * corpus's distinct-fingerprint relation drops already-ingested
+    * content, and `dropDuplicatesWithinWatermark` keeps the first
+    * arrival of each NEW fingerprint within the watermark horizon
+    * (the batch form's min-id tie-break becomes arrival order — the
+    * only meaningful order an unbounded stream has).
+    *
+    * Scale shape: the static side reduces to distinct 32-byte
+    * fingerprints — never text. Stream-static joins re-plan per
+    * micro-batch: Spark broadcasts the fingerprint relation while it
+    * fits, and above broadcast size each micro-batch shuffles only the
+    * delivery (the static side is already materialized), so per-batch
+    * cost tracks delivery size, not corpus × deliveries. Dedup state is
+    * watermark-bounded exactly as in [[dropDuplicatesStream]].
+    */
+  def incrementalDedupStream(incoming: DataFrame, existing: DataFrame,
+      tsCol: String, watermarkDelay: String,
+      textCol: String = "text"): DataFrame = {
+    val knownFps = existing
+      .select(graft.operators.TextOps.fingerprint(col(textCol)).as("__fp"))
+      .distinct()
+    incoming
+      .withColumn("__fp", graft.operators.TextOps.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .join(knownFps, Seq("__fp"), "left_anti")
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+  }
+
   /** Streaming gap-based sessions via Spark's native `session_window`:
     * events within `gap` of each other merge into one session per user;
     * a session closes (and emits, in append mode) once the watermark

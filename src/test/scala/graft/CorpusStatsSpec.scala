@@ -90,6 +90,49 @@ class CorpusStatsSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  // Duplicated-span coverage
+  // -------------------------------------------------------------------
+
+  test("spanCoverage: hand-computed interval unions on a toy corpus") {
+    // the 1/2 pair and the 4/5 pair use disjoint vocabularies so each
+    // doc's duplicated spans come only from its intended partner
+    val docs = Seq(
+      (1L, "s", "a b c d e"),     // shares ONLY "a b c" with doc 2 → 3/5
+      (2L, "s", "x a b c y"),     // 3/5
+      (3L, "s", "p q r s"),       // nothing shared → 0
+      (4L, "s", "f g h i"),       // spans "f g h","g h i" shared w/ 5 → union 4/4
+      (5L, "s", "f g h i z"),     // 4/5
+      (6L, "s", "m n o m n o"),   // span repeats only WITHIN the doc → 0
+      (7L, "s", "xy"))            // shorter than k → 0
+      .toDF("doc_id", "source", "text")
+    val r = CorpusStats.spanCoverage(docs, k = 3)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("covered_tokens"), x.getAs[Double]("dup_coverage"))).toMap
+    assert(r(1L) == ((3L, 0.6)))
+    assert(r(2L) == ((3L, 0.6)))
+    assert(r(3L) == ((0L, 0.0)))
+    assert(r(4L) == ((4L, 1.0)), "overlapping shared spans must union, not add")
+    assert(r(5L) == ((4L, 0.8)))
+    assert(r(6L) == ((0L, 0.0)), "within-doc repetition is not cross-doc duplication")
+    assert(r(7L) == ((0L, 0.0)))
+    assert(r.size == 7, "every doc scores, including short and clean ones")
+  }
+
+  test("spanCoverage: identical docs reach coverage 1.0; bounds hold on the fixture") {
+    val d = fixture
+    val twins = Seq((900001L, "s", "one two three four five six seven eight nine ten"),
+      (900002L, "s", "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "source", "text")
+    val r = CorpusStats.spanCoverage(twins, k = 8)
+      .collect().map(_.getAs[Double]("dup_coverage"))
+    assert(r.forall(_ == 1.0), "exact copies are fully covered")
+    val bad = CorpusStats.spanCoverage(d.limit(100), k = 8)
+      .filter(col("dup_coverage") < 0 || col("dup_coverage") > 1 ||
+        col("covered_tokens") > col("n_tokens")).count()
+    assert(bad == 0L)
+  }
+
+  // -------------------------------------------------------------------
   // Source-overlap matrix
   // -------------------------------------------------------------------
 

@@ -222,6 +222,66 @@ class MonitorsSpec extends AnyFunSuite {
     assert(!Multimodal.ImageCodec.looksLikeImage("hello world".getBytes))
   }
 
+  test("perceptual hash: near-identical images pair, unrelated images don't") {
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(40, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 40) im.setRGB(x, y, f(x, y))
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", buf)
+      buf.toByteArray
+    }
+    // gradient, the same gradient with a small corner blemish, and noise
+    val base = png((x, _) => { val v = x * 255 / 39; (v << 16) | (v << 8) | v })
+    val nearDup = png((x, y) =>
+      if (x < 2 && y < 2) 0xFFFFFF
+      else { val v = x * 255 / 39; (v << 16) | (v << 8) | v })
+    val other = png((x, y) => if ((x / 2 + y / 2) % 2 == 0) 0xFFFFFF else 0)
+
+    val ha = Multimodal.ImageCodec.aHash(Multimodal.ImageCodec.decode(base).get)
+    val hb = Multimodal.ImageCodec.aHash(Multimodal.ImageCodec.decode(nearDup).get)
+    val hc = Multimodal.ImageCodec.aHash(Multimodal.ImageCodec.decode(other).get)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(ha, hb) <= 5, s"blemished copy must stay close (got ${ham(ha, hb)})")
+    assert(ham(ha, hc) > 5, s"unrelated image must be far (got ${ham(ha, hc)})")
+    // aHash survives resize+re-encode — the property raw-byte hashing lacks
+    val resized = Multimodal.ImageCodec.resize(base, 20, 12).get
+    val hr = Multimodal.ImageCodec.aHash(Multimodal.ImageCodec.decode(resized).get)
+    assert(ham(ha, hr) <= 5, s"resized copy must stay close (got ${ham(ha, hr)})")
+
+    val payloads = Seq((1L, base), (2L, nearDup), (3L, other))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.imageNearDups(payloads, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.util.Caches.releaseAll()
+    assert(pairs == Set((1L, 2L)), s"only the near-dup pair qualifies: $pairs")
+  }
+
+  test("hammingPairs: banded blocking finds exactly the brute-force pair set") {
+    // adversarial hash set: clustered flips, band-boundary flips, far apart
+    val hashes = Seq(
+      (1L, 0x0000000000000L), (2L, 0x0000000000003L), // ham 2 (one band)
+      (3L, 0x0000400000001L),                         // flips in 2 bands vs 1
+      (4L, 0x7FFFFFFFFFFFFL),                         // far from all
+      (5L, 0x0000000000007L),                         // ham 3/1/2 vs 1/2/3
+      (6L, 0x0420010840021L))                         // scattered bits
+      .toDF("doc_id", "ph")
+    val got = graft.operators.Dedup.hammingPairs(hashes, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    graft.util.Caches.releaseAll()
+    val rows = Seq(1L -> 0x0000000000000L, 2L -> 0x0000000000003L,
+      3L -> 0x0000400000001L, 4L -> 0x7FFFFFFFFFFFFL,
+      5L -> 0x0000000000007L, 6L -> 0x0420010840021L)
+    val want = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 5
+    } yield (ia, ib, d)).toSet
+    assert(got == want, s"got $got, want $want")
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Dedup.hammingPairs(hashes, maxHamming = 6) // = bands
+    }
+  }
+
   test("sinks: partitioned parquet round-trip with partition pruning") {
     val dir = Files.createTempDirectory("graft-sink").toString + "/out"
     val df = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0))

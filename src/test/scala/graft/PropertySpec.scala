@@ -165,6 +165,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hammingPairs ≡ brute force for random 60-bit hash sets") {
+    val hashGen: Gen[List[Long]] = for {
+      // cluster around a few centers so near pairs actually occur
+      centers <- Gen.listOfN(3, Gen.chooseNum(0L, (1L << 60) - 1))
+      xs <- Gen.listOfN(12, for {
+        c <- Gen.oneOf(centers)
+        flips <- Gen.chooseNum(0, 8)
+        bits <- Gen.listOfN(flips, Gen.chooseNum(0, 59))
+      } yield bits.foldLeft(c)((h, b) => h ^ (1L << b)))
+    } yield xs
+    for (xs <- samples(hashGen, n = 3)) {
+      val rows = xs.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      val got = Dedup.hammingPairs(rows.toDF("doc_id", "ph"), maxHamming = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      graft.util.Caches.releaseAll()
+      val want = (for {
+        (a, ia) <- rows; (b, ib) <- rows if a < b
+        d = java.lang.Long.bitCount(ia ^ ib) if d <= 5
+      } yield (a, b, d)).toSet
+      assert(got == want, s"banded pairing must be exact: got $got want $want")
+    }
+  }
+
   test("fingerprint invariance under token permutation") {
     for (ws <- samples(Gen.listOfN(8, Gen.identifier.suchThat(_.nonEmpty)), 3)
          if ws.nonEmpty) {

@@ -8,6 +8,7 @@ import java.sql.Timestamp
 import graft.streaming.StreamingOps
 
 case class StreamEv(doc_id: Long, fp: String, ts: Timestamp, user_id: Long, value: Double)
+case class StreamDoc(doc_id: Long, text: String, ts: Timestamp)
 case class RawEv(user_id: Long, ts: Timestamp, event_type: String, event_id: Long, value: Double)
 
 class StreamingOpsSpec extends AnyFunSuite {
@@ -150,6 +151,47 @@ class StreamingOpsSpec extends AnyFunSuite {
         .filter($"user_id" === 7).orderBy("session_start")
         .collect().map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
       assert(rows.toSeq == Seq((2L, 4.0), (1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("streaming incremental dedup equals the batch form on a drained stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // static corpus: two already-ingested docs
+    val existing = Seq(
+      (100L, "alpha beta gamma"),
+      (101L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[StreamDoc]
+    val out = StreamingOps.incrementalDedupStream(
+      input.toDS().toDF(), existing, "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("incdedup_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(
+        StreamDoc(1, "alpha beta gamma", ts("2024-01-01 00:00:00")),   // known → dropped
+        StreamDoc(2, "fresh new content", ts("2024-01-01 00:00:10")),  // new → kept
+        StreamDoc(3, "fresh new content", ts("2024-01-01 00:00:20")))  // in-batch dup → dropped
+      q.processAllAvailable()
+      input.addData(
+        StreamDoc(4, "fresh new content", ts("2024-01-01 00:01:00")),  // cross-batch dup → dropped
+        StreamDoc(5, "delta epsilon zeta", ts("2024-01-01 00:01:10")), // known → dropped
+        StreamDoc(6, "another novel doc", ts("2024-01-01 00:01:20")))  // new → kept
+      q.processAllAvailable()
+      val streamed = spark.table("incdedup_stream").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == Set(2L, 6L))
+      // batch twin agrees: ids arrived in id order, so first-arrival ==
+      // min-id and the kept sets coincide
+      val incoming = Seq(
+        (1L, "alpha beta gamma"), (2L, "fresh new content"),
+        (3L, "fresh new content"), (4L, "fresh new content"),
+        (5L, "delta epsilon zeta"), (6L, "another novel doc"))
+        .toDF("doc_id", "text")
+      val batch = graft.operators.Dedup.incrementalNewDocs(incoming, existing)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batch == streamed)
     } finally q.stop()
   }
 }
