@@ -449,10 +449,18 @@ object Dedup {
     * Hashes must use < 64 bits (`bands × bitsPerBand ≤ 63`) so shifted
     * chunks never touch the BIGINT sign bit — keeps the arithmetic
     * identical in the DuckDB oracle.
+    *
+    * `maxBucketSize` is the same deterministic skew guard as
+    * [[lshCandidates]]': a degenerate band value shared by d hashes
+    * (blank images, constant payloads) fans out d²/2 join rows, so
+    * production runs skip over-full buckets — lossy (the recall
+    * guarantee no longer covers pairs that ONLY collide in hot
+    * buckets), bounded, and oracle-exact since the dropped buckets are
+    * a pure count filter.
     */
   def hammingPairs(hashes: DataFrame, maxHamming: Int = 5, bands: Int = 6,
       bitsPerBand: Int = 10, idCol: String = "doc_id",
-      hashCol: String = "ph"): DataFrame = {
+      hashCol: String = "ph", maxBucketSize: Option[Long] = None): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming ($maxHamming) < bands ($bands)")
     require(bands * bitsPerBand <= 63, "chunks must stay below the sign bit")
@@ -460,10 +468,18 @@ object Dedup {
     val chunks = (0 until bands).map(bi =>
       shiftright(col(hashCol), bi * bitsPerBand).bitwiseAND(lit(mask)))
     // cached (Caches.releaseAll to drop): self-joined below
-    val banded = graft.util.Caches.cached(hashes
+    val bandedAll = graft.util.Caches.cached(hashes
       .select(col(idCol).as("doc_id"), col(hashCol).as("ph"),
         posexplode(array(chunks: _*)))
       .toDF("doc_id", "ph", "band_idx", "band_val"))
+    val banded = maxBucketSize match {
+      case Some(cap) =>
+        val hot = bandedAll.groupBy("band_idx", "band_val")
+          .agg(count(lit(1)).as("d")).filter(col("d") > cap)
+          .select("band_idx", "band_val")
+        bandedAll.join(broadcast(hot), Seq("band_idx", "band_val"), "left_anti")
+      case None => bandedAll
+    }
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&

@@ -29,6 +29,39 @@ object Pipeline {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** One incremental-ingest step, the maintained-state form the q67/q74
+    * operators assume: dedup a delivery against the corpus's fingerprint
+    * STORE (never the corpus itself), and return both the surviving docs
+    * and the store to hand to the next delivery. The store is one
+    * 32-byte-key relation — persist it with the usual sink and this is
+    * the daily-ingest loop.
+    *
+    * Folding deliveries through this step keeps exactly the docs a
+    * whole-corpus [[Dedup.dropExactDuplicates]] would keep, when ids
+    * rise across deliveries (min-id survivor ≡ first-delivery survivor)
+    * — PropertySpec proves that invariant.
+    */
+  def ingestDelivery(fingerprintStore: DataFrame, incoming: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text")
+      : (DataFrame, DataFrame) = {
+    val fresh = graft.util.Parallelism.ensure(incoming)
+      .withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .join(fingerprintStore, Seq("__fp"), "left_anti")
+    val w = Window.partitionBy("__fp").orderBy(col(idCol).asc)
+    val kept = fresh.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val newStore = fingerprintStore
+      .unionByName(kept.select("__fp")).distinct()
+    (kept.drop("__fp"), newStore)
+  }
+
+  /** The empty fingerprint store an ingest loop starts from. */
+  def emptyFingerprintStore(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("__fp", StringType))))
+  }
+
   /** Per-slice report of the prepared corpus: kept count, kept share of
     * the raw corpus, mean quality, total normalized chars.
     */

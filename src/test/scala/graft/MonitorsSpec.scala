@@ -282,6 +282,24 @@ class MonitorsSpec extends AnyFunSuite {
     }
   }
 
+  test("hammingPairs bucket cap: degenerate buckets skip, rest unaffected") {
+    // 20 identical hashes (one hot bucket per band) + one isolated near pair
+    val hot = (1L to 20L).map(i => (i, 0x0000000000000L))
+    val pairAway = Seq((100L, 0x7000000300001L), (101L, 0x7000000300003L))
+    val df = (hot ++ pairAway).toDF("doc_id", "ph")
+    val capped = graft.operators.Dedup.hammingPairs(df, maxHamming = 5,
+        maxBucketSize = Some(8L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.util.Caches.releaseAll()
+    assert(capped == Set((100L, 101L)),
+      "hot-bucket pairs drop; pairs in small buckets survive")
+    val uncapped = graft.operators.Dedup.hammingPairs(df, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.util.Caches.releaseAll()
+    assert(capped.subsetOf(uncapped) && uncapped.size == 190 + 1,
+      "uncapped finds all 20-choose-2 hot pairs plus the isolated pair")
+  }
+
   test("sinks: partitioned parquet round-trip with partition pruning") {
     val dir = Files.createTempDirectory("graft-sink").toString + "/out"
     val df = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0))

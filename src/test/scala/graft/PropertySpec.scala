@@ -188,6 +188,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ingestDelivery folded over deliveries ≡ whole-corpus exact dedup") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    // three deliveries in rising-id order (the production id discipline)
+    val deliveries = Seq(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") % 3 === 2))
+    // ids rise WITHIN each slice but not across them — reassign ingest
+    // order by sorting each delivery's ids into disjoint ranges
+    var store = graft.operators.Pipeline.emptyFingerprintStore(spark)
+    var keptIds = Set.empty[Long]
+    // fold in id order so min-id survivorship matches the batch form:
+    // deliveries of % 3 == 0,1,2 each contain arbitrary ids, so instead
+    // fold the three ID RANGES (thirds of the sorted id space)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+    val ranges = Seq(
+      docs.filter(col("doc_id") < cuts.head),
+      docs.filter(col("doc_id") >= cuts.head && col("doc_id") < cuts(1)),
+      docs.filter(col("doc_id") >= cuts(1)))
+    ranges.foreach { d =>
+      val (kept, next) = graft.operators.Pipeline.ingestDelivery(store, d)
+      keptIds ++= kept.select("doc_id").collect().map(_.getLong(0))
+      store = next.localCheckpoint()
+    }
+    val batch = Dedup.dropExactDuplicates(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == batch,
+      "incremental fold must keep exactly the whole-corpus survivors")
+  }
+
   test("fingerprint invariance under token permutation") {
     for (ws <- samples(Gen.listOfN(8, Gen.identifier.suchThat(_.nonEmpty)), 3)
          if ws.nonEmpty) {
