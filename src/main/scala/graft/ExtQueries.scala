@@ -143,9 +143,13 @@ object ExtQueries {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    // hashed shingle sets (list_distinct of the rolling hash), mirroring
+    // the Spark side's HashedWordNgrams relation exactly
     "q47_trigram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, source, $tokSql AS ws FROM documents),
-         |bg AS (SELECT doc_id, source, $trigramsSql AS sh FROM t)
+         |bg0 AS (SELECT doc_id, source, $trigramsSql AS sg FROM t),
+         |bg AS (SELECT doc_id, source,
+         |  list_distinct(list_transform(sg, s -> ${LlmQueries.rollSql("s")})) AS sh FROM bg0)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  ${jaccardSql("a.sh", "b.sh")} AS jaccard
          |FROM bg a JOIN bg b ON a.source = b.source AND a.doc_id < b.doc_id

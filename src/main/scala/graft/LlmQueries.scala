@@ -133,7 +133,7 @@ object LlmQueries {
       "list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) END"
 
   /** Mod-every-step rolling hash of string expression `e`. */
-  private def rollSql(e: String, init: Long = 0L, mod: Long = M): String =
+  private[graft] def rollSql(e: String, init: Long = 0L, mod: Long = M): String =
     s"list_reduce(list_prepend(CAST($init AS BIGINT), " +
       s"list_transform(regexp_extract_all($e, '.'), ch -> CAST(ascii(ch) AS BIGINT))), " +
       s"(a, b) -> (a * 31 + b) % $mod)"
@@ -198,15 +198,15 @@ object LlmQueries {
     }
     s"""t AS (SELECT doc_id, $tokSql AS ws FROM documents),
        |sh AS (SELECT doc_id, $bigramsSql AS shingles FROM t),
-       |h AS (SELECT doc_id, shingles,
-       |  list_transform(shingles, s -> ${rollSql("s")}) AS hs FROM sh),
+       |h AS (SELECT doc_id,
+       |  list_distinct(list_transform(shingles, s -> ${rollSql("s")})) AS hs FROM sh),
        |sig AS (SELECT doc_id, $minhashSigSql FROM h),
        |bands AS ($bands),
        |${capCte}cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM $candSrc a JOIN $candSrc b ON a.band_idx = b.band_idx
        |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-       |j AS (SELECT doc_a, doc_b, ${jaccardSql("x.shingles", "y.shingles")} AS jaccard
-       |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)""".stripMargin
+       |j AS (SELECT doc_a, doc_b, ${jaccardSql("x.hs", "y.hs")} AS jaccard
+       |  FROM cand JOIN h x ON x.doc_id = doc_a JOIN h y ON y.doc_id = doc_b)""".stripMargin
   }
 
   val minhashPairsCtes: String = minhashPairsCtesCapped(None)
@@ -257,9 +257,13 @@ object LlmQueries {
          |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS duplicate_groups
          |FROM g""".stripMargin,
 
+    // hashed shingle sets (list_distinct of the rolling hash), mirroring
+    // the Spark side's HashedWordNgrams relation exactly
     "q33_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, source, $tokSql AS ws FROM documents),
-         |bg AS (SELECT doc_id, source, $bigramsSql AS sh FROM t)
+         |bg0 AS (SELECT doc_id, source, $bigramsSql AS sg FROM t),
+         |bg AS (SELECT doc_id, source,
+         |  list_distinct(list_transform(sg, s -> ${rollSql("s")})) AS sh FROM bg0)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  ${jaccardSql("a.sh", "b.sh")} AS jaccard
          |FROM bg a JOIN bg b ON a.source = b.source AND a.doc_id < b.doc_id

@@ -112,11 +112,16 @@ object Dedup {
   // n-gram Jaccard near-dup (blocked pairwise)
   // -------------------------------------------------------------------
 
-  /** (doc_id, block, shingles) — distinct n-gram shingles per doc. */
+  /** (doc_id, block, shingles) — sorted distinct HASHED n-gram shingles
+    * per doc (longs, not strings: the exploded join below shuffles one
+    * 8-byte key per shingle instead of a shingle string; the oracle
+    * applies the same `list_distinct(list_transform(..., rollhash))` so
+    * the comparison stays exact under hash collisions too).
+    */
   def shingled(docs: DataFrame, blockCol: String, idCol: String = "doc_id",
       textCol: String = "text", ngram: Int = 2): DataFrame =
     graft.util.Parallelism.ensure(docs).select(col(idCol).as("doc_id"), col(blockCol).as("block"),
-      TextOps.ngrams(col(textCol), ngram).as("shingles"))
+      TextOps.hashedNgrams(col(textCol), ngram).as("shingles"))
 
   /** Near-duplicate pairs by bigram Jaccard within a blocking key.
     * Emits (doc_a, doc_b, jaccard) for jaccard ≥ threshold, doc_a < doc_b.
@@ -197,10 +202,13 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, k: Int = 16, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // hashed-shingle explode: the n-gram strings are never materialized
+    // (HashedWordNgrams hashes straight off the token byte spans); the
+    // Generate emits 8-byte longs, and min over the distinct hash set
+    // equals min over the per-occurrence multiset
     val exploded = graft.util.Parallelism.ensure(docs)
       .select(col(idCol).as("doc_id"),
-        explode_outer(TextOps.bigrams(col(textCol))).as("s"))
-      .withColumn("h", TextOps.rollingHash(col("s")))
+        explode_outer(TextOps.hashedNgrams(col(textCol))).as("h"))
     val aggs = minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % HashMod).as(s"s$i")
     }
@@ -268,17 +276,20 @@ object Dedup {
       maxBucketSize: Option[Long] = None): DataFrame = {
     val cands = lshCandidates(minhashSignatures(docs, k, idCol, textCol),
       rowsPerBand, maxBucketSize)
-    // cached (Caches.releaseAll to drop): joined twice (a-side and b-side)
+    // cached (Caches.releaseAll to drop): joined twice (a-side and b-side).
+    // HASHED shingle sets (sorted longs): the verify join duplicates this
+    // array into every candidate pair row, so array width is the stage's
+    // shuffle cost — 8-byte longs, not shingle strings
     val sh = graft.util.Caches.cached(graft.util.Parallelism.ensure(docs)
-      .select(col(idCol).as("doc_id"), TextOps.bigrams(col(textCol)).as("sh")))
+      .select(col(idCol).as("doc_id"), TextOps.hashedNgrams(col(textCol)).as("sh")))
     cands
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sa"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sb"), "doc_b")
-      // native one-pass Jaccard (vs array_intersect + array_union, which
-      // build two arrays + hash sets per pair); also 0.0 on empty∪empty
-      // where the built-ins' 0/0 → NaN would leak past the threshold
+      // native one-pass sorted-merge Jaccard (no hash-set build, no
+      // per-element string hashing); also 0.0 on empty∪empty where the
+      // built-ins' 0/0 → NaN would leak past the threshold
       .withColumn("jaccard", round(
-        graft.functions.ArrayJaccard.arrayJaccard(col("sa"), col("sb")), 4))
+        graft.functions.SortedLongJaccard.sortedLongJaccard(col("sa"), col("sb")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -309,12 +320,12 @@ object Dedup {
       .select(col("n.doc_id").as("doc_id"), col("o.doc_id").as("dup_of"))
       .distinct()
     val shNew = graft.util.Parallelism.ensure(incoming)
-      .select(col(idCol).as("doc_id"), TextOps.bigrams(col(textCol)).as("sa"))
+      .select(col(idCol).as("doc_id"), TextOps.hashedNgrams(col(textCol)).as("sa"))
     val shOld = graft.util.Parallelism.ensure(existing)
-      .select(col(idCol).as("dup_of"), TextOps.bigrams(col(textCol)).as("sb"))
+      .select(col(idCol).as("dup_of"), TextOps.hashedNgrams(col(textCol)).as("sb"))
     cands.join(shNew, "doc_id").join(shOld, "dup_of")
       .withColumn("jaccard", round(
-        graft.functions.ArrayJaccard.arrayJaccard(col("sa"), col("sb")), 4))
+        graft.functions.SortedLongJaccard.sortedLongJaccard(col("sa"), col("sb")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_id", "dup_of", "jaccard")
   }

@@ -58,6 +58,16 @@ object TextOps {
   def ngrams(text: Column, n: Int): Column =
     graft.functions.WordNgrams.wordNgrams(text, n)
 
+  /** SORTED DISTINCT polynomial hashes of the word n-grams — the compact
+    * shingle-set relation the pairwise dedup paths ship and compare
+    * (8-byte longs instead of shingle strings; see
+    * [[graft.functions.HashedWordNgrams]]). ≡ `array_sort(array_distinct(
+    * transform(ngrams(text, n), rollingHash)))` without materializing the
+    * strings.
+    */
+  def hashedNgrams(text: Column, n: Int = 2): Column =
+    graft.functions.HashedWordNgrams.hashedWordNgrams(text, n, HashMod)
+
   /** Corpus text normalization (the cleanup pass a training-data pipeline
     * runs before dedup/quality): strip URLs, collapse whitespace runs to a
     * single space, trim. Pure built-ins — `regexp_replace` replaces all

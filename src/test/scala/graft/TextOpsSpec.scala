@@ -67,6 +67,43 @@ class TextOpsSpec extends AnyFunSuite {
     assert(edgeDiff == 0)
   }
 
+  test("hashedNgrams ≡ sort(distinct(rollingHash over ngrams)) on fixture + edge text") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(200)
+      .select(col("text"))
+      .unionByName(Seq("", " ", "solo", "a b", "Größe ÜBER über x").toDF("text"))
+    for (n <- Seq(2, 3)) {
+      val diff = docs.select(
+        TextOps.hashedNgrams(col("text"), n).as("native"),
+        array_sort(array_distinct(transform(
+          TextOps.ngrams(col("text"), n), s => TextOps.rollingHash(s)))).as("ref"))
+        .filter(col("native") =!= col("ref")).count()
+      assert(diff == 0, s"n=$n")
+    }
+  }
+
+  test("SortedLongJaccard over hashed shingles ≡ ArrayJaccard over string shingles") {
+    // the fixture vocabulary is collision-free under the rolling hash, so
+    // the hashed-set Jaccard must equal the string-set Jaccard exactly
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(60)
+      .select(col("doc_id"), col("text"))
+    val a = docs.select(col("doc_id").as("ida"),
+      TextOps.bigrams(col("text")).as("sa"), TextOps.hashedNgrams(col("text")).as("ha"))
+    val b = docs.select(col("doc_id").as("idb"),
+      TextOps.bigrams(col("text")).as("sb"), TextOps.hashedNgrams(col("text")).as("hb"))
+    val diff = a.join(b, col("ida") < col("idb"))
+      .select(
+        graft.functions.ArrayJaccard.arrayJaccard(col("sa"), col("sb")).as("s"),
+        graft.functions.SortedLongJaccard.sortedLongJaccard(col("ha"), col("hb")).as("h"))
+      .filter(col("s") =!= col("h")).count()
+    assert(diff == 0)
+    // empty∪empty guard on both kernels
+    val e = Seq(("", "")).toDF("ta", "tb").select(
+      graft.functions.SortedLongJaccard.sortedLongJaccard(
+        TextOps.hashedNgrams(col("ta")), TextOps.hashedNgrams(col("tb"))).as("j"))
+      .collect().head.getDouble(0)
+    assert(e == 0.0)
+  }
+
   test("fingerprint is order- and repetition-invariant") {
     val df = Seq("the cat sat", "sat THE cat cat", "the dog sat").toDF("text")
     val fps = df.select(TextOps.fingerprint(col("text")).as("f"))
