@@ -231,7 +231,7 @@ object Round5Queries {
   /** The q64 split CASE over an arbitrary key expression — same Knuth
     * hash and thresholds as [[Split.splitExpr]]/[[Sampling.idHash]].
     */
-  private def splitCaseSql(keyExpr: String): String = {
+  private[graft] def splitCaseSql(keyExpr: String): String = {
     val m = Sampling.HashMod
     val h = s"(($keyExpr % $m) * 2654435761) % $m"
     val conds = Round4Queries.SplitWeights

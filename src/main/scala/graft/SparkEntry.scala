@@ -549,7 +549,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational ++ monitors ++ LlmQueries.queries ++ ExtQueries.queries ++
       Round3Queries.queries ++ Round4Queries.queries ++
-      Round5Queries.queries ++ Round5bQueries.queries
+      Round5Queries.queries ++ Round5bQueries.queries ++
+      Round5cQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -557,5 +558,5 @@ object SparkEntry {
     relationalOracle ++ monitorsOracle ++ LlmQueries.oracleSql ++
       ExtQueries.oracleSql ++ Round3Queries.oracleSql ++
       Round4Queries.oracleSql ++ Round5Queries.oracleSql ++
-      Round5bQueries.oracleSql
+      Round5bQueries.oracleSql ++ Round5cQueries.oracleSql
 }

@@ -65,4 +65,24 @@ object Split {
         splitExpr(coalesce(col("cluster"), col(idCol)), weights))
       .drop("cluster")
   }
+
+  /** Leakage audit of a split assignment: how many near-dup pairs
+    * straddle split boundaries? `(split_a, split_b, n_pairs, leaked)`
+    * for every populated split combination — the validation report a
+    * pipeline runs BEFORE training to quantify train→eval contamination
+    * (and the measurement that motivates [[assignSplitsLeakageSafe]],
+    * under which every `leaked` row must be zero).
+    *
+    * Scale: the pair list is the small relation (verified near-dups);
+    * splits are recomputed per endpoint by the scan-stage hash CASE —
+    * no join against the corpus at all, so cost ~ |pairs|, not |docs|.
+    */
+  def leakageReport(pairs: DataFrame, weights: Seq[(String, Double)],
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
+    pairs.select(
+        splitExpr(col(aCol), weights).as("split_a"),
+        splitExpr(col(bCol), weights).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaked", (col("split_a") =!= col("split_b")).cast("boolean"))
 }
