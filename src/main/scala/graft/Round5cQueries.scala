@@ -71,7 +71,28 @@ object Round5cQueries {
     "q81_split_leakage" -> ((s, dir) =>
       Split.leakageReport(Dedup.minhashNearDups(docs(s, dir)),
         Round4Queries.SplitWeights)
-        .orderBy("split_a", "split_b")))
+        .orderBy("split_a", "split_b")),
+
+    // Token-budget accounting, three ways: whitespace tokens, word
+    // tokens, and BPE-ish pretokens (letter/digit/punctuation runs) —
+    // the three counts a budgeting/packing stage reconciles. Pure scan
+    // stage: three counters in one pass, one aggregate.
+    "q82_token_accounting" -> ((s, dir) => {
+      import graft.operators.TextOps
+      docs(s, dir)
+        .select(col("source"),
+          TextOps.wsTokenCount(col("text")).cast("long").as("ws"),
+          TextOps.tokenCount(col("text")).cast("long").as("words"),
+          TextOps.bpeTokenCount(col("text")).cast("long").as("bpe"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ws").as("ws_tokens"),
+          sum("words").as("word_tokens"),
+          sum("bpe").as("bpe_tokens"),
+          round(sum("bpe") / count(lit(1)).cast("double"), 4)
+            .as("avg_bpe_per_doc"))
+        .orderBy("source")
+    }))
 
   private val M = operators.TextOps.HashMod
   private val tokSql = LlmQueries.tokSql
@@ -118,5 +139,19 @@ object Round5cQueries {
          |    ${Round5Queries.splitCaseSql("doc_b")} AS split_b FROM p)
          |SELECT split_a, split_b, count(*) AS n_pairs,
          |  split_a <> split_b AS leaked
-         |FROM sp GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin)
+         |FROM sp GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin,
+
+    "q82_token_accounting" ->
+      s"""WITH t AS (SELECT source,
+         |    len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\f]+'),
+         |      x -> len(x) > 0)) AS ws,
+         |    len($tokSql) AS words,
+         |    len(regexp_extract_all(text, '${operators.TextOps.BpePattern}')) AS bpe
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(words) AS BIGINT) AS word_tokens,
+         |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+         |  round(sum(bpe) / CAST(count(*) AS DOUBLE), 4) AS avg_bpe_per_doc
+         |FROM t GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -5,9 +5,9 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native dot product over two `array<double>` columns.
+/** Native dot product over two `array<double>` or `array<float>` columns.
   *
   * The built-in formulation — `aggregate(zip_with(a, b, (x,y) -> x*y),
   * 0d, (acc,v) -> acc+v)` — materializes a products array and dispatches
@@ -21,28 +21,47 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * stays valid. A NULL element poisons the result to NULL, matching
   * `zip_with`/`aggregate` semantics; length mismatch follows zip_with's
   * pad-with-NULL → NULL.
+  *
+  * Float arrays are accepted DIRECTLY (each element widened in the
+  * loop): float→double conversion is exact, so the result is
+  * bit-identical to casting the whole array first — but the pairwise
+  * join stage that feeds this expression then ships 4-byte floats
+  * instead of 8-byte doubles, halving the dominant shuffle of every
+  * embedding near-dup pipeline. The oracle keeps its `::DOUBLE[]` cast.
   */
 case class ArrayDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  private def isAccepted(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def isFloat(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+      case (l, r) if isAccepted(l) && isAccepted(r) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"ArrayDot requires array<double> inputs, got ${l.catalogString}, ${r.catalogString}")
+        s"ArrayDot requires array<double|float> inputs, got ${l.catalogString}, ${r.catalogString}")
     }
 
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    ArrayDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    ArrayDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left.dataType), isFloat(right.dataType))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (lf, rf) = (isFloat(left.dataType), isFloat(right.dataType))
     val dot = nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |Double ${ev.value}_boxed = graft.functions.ArrayDot.compute($a, $b);
+         |Double ${ev.value}_boxed = graft.functions.ArrayDot.compute($a, $b, $lf, $rf);
          |if (${ev.value}_boxed == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = ${ev.value}_boxed.doubleValue(); }
        """.stripMargin)
@@ -56,20 +75,26 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
 
 object ArrayDot {
   /** Shared kernel; returns null (boxed) on length mismatch or any NULL
-    * element, matching the zip_with/aggregate formulation.
+    * element, matching the zip_with/aggregate formulation. `af`/`bf`
+    * flag float-element inputs (widened per element — exact).
     */
-  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+  def compute(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      acc = acc + a.getDouble(i) * b.getDouble(i)
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      acc = acc + x * y
       i += 1
     }
     acc
   }
+
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double =
+    compute(a, b, false, false)
 
   def arrayDot(a: Column, b: Column): Column =
     GraftExpressionBridge.column(ArrayDot(

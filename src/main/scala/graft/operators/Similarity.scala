@@ -283,9 +283,13 @@ object Similarity {
     */
   def nearDupPairs(embeddings: DataFrame, blockCol: String, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // raw float arrays, NOT cast to double: the self-join below
+    // duplicates a vector into every candidate pair row, so element
+    // width is the stage's shuffle cost — ArrayDot widens per element
+    // inside the kernel (exact), halving the bytes shipped
     val e = graft.util.Parallelism.ensure(embeddings)
       .select(col(idCol).as("vec_id"), col(blockCol).as("block"),
-        asDouble(col(vecCol)).as("v"))
+        col(vecCol).as("v"))
       .withColumn("nv", norm(col("v")))
     val a = e.select(col("vec_id").as("vec_a"), col("block"), col("v").as("va"),
       col("nv").as("na"))

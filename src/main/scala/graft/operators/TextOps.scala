@@ -68,6 +68,25 @@ object TextOps {
   def hashedNgrams(text: Column, n: Int = 2): Column =
     graft.functions.HashedWordNgrams.hashedWordNgrams(text, n, HashMod)
 
+  /** BPE-ish pretokenization count — the OTHER token accounting a
+    * training pipeline reports alongside whitespace/word counts (budget
+    * estimates, packing): letter runs, digit runs, and punctuation runs
+    * each count as one pretoken, case preserved, whitespace dropped.
+    * This is the RE2-safe approximation of the GPT-2 pretokenizer (whose
+    * lookaheads RE2 — and hence the DuckDB oracle — cannot express);
+    * subword merges would subdivide these pretokens, so it LOWER-bounds
+    * the true BPE token count. The whitespace class is written out
+    * explicitly because Java's `\s` and RE2's `\s` disagree on \x0B.
+    */
+  val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r\\f]+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** Whitespace-delimited token count (the naive budget estimate). */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "[ \\t\\n\\r\\f]+"), t => length(t) > 0))
+
   /** Corpus text normalization (the cleanup pass a training-data pipeline
     * runs before dedup/quality): strip URLs, collapse whitespace runs to a
     * single space, trim. Pure built-ins — `regexp_replace` replaces all

@@ -64,6 +64,34 @@ class Round5cSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  // Token accounting
+  // -------------------------------------------------------------------
+
+  test("bpe/ws token counts on hand-computed examples") {
+    import graft.operators.TextOps
+    val rows = Seq(
+      "don't stop", // ws 2; words don,t,stop=3; bpe don,',t,stop=4
+      "x2 + y10",   // ws 3; words x2,y10=2;     bpe x,2,+,y,10=5
+      "",           // all zero
+      "  spaced  out  ") // ws 2; words 2; bpe 2
+      .toDF("text").select(
+        TextOps.wsTokenCount(col("text")).as("ws"),
+        TextOps.tokenCount(col("text")).as("words"),
+        TextOps.bpeTokenCount(col("text")).as("bpe"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(rows.toSeq == Seq((2, 3, 4), (3, 2, 5), (0, 0, 0), (2, 2, 2)))
+  }
+
+  test("bpe pretokens subdivide word tokens: bpe >= words on fixture text") {
+    import graft.operators.TextOps
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val bad = d.select(TextOps.tokenCount(col("text")).as("w"),
+        TextOps.bpeTokenCount(col("text")).as("b"))
+      .filter(col("b") < col("w")).count()
+    assert(bad == 0)
+  }
+
+  // -------------------------------------------------------------------
   // Split.leakageReport
   // -------------------------------------------------------------------
 
