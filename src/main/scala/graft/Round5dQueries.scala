@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Collocations, Decontaminate, Retrieval}
+
+/** Round-5 additions, part four — the retrieval/query side of the corpus
+  * engine: BM25 ranking (q83), PMI collocation mining (q84), hybrid
+  * lexical+vector reciprocal-rank fusion (q85), and embedding-space
+  * (semantic) decontamination (q86, the paraphrase-leak complement of
+  * q52's shingle overlap).
+  *
+  * Oracle conventions as in [[LlmQueries]]. The BM25 double arithmetic
+  * is parenthesized TERM-FOR-TERM identically on both engines and each
+  * per-term score is rounded to integer micro-points before the
+  * per-(query,doc) sum, so summation order cannot flip a bit.
+  */
+object Round5dQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  /** Fixed query workload: terms drawn from the fixture vocabulary so
+    * every query matches a deep candidate pool at every SF.
+    */
+  val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("hash", "join"),
+    2 -> Seq("window", "sort", "merge"),
+    3 -> Seq("vector", "scan"))
+
+  /** q85's vector probes: each query also carries a probe embedding
+    * (doc ids and vec ids share the fixture id space).
+    */
+  val HybridSpecs: Seq[(Int, Seq[String], Long)] =
+    Bm25Queries.zip(Seq(0L, 1L, 2L)).map { case ((q, ts), p) => (q, ts, p) }
+
+  val Bm25K = 10
+  val RrfPool = 20
+
+  /** q86's eval-set carve-out (vec_id % 97 = 0 ≈ 1%) and threshold —
+    * 0.35 flags 9 of 494 corpus vectors at the sf0.01 gate, with the
+    * nearest cosine 0.004 away from the cut (no cross-engine boundary
+    * risk).
+    */
+  val EvalMod = 97L
+  val SemanticTau = 0.35
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BM25 top-10 per query: two corpus-sized stat aggregates + broadcast
+    // query join + TopKBy — no corpus-sized window, no text shuffle.
+    "q83_bm25" -> ((s, dir) =>
+      Retrieval.bm25TopK(docs(s, dir), Bm25Queries, Bm25K)
+        .orderBy("query_id", "rank")),
+
+    // Top-100 PMI collocations (count floor scales with corpus size).
+    "q84_collocations" -> ((s, dir) =>
+      Collocations.pmiTop(docs(s, dir), 100)),
+
+    // Hybrid retrieval: BM25 ∪ cosine top-20 pools fused by
+    // rrf = Σ 1/(60+rank); the ranking window's input is ≤40 rows/query.
+    "q85_hybrid_rrf" -> ((s, dir) =>
+      Retrieval.hybridTopK(docs(s, dir), embs(s, dir), HybridSpecs,
+        Bm25K, RrfPool)
+        .orderBy("query_id", "rank")),
+
+    // Semantic decontamination per label: corpus scans once against the
+    // broadcast eval set; vectors never shuffle.
+    "q86_semantic_decon" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Decontaminate.semanticReport(
+        e.filter(col("vec_id") % EvalMod =!= 0),
+        e.filter(col("vec_id") % EvalMod === 0),
+        SemanticTau)
+    }))
+
+  private val tokSql = LlmQueries.tokSql
+
+  private val qValuesSql = Bm25Queries
+    .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+
+  private val pqValuesSql = HybridSpecs
+    .map { case (q, _, p) => s"($q, $p)" }.mkString(", ")
+
+  /** Non-distinct adjacent bigrams (duplicates kept — PMI counts
+    * occurrences), mirroring [[graft.functions.WordNgramsAll]].
+    */
+  private val bigramsAllSql =
+    "CASE WHEN len(ws) < 2 THEN []::VARCHAR[] ELSE " +
+      "list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) END"
+
+  /** The BM25 CTE chain shared by q83 and q85: per-term micro-point
+    * scores (identical double parenthesization to
+    * [[graft.operators.Retrieval.bm25Scores]]) → integer sum → rank.
+    */
+  private val bm25Ctes =
+    s"""q(query_id, term) AS (VALUES $qValuesSql),
+       |t AS (SELECT doc_id, $tokSql AS ws FROM documents),
+       |st AS (SELECT count(*)::DOUBLE AS n,
+       |    sum(len(ws))::DOUBLE / count(*) AS avgdl FROM t),
+       |tfx AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+       |    SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM t)
+       |  GROUP BY doc_id, dl, term),
+       |dfx AS (SELECT term, count(*) AS df FROM tfx GROUP BY term),
+       |sc AS (SELECT q.query_id, tfx.doc_id,
+       |    CAST(round(ln(((st.n - df + 0.5) / (df + 0.5)) + 1.0)
+       |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)))
+       |      * 1000000.0) AS BIGINT) AS s
+       |  FROM tfx JOIN q USING (term) JOIN dfx USING (term), st),
+       |ag AS (SELECT query_id, doc_id, sum(s) AS score_micro FROM sc
+       |  GROUP BY query_id, doc_id),
+       |br AS (SELECT query_id, doc_id, score_micro,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank FROM ag)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q83_bm25" ->
+      s"""WITH $bm25Ctes
+         |SELECT query_id, rank, doc_id, score_micro FROM br
+         |WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin,
+
+    "q84_collocations" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS ws FROM documents),
+         |uni AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(ws) AS w FROM t)
+         |  GROUP BY w),
+         |bg AS (SELECT unnest($bigramsAllSql) AS g FROM t),
+         |pair AS (SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+         |    count(*) AS n_pair FROM bg GROUP BY 1, 2),
+         |st AS (SELECT (SELECT sum(c1)::DOUBLE FROM uni) AS t,
+         |    (SELECT sum(n_pair)::DOUBLE FROM pair) AS b,
+         |    (SELECT greatest(${Collocations.FloorMin},
+         |      CAST(sum(n_pair) AS BIGINT) // ${Collocations.FloorDiv})
+         |      FROM pair) AS m),
+         |sc AS (SELECT p.w1, p.w2, p.n_pair,
+         |    round(ln(((p.n_pair::DOUBLE * st.t) * st.t)
+         |      / ((st.b * ua.c1) * ub.c1)), 4) AS pmi
+         |  FROM pair p JOIN uni ua ON p.w1 = ua.w
+         |    JOIN uni ub ON p.w2 = ub.w, st
+         |  WHERE p.n_pair >= st.m)
+         |SELECT w1, w2, n_pair, pmi FROM sc
+         |ORDER BY n_pair DESC, w1, w2 LIMIT 100""".stripMargin,
+
+    "q85_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+         |l AS (SELECT query_id, doc_id, rank AS lex_rank FROM br
+         |  WHERE rank <= $RrfPool),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |pq(query_id, probe_id) AS (VALUES $pqValuesSql),
+         |qe AS (SELECT pq.query_id, pq.probe_id, e.v AS qv
+         |  FROM pq JOIN e ON e.vec_id = pq.probe_id),
+         |vs AS (SELECT qe.query_id, e.vec_id AS doc_id,
+         |    round(list_cosine_similarity(qv, v), 4) AS cs
+         |  FROM qe JOIN e ON e.vec_id <> qe.probe_id),
+         |vr AS (SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cs DESC, doc_id) AS INTEGER) AS vec_rank FROM vs),
+         |v2 AS (SELECT * FROM vr WHERE vec_rank <= $RrfPool),
+         |f AS (SELECT coalesce(l.query_id, v2.query_id) AS query_id,
+         |    coalesce(l.doc_id, v2.doc_id) AS doc_id, lex_rank, vec_rank
+         |  FROM l FULL OUTER JOIN v2
+         |    ON l.query_id = v2.query_id AND l.doc_id = v2.doc_id),
+         |g AS (SELECT query_id, doc_id, lex_rank, vec_rank,
+         |    coalesce(1.0 / (60 + lex_rank), 0.0)
+         |      + coalesce(1.0 / (60 + vec_rank), 0.0) AS rrf FROM f),
+         |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank FROM g)
+         |SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf,
+         |  lex_rank, vec_rank
+         |FROM r2 WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin,
+
+    "q86_semantic_decon" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |ev AS (SELECT v AS evv FROM e WHERE vec_id % $EvalMod = 0),
+         |c AS (SELECT vec_id, label, v FROM e WHERE vec_id % $EvalMod <> 0),
+         |f AS (SELECT c.vec_id, c.label,
+         |    max(CASE WHEN ev.evv IS NOT NULL THEN 1 ELSE 0 END) AS contam
+         |  FROM c LEFT JOIN ev ON list_cosine_similarity(c.v, ev.evv) >= $SemanticTau
+         |  GROUP BY c.vec_id, c.label)
+         |SELECT label, count(*) AS n_total,
+         |  CAST(sum(contam) AS BIGINT) AS n_contaminated,
+         |  CAST(count(*) - sum(contam) AS BIGINT) AS n_kept
+         |FROM f GROUP BY label ORDER BY label""".stripMargin)
+}

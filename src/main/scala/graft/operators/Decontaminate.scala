@@ -84,4 +84,40 @@ object Decontaminate {
         round(sum("bp") / (count(lit(1)) * 10000.0), 4).as("avg_overlap"))
       .orderBy(groupCol)
   }
+
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * shingle overlap above (catches paraphrased eval leakage that shares
+    * no n-grams): a corpus vector is contaminated when its cosine
+    * similarity to ANY eval-set vector reaches `threshold`.
+    *
+    * Same size asymmetry, same plan: the eval set broadcasts, the corpus
+    * scans ONCE through a broadcast nested-loop left join whose
+    * condition is the cosine predicate (O(|eval|) codegen'd [[
+    * graft.functions.ArrayDot]] products per corpus row, no shuffle of
+    * vectors), then a doc-keyed max collapses multi-eval matches and the
+    * label rollup aggregates three longs. Per-label report:
+    * (label, n_total, n_contaminated, n_kept).
+    */
+  def semanticReport(corpus: DataFrame, evalSet: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    import Similarity.{dot, norm}
+    val c = graft.util.Parallelism.ensure(corpus)
+      .select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nv", norm(col("v")))
+    val e = evalSet
+      .select(col(vecCol).cast("array<double>").as("ev"))
+      .withColumn("nev", norm(col("ev")))
+    c.join(broadcast(e),
+        dot(col("v"), col("ev")) / (col("nv") * col("nev")) >= threshold, "left")
+      .select(col("vec_id"), col("label"),
+        when(col("ev").isNotNull, 1L).otherwise(0L).as("hit"))
+      .groupBy("vec_id", "label").agg(max("hit").as("contam"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_total"),
+        sum("contam").as("n_contaminated"),
+        (count(lit(1)) - sum("contam")).as("n_kept"))
+      .orderBy("label")
+  }
 }

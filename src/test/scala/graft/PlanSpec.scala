@@ -269,4 +269,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"intersection must equi-join on the shingle:\n$p")
   }
+
+  test("q83: BM25 broadcasts the query set and top-ks via the aggregate, not a window") {
+    val p = plan("q83_bm25")
+    assert(!p.contains("Window"), s"BM25 top-k regressed to a window:\n$p")
+    assert(p.contains("partial_topkby"), s"expected a partial TopKBy phase:\n$p")
+    // both query-side joins (vocab->terms, tf->candidates) broadcast;
+    // the corpus never shuffles for the query restriction
+    assert(p.contains("BroadcastHashJoin"), s"query join must broadcast:\n$p")
+  }
+
+  test("q84: top-N collocations plan TakeOrderedAndProject, not a global sort") {
+    val p = plan("q84_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit should plan TakeOrdered:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in PMI:\n$p")
+  }
+
+  test("q85: only the bounded post-fusion ranking may use a window") {
+    // the fusion input is two <=pool-rows-per-query relations; the one
+    // Window in the plan must consume the fused join, and the BM25 /
+    // cosine candidate stages below it must stay window-free (TopKBy).
+    val p = plan("q85_hybrid_rrf")
+    assert("\\bWindow\\b".r.findAllIn(p).size <= 1,
+      s"expected at most one (bounded) ranking window:\n$p")
+    assert(p.contains("partial_topkby"),
+      s"both pools must come from TopKBy partial aggregation:\n$p")
+  }
+
+  test("q86: semantic decontamination broadcasts the eval set; corpus does not shuffle vectors") {
+    val p = plan("q86_semantic_decon")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"cosine-predicate join must broadcast the eval side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"eval join must not plan a cartesian product:\n$p")
+    // the only exchanges are for the tiny stat aggregations, keyed by
+    // vec_id then label — never a shuffle carrying the embedding arrays
+    assert(!"Exchange hashpartitioning\\([^)]*embedding".r.findAllIn(p).hasNext,
+      s"vectors must not shuffle:\n$p")
+  }
 }

@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Collocations, Decontaminate, Retrieval}
+
+class Round5dSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // -------------------------------------------------------------------
+  // BM25
+  // -------------------------------------------------------------------
+
+  /** The operator's exact double formula, reproduced independently —
+    * the test recomputes expected micro-scores from first principles.
+    */
+  private def bm25Micro(tf: Long, df: Long, dl: Long, n: Long, avgdl: Double): Long = {
+    val idf = math.log(((n.toDouble - df + 0.5) / (df + 0.5)) + 1.0)
+    val w = idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+    math.round(w * 1000000.0)
+  }
+
+  test("bm25TopK matches hand-computed scores on a toy corpus") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, Seq(1 -> Seq("apple")), 10)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    // N=3 docs, 6 tokens, avgdl=2.0; df(apple)=2
+    val d1 = bm25Micro(tf = 2, df = 2, dl = 3, n = 3, avgdl = 2.0)
+    val d3 = bm25Micro(tf = 1, df = 2, dl = 1, n = 3, avgdl = 2.0)
+    assert(d3 > d1, "short doc should outscore long doc at equal idf (length norm)")
+    assert(got.toSeq == Seq((1, 3L, d3), (2, 1L, d1)))
+  }
+
+  test("bm25: docs without any query term never appear; multi-term scores add") {
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "cherry date"),
+      (3L, "apple cherry"),
+      (4L, "elderberry fig")).toDF("doc_id", "text")
+    val rows = Retrieval.bm25Scores(docs,
+      Seq(1 -> Seq("apple", "cherry"))).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L)) // doc 4 has no query term
+    // N=4 docs, 8 tokens, avgdl=2.0; df=2 for both terms, tf=1, dl=2
+    val a = bm25Micro(tf = 1, df = 2, dl = 2, n = 4, avgdl = 2.0)
+    // doc 3 holds one of EACH term: its score is the sum of two
+    // single-term contributions (identical tf/df/dl here)
+    assert(rows(3L) == 2 * a)
+    assert(rows(1L) == a && rows(2L) == a)
+  }
+
+  test("bm25 dedups repeated query terms (no double counting)") {
+    val docs = Seq((1L, "apple pie")).toDF("doc_id", "text")
+    val once = Retrieval.bm25Scores(docs, Seq(1 -> Seq("apple"))).collect()
+    val twice = Retrieval.bm25Scores(docs, Seq(1 -> Seq("apple", "apple"))).collect()
+    assert(once.map(_.getLong(2)).toSeq == twice.map(_.getLong(2)).toSeq)
+  }
+
+  // -------------------------------------------------------------------
+  // PMI collocations
+  // -------------------------------------------------------------------
+
+  test("pmiTop matches hand-computed PMI on a toy corpus") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    // unigrams a=3 b=2 c=1, T=6; bigrams: (a,b)x2 (a,c)x1, B=3
+    val got = Collocations.pmiTop(docs, 10, floorOverride = Some(1L))
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    val pmiAB = BigDecimal(math.log((2.0 * 6 * 6) / (3.0 * 3 * 2)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pmiAC = BigDecimal(math.log((1.0 * 6 * 6) / (3.0 * 3 * 1)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(("a", "b") -> (2L, pmiAB), ("a", "c") -> (1L, pmiAC)))
+  }
+
+  test("pmi floor: derived minCount filters rare pairs; topN caps output") {
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = Collocations.pmiTop(d, 20).collect()
+    assert(out.length == 20, "fixture corpus should saturate topN")
+    val counts = out.map(_.getLong(2))
+    assert(counts.sameElements(counts.sortBy(-_)), "ordered by n_pair desc")
+  }
+
+  // -------------------------------------------------------------------
+  // Hybrid RRF
+  // -------------------------------------------------------------------
+
+  test("hybridTopK: ranks 1..k per query, rrf consistent with contributing ranks") {
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val out = Retrieval.hybridTopK(d, e, Round5dQueries.HybridSpecs, 10, 20)
+      .collect()
+    val byQuery = out.groupBy(_.getInt(0))
+    assert(byQuery.keySet == Set(1, 2, 3))
+    byQuery.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 10))
+      // rrf nonincreasing in rank, and recomputable from the rank columns
+      val rrfs = sorted.map(_.getDouble(3))
+      assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+      sorted.foreach { r =>
+        val lex = if (r.isNullAt(4)) None else Some(r.getInt(4))
+        val vec = if (r.isNullAt(5)) None else Some(r.getInt(5))
+        assert(lex.isDefined || vec.isDefined)
+        val expect = lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+          vec.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+        assert(math.abs(r.getDouble(3) - expect) < 1e-6)
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Semantic decontamination
+  // -------------------------------------------------------------------
+
+  test("semanticReport flags cosine hits per label on hand-built vectors") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f), 0),  // cos 1.0 vs eval -> contaminated
+      (11L, Array(0.0f, 1.0f), 0),  // orthogonal -> kept
+      (12L, Array(-1.0f, 0.0f), 1)) // opposite -> kept
+      .toDF("vec_id", "embedding", "label")
+    val eval = Seq((99L, Array(1.0f, 0.0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val got = Decontaminate.semanticReport(corpus, eval, 0.9)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0, 2L, 1L, 1L), (1, 1L, 0L, 1L)))
+  }
+
+  test("semanticReport: multiple eval matches count once per corpus vector") {
+    val corpus = Seq((1L, Array(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val eval = Seq(
+      (2L, Array(1.0f, 0.0f), 9),
+      (3L, Array(0.9f, 0.1f), 9)).toDF("vec_id", "embedding", "label")
+    val got = Decontaminate.semanticReport(corpus, eval, 0.5).collect()
+    assert(got.length == 1 && got(0).getLong(2) == 1L)
+  }
+}
