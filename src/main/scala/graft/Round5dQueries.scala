@@ -3,13 +3,14 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Collocations, Decontaminate, Retrieval}
+import graft.operators.{Collocations, CorpusStats, Decontaminate, EmbeddingDrift, Retrieval}
 
 /** Round-5 additions, part four — the retrieval/query side of the corpus
-  * engine: BM25 ranking (q83), PMI collocation mining (q84), hybrid
-  * lexical+vector reciprocal-rank fusion (q85), and embedding-space
-  * (semantic) decontamination (q86, the paraphrase-leak complement of
-  * q52's shingle overlap).
+  * engine plus two drift monitors: BM25 ranking (q83), PMI collocation
+  * mining (q84), hybrid lexical+vector reciprocal-rank fusion (q85),
+  * embedding-space (semantic) decontamination (q86, the paraphrase-leak
+  * complement of q52's shingle overlap), per-source token-distribution
+  * KL drift (q87), and embedding-centroid snapshot drift (q88).
   *
   * Oracle conventions as in [[LlmQueries]]. The BM25 double arithmetic
   * is parenthesized TERM-FOR-TERM identically on both engines and each
@@ -72,6 +73,21 @@ object Round5dQueries {
         e.filter(col("vec_id") % EvalMod =!= 0),
         e.filter(col("vec_id") % EvalMod === 0),
         SemanticTau)
+    }),
+
+    // Per-source KL from the corpus blend: integer nano-nat sums, so
+    // the vocabulary-sized Σ is order-independent and oracle-exact.
+    "q87_token_kl" -> ((s, dir) =>
+      CorpusStats.tokenKlReport(docs(s, dir))),
+
+    // Embedding drift between two snapshot slices (vec_id % 5 carves
+    // overlapping-but-different 80% subsets): per-label centroid cosine
+    // and norm ratio.
+    "q88_embedding_drift" -> ((s, dir) => {
+      val e = embs(s, dir)
+      EmbeddingDrift.report(
+        e.filter(col("vec_id") % 5 =!= 0),
+        e.filter(col("vec_id") % 5 =!= 1))
     }))
 
   private val tokSql = LlmQueries.tokSql
@@ -180,5 +196,42 @@ object Round5dQueries {
          |SELECT label, count(*) AS n_total,
          |  CAST(sum(contam) AS BIGINT) AS n_contaminated,
          |  CAST(count(*) - sum(contam) AS BIGINT) AS n_kept
-         |FROM f GROUP BY label ORDER BY label""".stripMargin)
+         |FROM f GROUP BY label ORDER BY label""".stripMargin,
+
+    // per-term contribution rounded to nano-nats BEFORE the sum — the
+    // identical double expression on both engines feeds CAST(round(...))
+    "q87_token_kl" ->
+      s"""WITH tk AS (SELECT source AS g, unnest($tokSql) AS w FROM documents),
+         |sc AS (SELECT g, w, count(*) AS c FROM tk GROUP BY g, w),
+         |corpus AS (SELECT w, sum(c) AS ca FROM sc GROUP BY w),
+         |tot AS (SELECT g, sum(c) AS t FROM sc GROUP BY g),
+         |gr AS (SELECT sum(t) AS grand FROM tot),
+         |n AS (SELECT sc.g, tot.t,
+         |    CAST(round(((c / t) * ln((c / t) / (ca / gr.grand)))
+         |      * 1000000000.0) AS BIGINT) AS nano
+         |  FROM sc JOIN corpus USING (w) JOIN tot ON sc.g = tot.g, gr)
+         |SELECT g AS source, count(*) AS n_terms,
+         |  CAST(t AS BIGINT) AS n_tokens,
+         |  round(sum(nano) / 1000000000.0, 6) AS kl
+         |FROM n GROUP BY g, t ORDER BY source""".stripMargin,
+
+    "q88_embedding_drift" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |o AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+        |nw AS (SELECT * FROM e WHERE vec_id % 5 <> 1),
+        |po AS (SELECT label, pos, avg(v[pos]) AS mo
+        |  FROM o, (SELECT unnest(range(1, 65)) AS pos) p GROUP BY label, pos),
+        |pn AS (SELECT label, pos, avg(v[pos]) AS mn
+        |  FROM nw, (SELECT unnest(range(1, 65)) AS pos) p GROUP BY label, pos),
+        |g AS (SELECT po.label,
+        |    round(sum(mo * mn) / (sqrt(sum(mo * mo)) * sqrt(sum(mn * mn))), 4)
+        |      AS centroid_cos,
+        |    round(sqrt(sum(mn * mn)) / sqrt(sum(mo * mo)), 4) AS norm_ratio
+        |  FROM po JOIN pn ON po.label = pn.label AND po.pos = pn.pos
+        |  GROUP BY po.label),
+        |co AS (SELECT label, count(*) AS n_old FROM o GROUP BY label),
+        |cn AS (SELECT label, count(*) AS n_new FROM nw GROUP BY label)
+        |SELECT g.label, n_old, n_new, centroid_cos, norm_ratio
+        |FROM g JOIN co ON g.label = co.label JOIN cn ON g.label = cn.label
+        |ORDER BY g.label""".stripMargin)
 }

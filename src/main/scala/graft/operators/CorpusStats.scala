@@ -186,4 +186,43 @@ object CorpusStats {
       .select(col("ga").as("source_a"), col("gb").as("source_b"),
         col("n_a"), col("n_b"), col("n_common"), col("jaccard"))
   }
+
+  /** Per-source token-distribution drift: KL(source unigram dist ‖
+    * corpus unigram dist) — the mixture-design diagnostic ("how far does
+    * each slice sit from the blend?"; rising KL for a source between
+    * corpus versions flags an extraction change upstream).
+    *
+    * Numerics: each term's contribution p·ln(p/q) is rounded to integer
+    * NANO-nats before the per-source sum (the [[Retrieval]] micro-point
+    * move) — an integer sum is order-independent, so the result is exact
+    * cross-engine even though a double Σ over a large vocabulary would
+    * depend on partition combine order.
+    *
+    * Scale shape: ONE token explode → (source, term) counts; corpus
+    * counts re-aggregate that relation (no second pass); the score join
+    * is term-keyed (high-cardinality), per-source totals ride a
+    * broadcast; output is S stat rows.
+    */
+  def tokenKlReport(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val tok = graft.util.Parallelism.ensure(docs)
+      .select(col(groupCol).as("g"),
+        explode(TextOps.tokens(col(textCol))).as("w"))
+    val sc = tok.groupBy("g", "w").agg(count(lit(1)).as("c"))
+    val corpus = sc.groupBy("w").agg(sum("c").as("ca"))
+    val totals = sc.groupBy("g").agg(sum("c").as("t"))
+    val grand = totals.agg(sum("t")).head().getLong(0)
+    val p = col("c") / col("t")
+    val q = col("ca") / lit(grand)
+    val nano = round((p * log(p / q)) * lit(1000000000.0)).cast("long")
+    sc.join(corpus, "w")
+      .join(broadcast(totals), "g")
+      .select(col("g"), col("t"), nano.as("nano"))
+      .groupBy("g", "t") // t is functionally dependent on g — free in the key
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum("nano") / lit(1000000000.0), 6).as("kl"))
+      .select(col("g").as(groupCol), col("n_terms"), col("t").as("n_tokens"),
+        col("kl"))
+      .orderBy(groupCol)
+  }
 }

@@ -140,4 +140,66 @@ class Round5dSpec extends AnyFunSuite {
     val got = Decontaminate.semanticReport(corpus, eval, 0.5).collect()
     assert(got.length == 1 && got(0).getLong(2) == 1L)
   }
+
+  // -------------------------------------------------------------------
+  // Token-distribution KL drift
+  // -------------------------------------------------------------------
+
+  test("tokenKlReport matches hand-computed KL on a toy corpus") {
+    import graft.operators.CorpusStats
+    val docs = Seq((1L, "a", "x x y"), (2L, "b", "x z"))
+      .toDF("doc_id", "source", "text")
+    // corpus: x=3 y=1 z=1, T=5
+    def nano(c: Long, t: Long, ca: Long): Long = {
+      val p = c.toDouble / t; val q = ca.toDouble / 5
+      math.round((p * math.log(p / q)) * 1e9)
+    }
+    def kl(parts: Long*): Double =
+      BigDecimal(parts.sum / 1e9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = CorpusStats.tokenKlReport(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      "a" -> (2L, 3L, kl(nano(2, 3, 3), nano(1, 3, 1))),
+      "b" -> (2L, 2L, kl(nano(1, 2, 3), nano(1, 2, 1)))))
+  }
+
+  test("tokenKl: a source identical to the blend has KL ~ 0; skewed source > 0") {
+    import graft.operators.CorpusStats
+    // two sources with the SAME distribution -> blend == each source
+    val same = Seq((1L, "a", "x y"), (2L, "b", "x y"))
+      .toDF("doc_id", "source", "text")
+    assert(CorpusStats.tokenKlReport(same).collect()
+      .forall(_.getDouble(3) == 0.0))
+    val skew = Seq((1L, "a", "x x x x"), (2L, "b", "y y y y"))
+      .toDF("doc_id", "source", "text")
+    assert(CorpusStats.tokenKlReport(skew).collect()
+      .forall(_.getDouble(3) > 0.5)) // ln(2) each
+  }
+
+  // -------------------------------------------------------------------
+  // Embedding drift
+  // -------------------------------------------------------------------
+
+  test("embedding drift of identical snapshots is cos=1, norm_ratio=1") {
+    import graft.operators.EmbeddingDrift
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val rep = EmbeddingDrift.report(e, e).collect()
+    assert(rep.length == 10)
+    assert(rep.forall(r => r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0))
+  }
+
+  test("embedding drift detects a deliberate scale+rotate shift") {
+    import graft.operators.EmbeddingDrift
+    val oldV = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 0)).toDF("vec_id", "embedding", "label")
+    // new snapshot: doubled norms, one vector flipped -> centroid rotates
+    val newV = Seq(
+      (1L, Array(2.0f, 0.0f), 0),
+      (2L, Array(0.0f, -2.0f), 0)).toDF("vec_id", "embedding", "label")
+    val r = EmbeddingDrift.report(oldV, newV).collect()(0)
+    // old centroid (0.5, 0.5), new (1.0, -1.0): cos = 0, norm ratio = 2
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 2.0)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+  }
 }
