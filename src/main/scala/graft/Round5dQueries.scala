@@ -88,6 +88,21 @@ object Round5dQueries {
       EmbeddingDrift.report(
         e.filter(col("vec_id") % 5 =!= 0),
         e.filter(col("vec_id") % 5 =!= 1))
+    }),
+
+    // Temperature-flattened mixture at α=0.5 (sqrt — the IEEE-exact
+    // power), reported per source. Rates derive from the data inside
+    // the plan; the filter is the scan-stage hash predicate.
+    "q89_temperature_mixture" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val kept = operators.Mixture.temperatureRebalance(d, "source", 0.5)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("source"), "left")
+        .na.fill(0L, Seq("n_kept"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          round(col("n_kept") / col("n_docs"), 4).as("kept_share"))
+        .orderBy("source")
     }))
 
   private val tokSql = LlmQueries.tokSql
@@ -233,5 +248,30 @@ object Round5dQueries {
         |cn AS (SELECT label, count(*) AS n_new FROM nw GROUP BY label)
         |SELECT g.label, n_old, n_new, centroid_cos, norm_ratio
         |FROM g JOIN co ON g.label = co.label JOIN cn ON g.label = cn.label
-        |ORDER BY g.label""".stripMargin)
+        |ORDER BY g.label""".stripMargin,
+
+    // weights quantized to integer micro-points before the normalizing
+    // sum (order-independent); α=0.5 via sqrt — correctly rounded IEEE,
+    // so shares/rates are bit-identical cross-engine
+    "q89_temperature_mixture" -> {
+      val hashSql = s"((doc_id % ${operators.Sampling.HashMod}) * 2654435761) " +
+        s"% ${operators.Sampling.HashMod}"
+      s"""WITH c AS (SELECT source, count(*)::DOUBLE AS n FROM documents
+         |  GROUP BY source),
+         |w AS (SELECT source, n,
+         |    CAST(round(sqrt(n) * 1000000.0) AS BIGINT) AS wq FROM c),
+         |sw AS (SELECT CAST(sum(wq) AS BIGINT) AS s FROM w),
+         |sh AS (SELECT source, n, wq / sw.s AS share FROM w, sw),
+         |t AS (SELECT min(n / share) AS t FROM sh),
+         |r AS (SELECT source, n, ((share * t.t) / n) AS rate FROM sh, t),
+         |k AS (SELECT d.source, count(*) AS n_kept
+         |  FROM documents d JOIN r ON d.source = r.source
+         |  WHERE ($hashSql) < rate * ${operators.Sampling.HashMod}
+         |  GROUP BY d.source)
+         |SELECT r.source, CAST(r.n AS BIGINT) AS n_docs,
+         |  coalesce(k.n_kept, 0) AS n_kept,
+         |  round(coalesce(k.n_kept, 0) / r.n, 4) AS kept_share
+         |FROM r LEFT JOIN k ON r.source = k.source
+         |ORDER BY r.source""".stripMargin
+    })
 }

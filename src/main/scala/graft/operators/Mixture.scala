@@ -46,4 +46,42 @@ object Mixture {
         < col("__rate") * Sampling.HashMod)
       .drop("__rate")
   }
+
+  /** Temperature-flattened mixture (α-sampling, the XLM-R/mT5
+    * multilingual move): target shares are derived FROM the observed
+    * distribution — share_g ∝ n_g^α — so high-resource strata flatten
+    * toward the tail as α → 0; α = 1 reproduces the input (rates land
+    * within ulps of 1.0 — far inside the 1/HashMod resolution of the
+    * hash filter, so every row keeps). Downsampling then proceeds
+    * exactly as [[rebalance]].
+    *
+    * Numerics: each stratum weight n^α is rounded to integer
+    * micro-points BEFORE the normalizing sum, so the Σ over strata is
+    * order-independent and the share doubles are bit-identical
+    * cross-engine. α = 0.5 computes via `sqrt` — IEEE-correctly-rounded
+    * on both engines, unlike general `pow` — making it the
+    * oracle-exact setting.
+    *
+    * Scale shape identical to [[rebalance]]: stat-row aggregates +
+    * broadcast rate relation + scan-stage hash filter; data rows never
+    * shuffle.
+    */
+  def temperatureRebalance(df: DataFrame, groupCol: String,
+      alpha: Double = 0.5, idCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val wcol = if (alpha == 0.5) sqrt(col("__n")) else pow(col("__n"), lit(alpha))
+    val w = counts.withColumn("__wq", round(wcol * lit(1000000.0)).cast("long"))
+    val sw = w.agg(sum("__wq").as("__sw"))
+    val sh = w.crossJoin(broadcast(sw))
+      .withColumn("__share", col("__wq") / col("__sw"))
+    val t = sh.agg(min(col("__n") / col("__share")).as("__t"))
+    val rates = sh.crossJoin(broadcast(t))
+      .select(col(groupCol), ((col("__share") * col("__t")) / col("__n")).as("__rate"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(Sampling.idHash(col(idCol)).cast("double")
+        < col("__rate") * Sampling.HashMod)
+      .drop("__rate")
+  }
 }

@@ -177,6 +177,38 @@ class Round5dSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  // Temperature mixture
+  // -------------------------------------------------------------------
+
+  test("temperatureRebalance flattens a skewed mixture at alpha=0.5") {
+    import graft.operators.Mixture
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val in = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Mixture.temperatureRebalance(d, "source", 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == in.keySet)
+    assert(out.forall { case (s, n) => n <= in(s) }, "downsample only")
+    // flattening: the kept-share of the biggest source must be LOWER
+    // than that of the smallest source (sqrt compresses the ratio)
+    val big = in.maxBy(_._2)._1
+    val small = in.minBy(_._2)._1
+    if (in(big) > in(small)) {
+      val shareBig = out(big).toDouble / in(big)
+      val shareSmall = out(small).toDouble / in(small)
+      assert(shareBig < shareSmall,
+        s"expected big source downsampled harder: $shareBig vs $shareSmall")
+    }
+  }
+
+  test("temperatureRebalance at alpha=1 keeps every row") {
+    import graft.operators.Mixture
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    assert(Mixture.temperatureRebalance(d, "source", 1.0).count() == d.count())
+  }
+
+  // -------------------------------------------------------------------
   // Embedding drift
   // -------------------------------------------------------------------
 
