@@ -160,4 +160,70 @@ object StreamingOps {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
+
+  // -------------------------------------------------------------------
+  // Streaming distribution drift (the continuous twin of
+  // CorpusStats.tokenKlReport)
+  // -------------------------------------------------------------------
+
+  /** Stage 1 — the ONLY stateful step: per-window (group, term) token
+    * counts. One watermark-bounded windowed aggregation; state is
+    * bounded by (windows in flight) × active vocabulary, independent of
+    * stream lifetime. Emits (window_start, window_end, g, w, c) in
+    * append mode when the watermark closes a window.
+    */
+  def tokenCountStream(docs: DataFrame, windowLen: String,
+      watermarkDelay: String, tsCol: String = "ts",
+      groupCol: String = "source", textCol: String = "text"): DataFrame =
+    docs.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), col(groupCol).as("g"),
+        explode(graft.operators.TextOps.tokens(col(textCol))).as("w"))
+      .groupBy(window(col(tsCol), windowLen), col("g"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("g"), col("w"), col("c"))
+
+  /** The (w, q) reference distribution a drift monitor compares
+    * against, derived once from a static corpus snapshot.
+    */
+  def referenceDistribution(docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val tok = graft.util.Parallelism.ensure(docs)
+      .select(explode(graft.operators.TextOps.tokens(col(textCol))).as("w"))
+    val counts = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val grand = counts.agg(sum("c")).head().getLong(0)
+    counts.select(col("w"), (col("c") / lit(grand)).as("q"))
+  }
+
+  /** Stage 2 — STATELESS: KL(window dist ‖ reference) per (window,
+    * group), over the counts stage 1 emits (run it downstream of the
+    * sink, or per micro-batch in foreachBatch). Terms absent from the
+    * reference take `floorQ` (the caller's smoothing choice — a drifted
+    * window full of unseen terms is exactly what the monitor must
+    * flag, not divide-by-zero on). Numerics as the batch twin: per-term
+    * nano-nat integers, order-independent sums.
+    */
+  def klFromCounts(counts: DataFrame, reference: DataFrame,
+      floorQ: Double): DataFrame = {
+    // totals are re-derived from the SAME counts relation — project to
+    // fresh names first so the self-join resolves cleanly
+    val t = counts
+      .select(col("window_start").as("__ws"), col("window_end").as("__we"),
+        col("g").as("__g"), col("c").as("__c"))
+      .groupBy("__ws", "__we", "__g").agg(sum("__c").as("t"))
+    val p = col("c") / col("t")
+    val nano = round((p * log(p / coalesce(col("q"), lit(floorQ))))
+      * lit(1000000000.0)).cast("long")
+    counts.join(reference, Seq("w"), "left")
+      .join(t, col("window_start") === col("__ws") &&
+        col("window_end") === col("__we") && col("g") === col("__g"))
+      .select(col("window_start"), col("window_end"), col("g"), col("t"),
+        nano.as("nano"))
+      .groupBy("window_start", "window_end", "g", "t")
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum("nano") / lit(1000000000.0), 6).as("kl"))
+      .select(col("window_start"), col("window_end"),
+        col("g").as("source"), col("n_terms"), col("t").as("n_tokens"),
+        col("kl"))
+  }
 }

@@ -9,6 +9,7 @@ import graft.streaming.StreamingOps
 
 case class StreamEv(doc_id: Long, fp: String, ts: Timestamp, user_id: Long, value: Double)
 case class StreamDoc(doc_id: Long, text: String, ts: Timestamp)
+case class SrcDoc(doc_id: Long, source: String, text: String, ts: Timestamp)
 case class RawEv(user_id: Long, ts: Timestamp, event_type: String, event_id: Long, value: Double)
 
 class StreamingOpsSpec extends AnyFunSuite {
@@ -192,6 +193,66 @@ class StreamingOpsSpec extends AnyFunSuite {
       val batch = graft.operators.Dedup.incrementalNewDocs(incoming, existing)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(batch == streamed)
+    } finally q.stop()
+  }
+
+  test("streaming KL drift equals the batch tokenKlReport on a drained window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[SrcDoc]
+    val counts = StreamingOps.tokenCountStream(
+      input.toDS().toDF(), "10 minutes", "5 minutes")
+    val q = counts.writeStream.format("memory").queryName("kl_counts")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(
+        SrcDoc(1, "a", "x x y", ts("2024-01-01 00:01:00")),
+        SrcDoc(2, "b", "x z", ts("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      // late flush doc advances the watermark past the first window
+      input.addData(SrcDoc(9, "a", "flush", ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      val emitted = spark.table("kl_counts")
+        .filter(col("window_start") === ts("2024-01-01 00:00:00"))
+      // reference == the blend of the same docs => streaming KL must
+      // equal the batch operator's per-source report exactly
+      val batchDocs = Seq((1L, "a", "x x y"), (2L, "b", "x z"))
+        .toDF("doc_id", "source", "text")
+      val ref = StreamingOps.referenceDistribution(batchDocs)
+      val got = StreamingOps.klFromCounts(emitted, ref, 1e-9)
+        .select("source", "n_terms", "n_tokens", "kl").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val want = graft.operators.CorpusStats.tokenKlReport(batchDocs).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("streaming KL drift flags a window of unseen terms via the floor") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[SrcDoc]
+    val counts = StreamingOps.tokenCountStream(
+      input.toDS().toDF(), "10 minutes", "5 minutes")
+    val q = counts.writeStream.format("memory").queryName("kl_drifted")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(SrcDoc(1, "a", "zz qq zz", ts("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      input.addData(SrcDoc(9, "a", "flush", ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      val emitted = spark.table("kl_drifted")
+        .filter(col("window_start") === ts("2024-01-01 00:00:00"))
+      val ref = StreamingOps.referenceDistribution(
+        Seq((1L, "a", "x y z")).toDF("doc_id", "source", "text"))
+      val kl = StreamingOps.klFromCounts(emitted, ref, 1e-9)
+        .collect()(0).getDouble(5)
+      // every term unseen: KL ~ ln(1/floorQ) = ln(1e9) ~ 20.7 nats
+      assert(kl > 15.0, s"expected a large drift signal, got $kl")
     } finally q.stop()
   }
 }
