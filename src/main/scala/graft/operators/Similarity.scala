@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   *
   * All math stays in Catalyst higher-order expressions (`zip_with` +
   * `aggregate` folds) — no UDF, so the dot products run inside codegen'd
-  * stages and only (id, bucket/score) pairs ever shuffle. Vectors are cast
-  * float→double before any arithmetic so results are reproducible against
-  * the DuckDB oracle (`::DOUBLE[]` + `list_cosine_similarity`).
+  * stages and only (id, bucket/score) pairs ever shuffle. Arithmetic is
+  * double precision either way vectors arrive: broadcast-side relations
+  * cast float→double up front, while pair-join stages keep raw
+  * `array<float>` through the shuffle (half the bytes) and let
+  * [[graft.functions.ArrayDot]] widen per element — float→double is
+  * exact, so both paths are bit-identical to the DuckDB oracle
+  * (`::DOUBLE[]` + `list_cosine_similarity`).
   */
 object Similarity {
 
