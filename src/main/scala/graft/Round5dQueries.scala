@@ -90,6 +90,22 @@ object Round5dQueries {
         e.filter(col("vec_id") % 5 =!= 1))
     }),
 
+    // Bloom-pruned fact join: the selective dimension slice (urgent
+    // orders, ~20%) blooms; lineitem is membership-tested at the SCAN
+    // before its join exchange. Oracle = the plain join (bloom is
+    // conservative; false positives die in the real join).
+    "q90_bloom_join" -> ((s, dir) => {
+      val sel = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      val fact = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_extendedprice"),
+          col("l_discount"))
+      operators.BloomJoin.prunedInnerJoin(fact, sel, Seq("k"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("cnt"))
+    }),
+
     // Temperature-flattened mixture at α=0.5 (sqrt — the IEEE-exact
     // power), reported per source. Rates derive from the data inside
     // the plan; the filter is the scan-stage hash predicate.
@@ -249,6 +265,12 @@ object Round5dQueries {
         |SELECT g.label, n_old, n_new, centroid_cos, norm_ratio
         |FROM g JOIN co ON g.label = co.label JOIN cn ON g.label = cn.label
         |ORDER BY g.label""".stripMargin,
+
+    "q90_bloom_join" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS cnt
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
 
     // weights quantized to integer micro-points before the normalizing
     // sum (order-independent); α=0.5 via sqrt — correctly rounded IEEE,

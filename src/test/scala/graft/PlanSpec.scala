@@ -297,6 +297,18 @@ class PlanSpec extends AnyFunSuite {
       s"both pools must come from TopKBy partial aggregation:\n$p")
   }
 
+  test("q90: bloom membership test runs scan-side, below the join") {
+    val p = plan("q90_bloom_join")
+    assert(p.contains("might_contain"),
+      s"expected the BloomFilterMightContain predicate in the plan:\n$p")
+    // the filter must sit under the join: in the top-down plan print the
+    // join operator appears BEFORE (above) the might_contain filter line
+    val joinAt = p.indexOf("Join")
+    val bloomAt = p.indexOf("might_contain")
+    assert(joinAt >= 0 && bloomAt > joinAt,
+      s"bloom filter should be below the join in the plan:\n$p")
+  }
+
   test("q86: semantic decontamination broadcasts the eval set; corpus does not shuffle vectors") {
     val p = plan("q86_semantic_decon")
     assert(p.contains("BroadcastNestedLoopJoin"),

@@ -177,6 +177,43 @@ class Round5dSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  // Bloom-pruned join
+  // -------------------------------------------------------------------
+
+  test("prunedInnerJoin equals the plain join and actually prunes the scan") {
+    import graft.operators.BloomJoin
+    val sf = "/root/testdata/sf0.001"
+    val sel = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("k"), col("o_totalprice"))
+    val fact = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_quantity"))
+    val plain = fact.join(sel, Seq("k"))
+    val pruned = BloomJoin.prunedInnerJoin(fact, sel, Seq("k"))
+    assert(pruned.count() == plain.count())
+    assert(pruned.agg(sum("l_quantity")).head().getDouble(0) ==
+      plain.agg(sum("l_quantity")).head().getDouble(0))
+    // the membership test must cut the fact side well below full size
+    // (selective dim slice) while keeping every true match
+    val bloom = BloomJoin.buildBloom(sel, Seq("k"))
+    val passed = fact.filter(BloomJoin.mightContain(bloom, Seq(col("k")))).count()
+    assert(passed >= plain.count(), "bloom must never drop a true match")
+    assert(passed < fact.count() / 2,
+      s"expected substantial pruning, passed $passed of ${fact.count()}")
+  }
+
+  test("prunedInnerJoin: empty small side yields an empty result") {
+    import graft.operators.BloomJoin
+    val sf = "/root/testdata/sf0.001"
+    val sel = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "no-such-priority")
+      .select(col("o_orderkey").as("k"))
+    val fact = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("k"))
+    assert(BloomJoin.prunedInnerJoin(fact, sel, Seq("k")).count() == 0)
+  }
+
+  // -------------------------------------------------------------------
   // Temperature mixture
   // -------------------------------------------------------------------
 
