@@ -106,6 +106,14 @@ object Round5dQueries {
           .as("revenue"), count(lit(1)).as("cnt"))
     }),
 
+    // Weighted sampling (Efraimidis-Spirakis, weight = token count):
+    // scan-stage exponential keys + TakeOrdered top-k.
+    "q91_weighted_sample" -> ((s, dir) =>
+      operators.Sampling.weightedSample(
+        docs(s, dir).select(col("doc_id"),
+          operators.TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "n_tokens", 100)),
+
     // Temperature-flattened mixture at α=0.5 (sqrt — the IEEE-exact
     // power), reported per source. Rates derive from the data inside
     // the plan; the filter is the scan-stage hash predicate.
@@ -271,6 +279,21 @@ object Round5dQueries {
         |  count(*) AS cnt
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+
+    // u = (idHash+1)/(HashMod+1) in (0,1]; key = -ln(u)/w quantized to
+    // integer micro-points; id tiebreak makes the cut a total order
+    "q91_weighted_sample" -> {
+      val hashSql = s"((doc_id % ${operators.Sampling.HashMod}) * 2654435761) " +
+        s"% ${operators.Sampling.HashMod}"
+      s"""WITH t AS (SELECT doc_id, len($tokSql) AS n_tokens FROM documents),
+         |w AS (SELECT doc_id, n_tokens FROM t WHERE n_tokens > 0),
+         |k AS (SELECT doc_id, n_tokens,
+         |    CAST(round((-ln((($hashSql) + 1) / ${operators.Sampling.HashMod + 1L})
+         |      / n_tokens) * 1000000.0) AS BIGINT) AS key_micro
+         |  FROM w)
+         |SELECT doc_id, n_tokens, key_micro FROM k
+         |ORDER BY key_micro, doc_id LIMIT 100""".stripMargin
+    },
 
     // weights quantized to integer micro-points before the normalizing
     // sum (order-independent); α=0.5 via sqrt — correctly rounded IEEE,

@@ -92,4 +92,33 @@ object Sampling {
       }
     df.filter(idHash(col(idCol)) < thr)
   }
+
+  /** Deterministic WEIGHTED sample of k rows (Efraimidis–Spirakis via
+    * exponential keys): row i draws uᵢ from its id-hash and gets key
+    * −ln(uᵢ)/wᵢ — an Exp(wᵢ) variate — and the k SMALLEST keys win, so
+    * inclusion probability is proportional to weight. Importance
+    * sampling for corpus mixing (weight = token count, quality score…)
+    * with the same replay-stable determinism as [[hashSample]].
+    *
+    * Numerics for the oracle: u = (idHash+1)/(HashMod+1) ∈ (0,1] (never
+    * 0, so ln is finite); the key is quantized to integer micro-points
+    * and ties break on the id, so the top-k cut is a total order.
+    * Zero/negative weights are excluded (their keys would be ±Inf/NaN,
+    * whose ordering is engine-specific — and a zero-weight row should
+    * never be sampled anyway).
+    *
+    * Scale shape: key assignment is scan-stage arithmetic; the global
+    * top-k is `orderBy(key).limit(k)` — Spark plans TakeOrdered (per-
+    * partition heads + driver merge), never a single-task global sort.
+    */
+  def weightedSample(df: DataFrame, weightCol: String, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val u = (idHash(col(idCol)) + lit(1L)) / lit(HashMod + 1L)
+    val keyMicro = round((-log(u) / col(weightCol)) * lit(1000000.0))
+      .cast("long")
+    df.filter(col(weightCol) > 0)
+      .withColumn("key_micro", keyMicro)
+      .orderBy(col("key_micro"), col(idCol))
+      .limit(k)
+  }
 }

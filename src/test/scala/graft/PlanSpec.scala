@@ -297,6 +297,13 @@ class PlanSpec extends AnyFunSuite {
       s"both pools must come from TopKBy partial aggregation:\n$p")
   }
 
+  test("q91: weighted sample plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q91_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted top-k should plan TakeOrdered:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in weighted sampling:\n$p")
+  }
+
   test("q90: bloom membership test runs scan-side, below the join") {
     val p = plan("q90_bloom_join")
     assert(p.contains("might_contain"),

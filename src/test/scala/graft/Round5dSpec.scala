@@ -177,6 +177,30 @@ class Round5dSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  // Weighted sampling
+  // -------------------------------------------------------------------
+
+  test("weightedSample: inclusion skews toward heavy rows, deterministic, excludes w<=0") {
+    import graft.operators.{Sampling, TextOps}
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val s1 = Sampling.weightedSample(d, "n_tokens", 100).collect()
+    val s2 = Sampling.weightedSample(d, "n_tokens", 100).collect()
+    assert(s1.map(_.getLong(0)).toSeq == s2.map(_.getLong(0)).toSeq, "replay-stable")
+    val sampleMean = s1.map(_.getLong(1)).sum.toDouble / s1.length
+    val corpusMean = d.agg(avg("n_tokens")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample should skew heavy: $sampleMean vs $corpusMean")
+    // zero-weight rows can never appear
+    val withZero = d.withColumn("n_tokens",
+      when(col("doc_id") % 2 === 0, lit(0L)).otherwise(col("n_tokens")))
+    val ids = Sampling.weightedSample(withZero, "n_tokens", 100)
+      .collect().map(_.getLong(0))
+    assert(ids.forall(_ % 2 != 0))
+  }
+
+  // -------------------------------------------------------------------
   // Bloom-pruned join
   // -------------------------------------------------------------------
 
