@@ -62,6 +62,17 @@ class Round5dSpec extends AnyFunSuite {
     assert(once.map(_.getLong(2)).toSeq == twice.map(_.getLong(2)).toSeq)
   }
 
+  test("bm25 edge cases: vocabulary-absent query terms and empty docs") {
+    val docs = Seq((1L, "apple pie"), (2L, "")).toDF("doc_id", "text")
+    // a term absent from the corpus contributes nothing (drops at the
+    // vocabulary join) instead of poisoning the query
+    val got = Retrieval.bm25TopK(docs,
+      Seq(1 -> Seq("apple", "zzz_not_in_corpus")), 10).collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(1L))
+    // a query made ONLY of absent terms yields zero rows, not a failure
+    assert(Retrieval.bm25TopK(docs, Seq(2 -> Seq("zzz")), 10).collect().isEmpty)
+  }
+
   // -------------------------------------------------------------------
   // PMI collocations
   // -------------------------------------------------------------------
