@@ -131,8 +131,10 @@ object Round5dQueries {
 
   private val tokSql = LlmQueries.tokSql
 
+  // ts.distinct mirrors Retrieval.bm25Scores — a repeated query term
+  // must not double-count in either engine
   private val qValuesSql = Bm25Queries
-    .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    .flatMap { case (q, ts) => ts.distinct.map(t => s"($q, '$t')") }.mkString(", ")
 
   private val pqValuesSql = HybridSpecs
     .map { case (q, _, p) => s"($q, $p)" }.mkString(", ")
@@ -230,7 +232,8 @@ object Round5dQueries {
          |c AS (SELECT vec_id, label, v FROM e WHERE vec_id % $EvalMod <> 0),
          |f AS (SELECT c.vec_id, c.label,
          |    max(CASE WHEN ev.evv IS NOT NULL THEN 1 ELSE 0 END) AS contam
-         |  FROM c LEFT JOIN ev ON list_cosine_similarity(c.v, ev.evv) >= $SemanticTau
+         |  FROM c LEFT JOIN ev
+         |    ON round(list_cosine_similarity(c.v, ev.evv), 4) >= $SemanticTau
          |  GROUP BY c.vec_id, c.label)
          |SELECT label, count(*) AS n_total,
          |  CAST(sum(contam) AS BIGINT) AS n_contaminated,
@@ -254,6 +257,12 @@ object Round5dQueries {
          |  round(sum(nano) / 1000000000.0, 6) AS kl
          |FROM n GROUP BY g, t ORDER BY source""".stripMargin,
 
+    // range(1, 65) = the fixture's 64 embedding dims (FIXTURES.md; same
+    // constant as q49's oracle) — the OPERATOR is dimension-agnostic,
+    // only this oracle pins the fixture geometry. The centroid cosine
+    // is double arithmetic whose combine order differs per engine; the
+    // 4-dp round absorbs it (ulp-scale error vs 1e-4 resolution — same
+    // accepted trade as q49's avg_centroid_cos).
     "q88_embedding_drift" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |o AS (SELECT * FROM e WHERE vec_id % 5 <> 0),

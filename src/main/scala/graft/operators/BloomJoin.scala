@@ -34,18 +34,27 @@ object BloomJoin {
   /** Build the bloom bytes from the small side's key columns (null keys
     * never match an inner join, so they are dropped first). Returns null
     * iff the small side is empty.
+    *
+    * Sizing needs the item count BEFORE the aggregate (it is a literal
+    * in the plan) — callers that know their cardinality should pass
+    * `expectedItems` to skip the count job; otherwise the keyed
+    * projection is persisted so count + sketch are one materialization,
+    * not two scans.
     */
   def buildBloom(small: DataFrame, keys: Seq[String],
-      bitsPerItem: Long = 16L): Array[Byte] = {
+      bitsPerItem: Long = 16L, expectedItems: Long = -1L): Array[Byte] = {
     val keyed = small.na.drop(keys).select(keys.map(col): _*)
-    val items = keyed.count()
-    if (items == 0L) return null
-    val agg = GraftExpressionBridge.column(
-      new BloomFilterAggregate(
-        GraftExpressionBridge.expression(xxh(keys.map(col))),
-        Literal(items), Literal(math.max(items * bitsPerItem, 64L)))
-        .toAggregateExpression())
-    keyed.agg(agg.as("bf")).head().getAs[Array[Byte]](0)
+    val cached = if (expectedItems < 0L) keyed.persist() else keyed
+    try {
+      val items = if (expectedItems >= 0L) expectedItems else cached.count()
+      if (items == 0L) return null
+      val agg = GraftExpressionBridge.column(
+        new BloomFilterAggregate(
+          GraftExpressionBridge.expression(xxh(keys.map(col))),
+          Literal(items), Literal(math.max(items * bitsPerItem, 64L)))
+          .toAggregateExpression())
+      cached.agg(agg.as("bf")).head().getAs[Array[Byte]](0)
+    } finally if (expectedItems < 0L) { cached.unpersist(); () }
   }
 
   /** The big-side pruning predicate for a prebuilt bloom. */

@@ -45,15 +45,22 @@ object Collocations {
       textCol: String = "text", floorOverride: Option[Long] = None): DataFrame = {
     val base = graft.util.Parallelism.ensure(docs)
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // uni and pair are vocabulary-scale stat relations consumed by the
+    // scalar actions below AND the final join — persist so the corpus
+    // is tokenized once, not once per consumer
     val uni = base.select(explode(TextOps.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
+      .persist()
     val pair = base
       .select(explode(WordNgramsAll.wordNgramsAll(col("text"), 2)).as("g"))
       .select(substring_index(col("g"), " ", 1).as("w1"),
         substring_index(col("g"), " ", -1).as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
-    val t = uni.agg(sum("c1")).head().getLong(0).toDouble
-    val b = pair.agg(sum("n_pair")).head().getLong(0)
+      .persist()
+    def scalarOrZero(r: org.apache.spark.sql.Row): Long =
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    val t = scalarOrZero(uni.agg(sum("c1")).head()).toDouble
+    val b = scalarOrZero(pair.agg(sum("n_pair")).head())
     val floor = floorOverride.getOrElse(minCount(b))
     val pmi = log(((col("n_pair").cast("double") * lit(t)) * lit(t)) /
       ((lit(b.toDouble) * col("c1a")) * col("c1b")))

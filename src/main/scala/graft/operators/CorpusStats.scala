@@ -208,10 +208,13 @@ object CorpusStats {
     val tok = graft.util.Parallelism.ensure(docs)
       .select(col(groupCol).as("g"),
         explode(TextOps.tokens(col(textCol))).as("w"))
-    val sc = tok.groupBy("g", "w").agg(count(lit(1)).as("c"))
+    // sc feeds three consumers (corpus counts, totals, score join) —
+    // persist the vocabulary-scale relation so tokens explode once
+    val sc = tok.groupBy("g", "w").agg(count(lit(1)).as("c")).persist()
     val corpus = sc.groupBy("w").agg(sum("c").as("ca"))
     val totals = sc.groupBy("g").agg(sum("c").as("t"))
-    val grand = totals.agg(sum("t")).head().getLong(0)
+    val grandRow = totals.agg(sum("t")).head()
+    val grand = if (grandRow.isNullAt(0)) 1L else grandRow.getLong(0)
     val p = col("c") / col("t")
     val q = col("ca") / lit(grand)
     val nano = round((p * log(p / q)) * lit(1000000000.0)).cast("long")

@@ -109,8 +109,12 @@ object Decontaminate {
     val e = evalSet
       .select(col(vecCol).cast("array<double>").as("ev"))
       .withColumn("nev", norm(col("ev")))
+    // threshold compares the 4-dp-ROUNDED cosine (the repo convention —
+    // see Similarity.nearDupPairs): the oracle's cut is then identical
+    // even where the two engines' cosines differ in the last ulps
     c.join(broadcast(e),
-        dot(col("v"), col("ev")) / (col("nv") * col("nev")) >= threshold, "left")
+        round(dot(col("v"), col("ev")) / (col("nv") * col("nev")), 4) >= threshold,
+        "left")
       .select(col("vec_id"), col("label"),
         when(col("ev").isNotNull, 1L).otherwise(0L).as("hit"))
       .groupBy("vec_id", "label").agg(max("hit").as("contam"))

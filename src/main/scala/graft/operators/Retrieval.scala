@@ -50,11 +50,18 @@ object Retrieval {
     val st = base.select(size(col("ws")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n"), sum("dl").as("t")).head()
     val n = st.getLong(0)
-    val avgdl = st.getLong(1).toDouble / n.toDouble
+    // empty/token-less corpus: sum is NULL; any avgdl works — every
+    // downstream relation is empty, this just keeps the plan finite
+    val avgdl =
+      if (n == 0L || st.isNullAt(1)) 1.0 else st.getLong(1).toDouble / n.toDouble
+    // tf feeds BOTH the vocabulary aggregate and the candidate join —
+    // persist so the corpus is tokenized once, not per consumer (the
+    // (doc, term, tf) stat relation spills gracefully at scale)
     val tf = base
       .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
         explode(col("ws")).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .persist()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val qdf = queries.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
       .toDF("query_id", "term")

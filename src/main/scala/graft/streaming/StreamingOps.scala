@@ -191,7 +191,8 @@ object StreamingOps {
     val tok = graft.util.Parallelism.ensure(docs)
       .select(explode(graft.operators.TextOps.tokens(col(textCol))).as("w"))
     val counts = tok.groupBy("w").agg(count(lit(1)).as("c"))
-    val grand = counts.agg(sum("c")).head().getLong(0)
+    val grandRow = counts.agg(sum("c")).head()
+    val grand = if (grandRow.isNullAt(0)) 1L else grandRow.getLong(0)
     counts.select(col("w"), (col("c") / lit(grand)).as("q"))
   }
 

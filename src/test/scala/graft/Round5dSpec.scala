@@ -62,6 +62,18 @@ class Round5dSpec extends AnyFunSuite {
     assert(once.map(_.getLong(2)).toSeq == twice.map(_.getLong(2)).toSeq)
   }
 
+  test("bm25/pmi/kl on an EMPTY corpus return empty results, not crashes") {
+    import graft.operators.{Collocations, CorpusStats}
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    assert(Retrieval.bm25TopK(empty, Seq(1 -> Seq("x")), 5).collect().isEmpty)
+    assert(Collocations.pmiTop(empty, 10).collect().isEmpty)
+    assert(CorpusStats.tokenKlReport(empty).collect().isEmpty)
+    // token-less (all-empty-string) corpus: same contract
+    val blank = Seq((1L, "a", ""), (2L, "b", "")).toDF("doc_id", "source", "text")
+    assert(Retrieval.bm25TopK(blank, Seq(1 -> Seq("x")), 5).collect().isEmpty)
+    assert(Collocations.pmiTop(blank, 10).collect().isEmpty)
+  }
+
   test("bm25 edge cases: vocabulary-absent query terms and empty docs") {
     val docs = Seq((1L, "apple pie"), (2L, "")).toDF("doc_id", "text")
     // a term absent from the corpus contributes nothing (drops at the
