@@ -550,7 +550,8 @@ object SparkEntry {
     relational ++ monitors ++ LlmQueries.queries ++ ExtQueries.queries ++
       Round3Queries.queries ++ Round4Queries.queries ++
       Round5Queries.queries ++ Round5bQueries.queries ++
-      Round5cQueries.queries ++ Round5dQueries.queries
+      Round5cQueries.queries ++ Round5dQueries.queries ++
+      Round5eQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -559,5 +560,5 @@ object SparkEntry {
       ExtQueries.oracleSql ++ Round3Queries.oracleSql ++
       Round4Queries.oracleSql ++ Round5Queries.oracleSql ++
       Round5bQueries.oracleSql ++ Round5cQueries.oracleSql ++
-      Round5dQueries.oracleSql
+      Round5dQueries.oracleSql ++ Round5eQueries.oracleSql
 }

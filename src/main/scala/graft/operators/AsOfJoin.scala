@@ -39,10 +39,18 @@ object AsOfJoin {
     *                    row; "left" keeps them with null payload
     * @param inclusive   true: right row at ts == left ts matches (ASOF
     *                    `>=`); false: strictly-before (ASOF `>`)
+    * @param maxGapSeconds tolerance: a preceding right row older than
+    *                    this many seconds does not match (merge_asof's
+    *                    `tolerance`). The carried match is still the
+    *                    LATEST preceding row — tolerance only invalidates
+    *                    it, it never reaches further back — so this is a
+    *                    pure post-window predicate: same single
+    *                    shuffle+sort plan, zero extra exchanges.
     */
   def asofLast(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String, payloadCols: Seq[String],
-      joinType: String = "inner", inclusive: Boolean = true): DataFrame = {
+      joinType: String = "inner", inclusive: Boolean = true,
+      maxGapSeconds: Option[Long] = None): DataFrame = {
     require(Seq("inner", "left").contains(joinType), s"joinType: $joinType")
     val leftCols = left.columns.toSeq
     // side tag orders the union so a right row at the same timestamp
@@ -51,7 +59,8 @@ object AsOfJoin {
     val r = right.select(
       keyCols.map(col) ++ Seq(
         col(rightTs).as("__ts"), lit(rightTag).as("__side"),
-        struct(payloadCols.map(col): _*).as("__r")): _*)
+        struct((payloadCols.map(col) :+
+          col(rightTs).as("__rts")): _*).as("__r")): _*)
     val l = left.select(
       keyCols.map(col) ++ Seq(
         col(leftTs).as("__ts"), lit(leftTag).as("__side"),
@@ -61,9 +70,19 @@ object AsOfJoin {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = unioned
+    val carried = unioned
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === leftTag)
+    // tolerance: invalidate (never re-search — the carried row IS the
+    // nearest) a match older than the gap. timestamp→long = epoch seconds
+    // (floored), matching DuckDB date_diff('second', ...) whole-second
+    // boundary counting.
+    val matched = maxGapSeconds match {
+      case Some(gap) => carried.withColumn("__match",
+        when(col("__ts").cast("long") - col("__match.__rts").cast("long")
+          <= gap, col("__match")))
+      case None => carried
+    }
     // unmatched test on the struct itself, not a payload field (a matched
     // row may carry a legitimately-null payload value)
     val filtered =

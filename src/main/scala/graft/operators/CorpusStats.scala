@@ -228,4 +228,35 @@ object CorpusStats {
         col("kl"))
       .orderBy(groupCol)
   }
+
+  /** Vocabulary coverage / OOV report per group: induce the corpus top-V
+    * vocabulary (count desc, term asc — a deterministic total order),
+    * then report each group's token count, OOV token count, and OOV
+    * rate against it. The tokenizer-design feedback loop: "how much of
+    * each source falls outside a V-entry vocabulary".
+    *
+    * Scale shape: ONE token explode feeds both the vocabulary aggregate
+    * and the coverage aggregate; the vocabulary (V rows, a constant) is
+    * TakeOrdered'd and re-enters as a broadcast LEFT join — corpus
+    * tokens never shuffle for membership. Output is one stat row per
+    * group. OOV rate is an integer basis-point division at the end —
+    * order-independent.
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int,
+      groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    val tok = graft.util.Parallelism.ensure(docs)
+      .select(col(groupCol).as("g"),
+        explode(TextOps.tokens(col(textCol))).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(vocabSize)
+      .select(col("w"), lit(1).as("__in"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("g").as(groupCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov") * lit(10000) / col("n_tokens"), 4).as("oov_bp"))
+      .orderBy(groupCol)
+  }
 }

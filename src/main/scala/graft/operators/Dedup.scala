@@ -179,6 +179,44 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Directed near-dup pairs by shingle CONTAINMENT — the asymmetric
+    * criterion Jaccard misses: a short document quoted wholesale inside a
+    * long one has tiny Jaccard (the union is large) but containment ≈ 1
+    * from the short side. The standard second dedup axis next to q33's
+    * symmetric Jaccard (quote-expansion, boilerplate-wrapping, and
+    * subset-document detection).
+    *
+    * Emits `(doc_a, doc_b, inter, cont_a, cont_b)` for doc_a < doc_b
+    * where cont_x = |A∩B| / |X's shingles| and max(cont_a, cont_b) ≥
+    * threshold (rounded to 4 dp before the cut, so the oracle's
+    * comparison is identical).
+    *
+    * Shape: identical to [[jaccardPairs]] — one shingle explode, an
+    * equi-join on (block, shingle), a per-pair count, and two size
+    * lookups; pairs sharing zero shingles never materialize. Same
+    * scale/skew profile (and the same stop-shingle cap applies upstream
+    * via maxShingleDocs if needed).
+    */
+  def containmentPairs(docs: DataFrame, blockCol: String, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      ngram: Int = 2): DataFrame = {
+    require(threshold > 0.0, "threshold must be > 0 (zero-overlap pairs are never materialized)")
+    val s = shingled(docs, blockCol, idCol, textCol, ngram)
+    val ex = s.select(col("block"), col("doc_id"), explode(col("shingles")).as("sh"))
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    ex.as("a").join(ex.as("b"),
+        col("a.block") === col("b.block") && col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .withColumn("cont_a", round(col("inter").cast("double") / col("sza"), 4))
+      .withColumn("cont_b", round(col("inter").cast("double") / col("szb"), 4))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select("doc_a", "doc_b", "inter", "cont_a", "cont_b")
+  }
+
   // -------------------------------------------------------------------
   // MinHash + LSH
   // -------------------------------------------------------------------

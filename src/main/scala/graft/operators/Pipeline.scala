@@ -80,4 +80,34 @@ object Pipeline {
         col("avg_quality"), col("norm_chars"))
       .orderBy(blockCol)
   }
+
+  /** Filter-funnel attrition report: apply a filter cascade and report,
+    * per stage, how many rows survive stages 1..k and how many stage k
+    * dropped — the per-filter accounting every curation pipeline
+    * publishes next to its corpus ("N in, X after length, Y after
+    * language, ...").
+    *
+    * Scale shape: ONE scan. Every stage predicate is evaluated in the
+    * same projection, the cumulative conjunctions are per-row booleans,
+    * and a single aggregate emits one sum per stage — no per-stage jobs,
+    * no row materialization, no shuffle beyond the final stat row, which
+    * a stack() pivots into (stage, name, n_pass, n_drop) rows
+    * driver-free.
+    */
+  def filterFunnel(df: DataFrame, stages: Seq[(String, org.apache.spark.sql.Column)])
+      : DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    val cum = stages.scanLeft(lit(true)) { case (acc, (_, p)) => acc && p }.tail
+    val sums = count(lit(1)).as("__n0") +:
+      cum.zipWithIndex.map { case (c, i) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"__n${i + 1}")
+      }
+    val one = df.agg(sums.head, sums.tail: _*)
+    val stackArgs = ("0, 'input', __n0, CAST(0 AS BIGINT)" +:
+      stages.zipWithIndex.map { case ((name, _), i) =>
+        s"${i + 1}, '$name', __n${i + 1}, __n$i - __n${i + 1}"
+      }).mkString(", ")
+    one.selectExpr(
+      s"stack(${stages.length + 1}, $stackArgs) as (stage, name, n_pass, n_drop)")
+  }
 }

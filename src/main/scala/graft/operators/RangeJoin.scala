@@ -47,6 +47,42 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Interval-overlap join: L ⋈ R on `[lLo, lHi) ∩ [rLo, rHi) ≠ ∅` (plus
+    * optional equi-keys) — the interval×interval sibling of
+    * [[binnedRangeJoin]]'s point-in-interval form (session × outage
+    * window, shipment × promotion period, genomic-interval overlap).
+    *
+    * Same bin trick, one extra subtlety: an overlapping pair may share
+    * MANY bins, so the equi-join alone would emit duplicates. Instead of
+    * a post-join distinct (a second corpus-sized shuffle), each pair is
+    * kept only in its canonical meeting bin `max(floor(lLo/w),
+    * floor(rLo/w))` — the bin containing the later start. For any
+    * overlapping pair the later start lies inside BOTH intervals, so both
+    * sides register under that bin and the pair survives exactly once;
+    * non-overlapping same-bin pairs die in the residual filter. Output is
+    * therefore duplicate-free with NO dedup operator.
+    *
+    * Scale: shuffle keys are (keys, bin); per-interval fan-out is
+    * `width/w + 1` rows (pick w ≈ median interval width). No nested-loop
+    * join, no distinct. Empty intervals (hi <= lo) match nothing.
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth >= 1, "binWidth must be >= 1")
+    def binned(df: DataFrame, lo: String, hi: String) = df
+      .filter(col(hi) > col(lo))
+      .withColumn("__bin",
+        explode(sequence(floor(col(lo) / binWidth),
+          floor((col(hi) - 1) / binWidth))))
+    val l = binned(left, lLo, lHi)
+    val r = binned(right, rLo, rHi)
+    l.join(r, keyCols :+ "__bin")
+      .filter(col(lLo) < col(rHi) && col(rLo) < col(lHi) &&
+        col("__bin") === floor(greatest(col(lLo), col(rLo)) / binWidth))
+      .drop("__bin")
+  }
+
   /** Adaptive-width variant: derives the bin width as the median interval
     * width (`approx_percentile` over hi - lo — one tiny agg returning a
     * scalar, never data rows), so per-interval fan-out is O(1) without
