@@ -327,4 +327,60 @@ class PlanSpec extends AnyFunSuite {
     assert(!"Exchange hashpartitioning\\([^)]*embedding".r.findAllIn(p).hasNext,
       s"vectors must not shuffle:\n$p")
   }
+
+  test("q92: overlap join is a bin equi-join — no nested-loop product, no dedup pass") {
+    val p = plan("q92_overlap_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap must not plan a product join:\n$p")
+    // duplicate-freedom comes from the canonical-bin rule, not an
+    // extra distinct (which would be a second corpus-sized aggregate
+    // right above the join)
+    assert(!"HashAggregate\\(keys=\\[[^\\]]*__bin".r.findAllIn(p).hasNext,
+      s"no post-join dedup keyed on the bin is allowed:\n$p")
+  }
+
+  test("q93: vocabulary re-enters as a broadcast; corpus tokens never shuffle for membership") {
+    val p = plan("q93_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab membership should be a broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"vocab membership must not shuffle the token stream:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-V vocabulary should plan TakeOrderedAndProject:\n$p")
+  }
+
+  test("q94: funnel is ONE aggregate over one scan — no shuffle fan-out per stage") {
+    val p = plan("q94_filter_funnel")
+    // one partial+final pair over a single-partition exchange; any
+    // per-stage job structure would multiply the scans
+    assert("FileScan|Scan parquet".r.findAllIn(p).size == 1,
+      s"funnel must read the corpus exactly once:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"funnel needs no window and no join:\n$p")
+  }
+
+  test("q95: as-of tolerance keeps exactly q62's exchange/sort structure") {
+    val p = plan("q95_asof_tolerance")
+    val q62 = plan("q62_asof_join")
+    def shape(s: String) = ("Exchange ".r.findAllIn(s).size,
+      "\\bSort\\b".r.findAllIn(s).size, "Window".r.findAllIn(s).size)
+    assert(shape(p) == shape(q62),
+      s"tolerance must be a pure post-window predicate — same exchanges/" +
+        s"sorts/windows as q62 (${shape(q62)}), got ${shape(p)}:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"as-of must stay a union+window, never a range join:\n$p")
+  }
+
+  test("q96: winsorize windows only the value HISTOGRAM; bounds broadcast back") {
+    val p = plan("q96_winsorized")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounds must re-enter via broadcast:\n$p")
+    // the window's input is the (group, value) grouped relation — its
+    // child chain must contain the histogram aggregate, not raw rows
+    val windowAt = p.indexOf("Window")
+    assert(windowAt >= 0 &&
+      p.indexOf("HashAggregate", windowAt) >= 0,
+      s"the running count must sort distinct values, not data rows:\n$p")
+  }
 }
