@@ -383,4 +383,16 @@ class PlanSpec extends AnyFunSuite {
       p.indexOf("HashAggregate", windowAt) >= 0,
       s"the running count must sort distinct values, not data rows:\n$p")
   }
+
+  test("q97: containment pairs meet on the shingle equi-join — never a product") {
+    val p = plan("q97_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"containment must block on (lang, shingle), not compare all pairs:\n$p")
+    // the pair relation comes from one exploded-shingle self-join keyed
+    // on (block, shingle) — at fixture scale it may broadcast, at 100 TB
+    // it shuffles; either way the meeting keys must include the shingle
+    assert("HashJoin \\[[^\\]]*sh#".r.findAllIn(p).hasNext,
+      s"expected an equi-join keyed on the shingle:\n$p")
+  }
 }
