@@ -551,7 +551,7 @@ object SparkEntry {
       Round3Queries.queries ++ Round4Queries.queries ++
       Round5Queries.queries ++ Round5bQueries.queries ++
       Round5cQueries.queries ++ Round5dQueries.queries ++
-      Round5eQueries.queries
+      Round5eQueries.queries ++ Round5fQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -560,5 +560,6 @@ object SparkEntry {
       ExtQueries.oracleSql ++ Round3Queries.oracleSql ++
       Round4Queries.oracleSql ++ Round5Queries.oracleSql ++
       Round5bQueries.oracleSql ++ Round5cQueries.oracleSql ++
-      Round5dQueries.oracleSql ++ Round5eQueries.oracleSql
+      Round5dQueries.oracleSql ++ Round5eQueries.oracleSql ++
+      Round5fQueries.oracleSql
 }

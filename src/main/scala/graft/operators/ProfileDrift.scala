@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Population Stability Index (PSI) between two snapshots of a numeric
+  * column — the standard "did this feature's distribution move?" monitor
+  * a model-serving or corpus-refresh pipeline runs per release.
+  *
+  * Extends the reference's per-run histogram/stats tracking
+  * (`/root/reference/DataFrames/databand_tracking_template.py:20-28`,
+  * `with_histograms=True`/`with_stats=True` logged per run for
+  * cross-run comparison) to the full-distribution comparison:
+  * equal-width bins are frozen from the REFERENCE snapshot's extent,
+  * both snapshots are histogrammed against those shared bins, and
+  * PSI = Σ_bins (p_i − q_i)·ln(p_i / q_i). The conventional read:
+  * < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+  *
+  * Determinism / oracle-exactness:
+  *  - Bin bounds come from an exact min/max aggregate over the reference
+  *    snapshot; the bucket index is `least(B−1, floor((v−lo)/width))` —
+  *    pure double arithmetic mirrored term-for-term in SQL.
+  *  - Empty-bin smoothing is Laplace add-half: p_i = (c_i + 0.5)/(n + B/2),
+  *    so ln never sees zero and the formula stays engine-portable. A
+  *    bucket empty in BOTH snapshots has p = q, contributing exactly 0 —
+  *    so skipping never-seen buckets (as the full-outer join does) is
+  *    exact, not an approximation.
+  *  - Each bin's contribution is rounded to integer NANO-nats before the
+  *    per-group sum (the q87 convention) — an integer Σ over ≤ B terms is
+  *    order-independent, so the report hashes identically cross-engine.
+  *
+  * Scale shape: one stat aggregate over the reference for bounds
+  * (broadcast back), then ONE histogram aggregate per snapshot keyed by
+  * (group, bucket) — map-side partial aggregation collapses each scan
+  * partition to ≤ G·B rows, so the shuffle carries stat rows, not data.
+  * The PSI join and Σ run over G·B-row relations. No window anywhere.
+  *
+  * The streaming twin ([[graft.streaming.StreamingOps.valueHistStream]] +
+  * [[graft.streaming.StreamingOps.psiFromCounts]]) reuses
+  * [[referenceBounds]]/[[bucketOf]] verbatim, so batch and stream
+  * classify identically.
+  */
+object ProfileDrift {
+
+  /** Per-group bin scaffold frozen from the reference snapshot:
+    * `(g, lo, width)` with width = (max − min)/nBins.
+    */
+  def referenceBounds(ref: DataFrame, groupCol: String, valCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val v = col(valCol).cast("double")
+    ref.filter(v.isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(min(v).as("lo"),
+        ((max(v) - min(v)) / lit(nBins)).as("width"))
+  }
+
+  /** Shared-bin bucket index of value column `v` against joined
+    * `lo`/`width` columns. A degenerate reference (width = 0: constant
+    * column) puts every value in bucket 0 — PSI then measures only mass
+    * that escaped the constant, which is the intended signal.
+    * Out-of-range values clamp into the edge bins.
+    */
+  def bucketOf(v: Column, nBins: Int): Column =
+    when(col("width") > 0.0,
+      least(lit(nBins - 1),
+        greatest(lit(0), floor((v - col("lo")) / col("width")).cast("int"))))
+      .otherwise(lit(0))
+
+  /** Histogram of one snapshot against broadcast reference bounds:
+    * `(g, bucket, cntCol)`. Groups absent from the bounds drop (inner
+    * join) — PSI against an unseen group is undefined by construction.
+    */
+  def histogram(df: DataFrame, bounds: DataFrame, groupCol: String,
+      valCol: String, nBins: Int, cntCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    df.filter(v.isNotNull)
+      .select(col(groupCol).as("g"), v.as("__v"))
+      .join(broadcast(bounds), Seq("g"))
+      .withColumn("bucket", bucketOf(col("__v"), nBins))
+      .groupBy("g", "bucket").agg(count(lit(1)).as(cntCol))
+  }
+
+  /** PSI report per group: `(g, n_ref, n_cur, psi)`.
+    *
+    * Groups present in only one snapshot are skipped (PSI against an
+    * empty side is ±∞ by construction and reads as noise; the
+    * added/removed-group signal belongs to [[Diff]]-style census ops).
+    */
+  def psiReport(ref: DataFrame, cur: DataFrame, groupCol: String,
+      valCol: String, nBins: Int = 10): DataFrame = {
+    val bounds = referenceBounds(ref, groupCol, valCol, nBins)
+    val h = histogram(ref, bounds, groupCol, valCol, nBins, "c_ref")
+      .join(histogram(cur, bounds, groupCol, valCol, nBins, "c_cur"),
+        Seq("g", "bucket"), "full_outer")
+      .na.fill(0L, Seq("c_ref", "c_cur"))
+    val totals = h.groupBy("g")
+      .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"))
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
+
+    h.join(broadcast(totals), Seq("g"))
+      .select(col("g"), col("n_ref"), col("n_cur"),
+        psiNano(col("c_ref"), col("n_ref"), col("c_cur"), col("n_cur"),
+          nBins).as("nano"))
+      // n_ref/n_cur are functionally dependent on g — free in the key
+      .groupBy("g", "n_ref", "n_cur")
+      .agg(round(sum("nano") / lit(1000000000.0), 6).as("psi"))
+      .select(col("g").as(groupCol), col("n_ref"), col("n_cur"), col("psi"))
+      .orderBy(groupCol)
+  }
+
+  /** One bin's PSI contribution in integer nano-nats (the smoothing and
+    * quantization shared by the batch report and the streaming twin).
+    */
+  def psiNano(cRef: Column, nRef: Column, cCur: Column, nCur: Column,
+      nBins: Int): Column = {
+    val p = (cRef + 0.5) / (nRef + lit(nBins / 2.0))
+    val q = (cCur + 0.5) / (nCur + lit(nBins / 2.0))
+    round(((p - q) * log(p / q)) * lit(1000000000.0)).cast("long")
+  }
+}

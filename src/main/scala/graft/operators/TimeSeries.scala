@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Rolling calendar-window aggregates over an event log — the
+  * daily/rolling activity report (DAU / 7-day WAU / rolling volume) every
+  * analytics deployment publishes from its event stream.
+  *
+  * Extends the reference's fixed event-time buckets (the continuous-sync
+  * cycle counting of `/root/reference/databand_airflow_monitor.py:102-115`,
+  * our q25/q26 hourly windows) with SLIDING windows, including the
+  * rolling DISTINCT count that a plain windowed aggregate cannot express.
+  *
+  * Scale shape — no window function touches data rows:
+  *  - The event log reduces FIRST: one distinct on (day, user) for the
+  *    activity relation, one (day) aggregate for volume. Both are hash
+  *    aggregates with map-side partials; the shuffles carry stat-scale
+  *    relations (days × active users, days).
+  *  - Rolling = each daily row EXPLODES to the ≤ `windowDays` target days
+  *    it contributes to (`sequence(day, day+w−1)`), then re-aggregates
+  *    keyed by target day. Fan-out is windowDays× a daily-scale relation
+  *    — never the event log — and the rolling distinct falls out of the
+  *    same two-level (day, user) → day aggregate.
+  *  - Target days clamp to the observed [min, max] via a broadcast
+  *    bounds row, so no phantom partial windows appear past the range.
+  *
+  * Determinism: daily value sums quantize to integer micro-points at the
+  * scan (the q53/q83 convention), so every downstream Σ — including the
+  * rolling one — is an integer sum, order-independent and cross-engine
+  * exact.
+  */
+object TimeSeries {
+
+  /** Daily + rolling activity report:
+    * `(day, dau, n_events, wau, n_events_roll, value_roll)` where the
+    * `*_roll`/`wau` columns aggregate the trailing `windowDays`-day
+    * window ending at `day` (partial at the head of the range, as every
+    * rolling report is).
+    */
+  def rollingActivity(events: DataFrame, windowDays: Int = 7,
+      tsCol: String = "ts", userCol: String = "user_id",
+      valCol: String = "value"): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val base = events
+      .select(to_date(col(tsCol)).as("day"), col(userCol).as("u"),
+        round(col(valCol).cast("double") * 1000000.0).cast("long")
+          .as("v_micro"))
+
+    val daily = base.groupBy("day")
+      .agg(count(lit(1)).as("n_events"), sum("v_micro").as("v_micro"))
+    val dayUser = base.select("day", "u").distinct()
+    val dau = dayUser.groupBy("day").agg(count(lit(1)).as("dau"))
+    val limits = daily.agg(max("day").as("max_day"))
+
+    def spread(df: DataFrame) = df
+      .crossJoin(broadcast(limits))
+      .withColumn("t_day",
+        explode(sequence(col("day"), least(date_add(col("day"),
+          windowDays - 1), col("max_day")))))
+
+    val roll = spread(daily).groupBy(col("t_day").as("day"))
+      .agg(sum("n_events").as("n_events_roll"),
+        round(sum("v_micro") / 1000000.0, 4).as("value_roll"))
+    val wau = spread(dayUser).select(col("t_day"), col("u")).distinct()
+      .groupBy(col("t_day").as("day")).agg(count(lit(1)).as("wau"))
+
+    daily.join(dau, "day").join(wau, "day").join(roll, "day")
+      .select(col("day"), col("dau"), col("n_events"), col("wau"),
+        col("n_events_roll"), col("value_roll"))
+      .orderBy("day")
+  }
+}

@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
   * means are dominated by a handful of pathological rows (truncated
   * crawls, concatenated files, length-bomb documents).
   *
-  * Extends the reference's plain mean/min/max profile stats
-  * (`/root/reference/core/dataframes.py:34-48`) with the standard robust
-  * variant: clamp values into the [pLo, pHi] percentile band, then
+  * Extends the reference's plain profile stats
+  * (`/root/reference/DataFrames/databand_tracking_template.py:20-28`,
+  * `with_stats=True`) with the standard robust variant: clamp values into the [pLo, pHi] percentile band, then
   * aggregate.
   *
   * Exact-vs-approx axis, same contract as [[Deciles]] / the profiler:

@@ -227,4 +227,80 @@ object StreamingOps {
         col("g").as("source"), col("n_terms"), col("t").as("n_tokens"),
         col("kl"))
   }
+
+  /** Stage 1 of the streaming PSI monitor (the q98 batch twin): windowed
+    * value histogram against STATIC reference bounds
+    * ([[graft.operators.ProfileDrift.referenceBounds]], broadcast into a
+    * stream-static join) → `(window_start, window_end, g, bucket,
+    * c_cur)`. The only stateful operator is the watermark-bounded
+    * windowed count; bucket classification reuses
+    * [[graft.operators.ProfileDrift.bucketOf]] verbatim, so stream and
+    * batch bin identically.
+    */
+  def valueHistStream(events: DataFrame, windowLen: String,
+      watermarkDelay: String, bounds: DataFrame, nBins: Int,
+      tsCol: String = "ts", groupCol: String = "event_type",
+      valCol: String = "value"): DataFrame = {
+    val v = col(valCol).cast("double")
+    events.withWatermark(tsCol, watermarkDelay)
+      .filter(v.isNotNull)
+      .select(col(tsCol), col(groupCol).as("g"), v.as("__v"))
+      .join(broadcast(bounds), Seq("g"))
+      .withColumn("bucket",
+        graft.operators.ProfileDrift.bucketOf(col("__v"), nBins))
+      .groupBy(window(col(tsCol), windowLen), col("g"), col("bucket"))
+      .agg(count(lit(1)).as("c_cur"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("g"), col("bucket"),
+        col("c_cur"))
+  }
+
+  /** Stage 2 — STATELESS: PSI per (window, group) over the counts stage
+    * 1 emits, against a static reference histogram
+    * ([[graft.operators.ProfileDrift.histogram]] of the reference
+    * snapshot, counts named `c_ref`). Run downstream of the sink or per
+    * micro-batch in foreachBatch, like [[klFromCounts]].
+    *
+    * A bucket empty in BOTH relations has p = q under add-half smoothing
+    * and contributes exactly 0, so scoring the union of ref and window
+    * buckets (the full-outer below) is exact — no grid completion.
+    * Groups with an empty side are skipped, mirroring the batch report.
+    */
+  def psiFromCounts(hist: DataFrame, refHist: DataFrame,
+      nBins: Int): DataFrame = {
+    // replicate the reference histogram across each emitted (window, g)
+    // so ref-only buckets still score with c_cur = 0; the grid side is
+    // projected to fresh names (it shares hist's lineage — same
+    // attribute ids would make the self-join ambiguous)
+    val grid = hist.select("window_start", "window_end", "g").distinct()
+      .join(refHist, Seq("g"))
+      .select(col("window_start").as("__ws"), col("window_end").as("__we"),
+        col("g").as("__g"), col("bucket").as("__b"),
+        col("c_ref").as("__cref"))
+    val joined = grid.join(hist,
+        col("__ws") === col("window_start") &&
+        col("__we") === col("window_end") &&
+        col("__g") === col("g") && col("__b") === col("bucket"),
+        "full_outer")
+      .select(coalesce(col("window_start"), col("__ws")).as("ws"),
+        coalesce(col("window_end"), col("__we")).as("we"),
+        coalesce(col("g"), col("__g")).as("grp"),
+        coalesce(col("__cref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val totals = joined
+      .select(col("ws").as("__ws"), col("we").as("__we"),
+        col("grp").as("__g"), col("c_ref").as("__cr"),
+        col("c_cur").as("__cc"))
+      .groupBy("__ws", "__we", "__g")
+      .agg(sum("__cr").as("n_ref"), sum("__cc").as("n_cur"))
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
+    joined.join(totals, col("ws") === col("__ws") &&
+        col("we") === col("__we") && col("grp") === col("__g"))
+      .select(col("ws").as("window_start"), col("we").as("window_end"),
+        col("grp").as("g"), col("n_ref"), col("n_cur"),
+        graft.operators.ProfileDrift.psiNano(col("c_ref"), col("n_ref"),
+          col("c_cur"), col("n_cur"), nBins).as("nano"))
+      .groupBy("window_start", "window_end", "g", "n_ref", "n_cur")
+      .agg(round(sum("nano") / lit(1000000000.0), 6).as("psi"))
+  }
 }

@@ -395,4 +395,40 @@ class PlanSpec extends AnyFunSuite {
     assert("HashJoin \\[[^\\]]*sh#".r.findAllIn(p).hasNext,
       s"expected an equi-join keyed on the shingle:\n$p")
   }
+
+  test("q98: PSI histograms against broadcast bounds — no window, no data-row sort") {
+    val p = plan("q98_psi_drift")
+    assert(!p.contains("Window"),
+      s"PSI is aggregates + stat joins, never a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"reference bounds must re-enter as a broadcast:\n$p")
+  }
+
+  test("q99: rolling windows come from explode+re-aggregate, not a window function") {
+    val p = plan("q99_rolling_activity")
+    assert(!p.contains("Window"),
+      s"rolling aggregates must not window data rows:\n$p")
+    assert(p.contains("Generate explode"),
+      s"daily rows should explode to their target days:\n$p")
+  }
+
+  test("q100: heavy-key cut is TakeOrdered; the only window ranks the N stat rows") {
+    val p = plan("q100_key_skew")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N keys must not globally sort the count relation:\n$p")
+    // the rank window sits above the TakeOrdered cut (N rows), below it
+    // only aggregates touch the data
+    val windowAt = p.indexOf("Window")
+    assert(windowAt >= 0 && p.indexOf("TakeOrderedAndProject", windowAt) > 0,
+      s"rank window must consume the TakeOrdered stat rows only:\n$p")
+  }
+
+  test("q101: z-score is a broadcast stats join over one scan — no window, no shuffle of rows") {
+    val p = plan("q101_zscore")
+    assert(!p.contains("Window"), s"z-score needs no window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"group stats must re-enter as a broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"data rows must not shuffle for the stats join:\n$p")
+  }
 }

@@ -255,4 +255,48 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(kl > 15.0, s"expected a large drift signal, got $kl")
     } finally q.stop()
   }
+
+  test("streaming PSI equals the batch psiReport on a drained window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.ProfileDrift
+    val nBins = 4
+    // reference snapshot: uniform-ish values per type
+    val ref = Seq(("click", 0.0), ("click", 5.0), ("click", 10.0),
+      ("view", 2.0), ("view", 4.0)).toDF("event_type", "value")
+    val bounds = ProfileDrift.referenceBounds(ref, "event_type", "value", nBins)
+    val input = MemoryStream[RawEv]
+    val hist = StreamingOps.valueHistStream(
+      input.toDS().toDF(), "10 minutes", "5 minutes", bounds, nBins)
+    val q = hist.writeStream.format("memory").queryName("psi_hist")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(
+        RawEv(1, ts("2024-01-01 00:01:00"), "click", 1, 9.0),
+        RawEv(2, ts("2024-01-01 00:02:00"), "click", 2, 9.5),
+        RawEv(3, ts("2024-01-01 00:03:00"), "view", 3, 2.5))
+      q.processAllAvailable()
+      input.addData(RawEv(9, ts("2024-01-01 01:00:00"), "click", 9, 0.0))
+      q.processAllAvailable()
+      val emitted = spark.table("psi_hist")
+        .filter(col("window_start") === ts("2024-01-01 00:00:00"))
+      val refHist = ProfileDrift.histogram(ref, bounds, "event_type",
+        "value", nBins, "c_ref")
+      val got = StreamingOps.psiFromCounts(emitted, refHist, nBins)
+        .select("g", "n_ref", "n_cur", "psi").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // batch twin over the same window slice must agree exactly
+      val cur = Seq(("click", 9.0), ("click", 9.5), ("view", 2.5))
+        .toDF("event_type", "value")
+      val want = ProfileDrift.psiReport(ref, cur, "event_type", "value", nBins)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == want)
+      // the click mass moved to the top bin — the signal must be nonzero
+      assert(got.find(_._1 == "click").get._4 > 0.0)
+    } finally q.stop()
+  }
 }
