@@ -551,7 +551,8 @@ object SparkEntry {
       Round3Queries.queries ++ Round4Queries.queries ++
       Round5Queries.queries ++ Round5bQueries.queries ++
       Round5cQueries.queries ++ Round5dQueries.queries ++
-      Round5eQueries.queries ++ Round5fQueries.queries
+      Round5eQueries.queries ++ Round5fQueries.queries ++
+      Round5gQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -561,5 +562,5 @@ object SparkEntry {
       Round4Queries.oracleSql ++ Round5Queries.oracleSql ++
       Round5bQueries.oracleSql ++ Round5cQueries.oracleSql ++
       Round5dQueries.oracleSql ++ Round5eQueries.oracleSql ++
-      Round5fQueries.oracleSql
+      Round5fQueries.oracleSql ++ Round5gQueries.oracleSql
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pairwise Pearson correlation matrix over numeric columns — the
+  * multi-column dependence half of the profiling family (the reference
+  * profiles columns independently; any feature-engineering pass over the
+  * same tables needs the cross-column view).
+  *
+  * Scale shape: ONE scan, ONE aggregate row. Every value quantizes to
+  * integer micro-units at the scan; all sufficient statistics — n, and
+  * per pair Σx, Σy, Σxy, Σx², Σy² — accumulate as DECIMAL(38,0), so
+  * each is an EXACT integer sum, order-independent and cross-engine
+  * bit-identical (the oracle accumulates the same integers in HUGEINT).
+  * The C·(C−1)/2 output rows explode from a literal struct array over
+  * the single stat row — the pair fan-out never touches the data scan,
+  * and the plan has exactly one Aggregate (PlanSpec-gated).
+  *
+  * The final r = (n·Σxy − Σx·Σy) / √((n·Σx²−Σx²ᵗᵒᵗ)(n·Σy²−Σy²ᵗᵒᵗ))
+  * converts each exact integer factor to double (deterministic IEEE
+  * round-to-nearest on both engines), multiplies the two variance terms
+  * in double (their exact product can exceed 128 bits), and rounds at
+  * 6 dp.
+  *
+  * Headroom: with micro (1e-6) quantization, n·Σx² stays inside
+  * DECIMAL(38) while n·x²·10¹² < 10³⁸ — e.g. 10¹² rows of values up to
+  * ~10⁴. Callers correlating larger magnitudes at extreme row counts
+  * pass a coarser `quantScale`; [[pearsonMatrixApprox]] is the
+  * sketch-free double-precision fallback (Spark's `corr`, order-
+  * dependent in the last ulps, spec-compared within 1e-9).
+  */
+object Correlate {
+
+  /** (col_x, col_y, n, r) for every unordered column pair, r at 6 dp. */
+  def pearsonMatrix(df: DataFrame, cols: Seq[String],
+      quantScale: Double = 1e6): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to correlate")
+    val dec = "decimal(38,0)"
+    def m(c: String) = col(s"m_$c")
+    val base = df.select(cols.map(c =>
+      round(col(c).cast("double") * quantScale).cast("long").cast(dec)
+        .as(s"m_$c")): _*)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = (count(lit(1)).cast("long").as("n") +:
+      cols.flatMap(c => Seq(
+        sum(m(c)).as(s"s_$c"),
+        sum(m(c) * m(c)).as(s"ss_$c")))) ++
+      pairs.map { case (a, b) => sum(m(a) * m(b)).as(s"sp_${a}_${b}") }
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    val pairRows = pairs.map { case (a, b) =>
+      val n = col("n").cast(dec)
+      val num = (n * col(s"sp_${a}_${b}") - col(s"s_$a") * col(s"s_$b"))
+        .cast("double")
+      val dx = (n * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a"))
+        .cast("double")
+      val dy = (n * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))
+        .cast("double")
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        col("n").as("n"),
+        when(dx > 0 && dy > 0, round(num / sqrt(dx * dy), 6)).as("r"))
+    }
+    stats
+      .select(explode(array(pairRows: _*)).as("p"))
+      .select(col("p.col_x"), col("p.col_y"), col("p.n"), col("p.r"))
+      .orderBy("col_x", "col_y")
+  }
+
+  /** Double-precision fallback on Spark's `corr` — same relation shape,
+    * values order-dependent in the last ulps (no oracle; spec-compared
+    * to [[pearsonMatrix]] within 1e-9).
+    */
+  def pearsonMatrixApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to correlate")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = (count(lit(1)).cast("long").as("n") +:
+      pairs.map { case (a, b) =>
+        corr(col(a).cast("double"), col(b).cast("double"))
+          .as(s"r_${a}_${b}")
+      })
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val pairRows = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_x"), lit(b).as("col_y"), col("n").as("n"),
+        col(s"r_${a}_${b}").as("r"))
+    }
+    stats
+      .select(explode(array(pairRows: _*)).as("p"))
+      .select(col("p.col_x"), col("p.col_y"), col("p.n"), col("p.r"))
+      .orderBy("col_x", "col_y")
+  }
+}

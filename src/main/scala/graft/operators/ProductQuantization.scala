@@ -114,6 +114,84 @@ object ProductQuantization {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** IVF-PQ: coarse inverted-file cells + product quantization of the
+    * RESIDUALS (vector − its cell centroid) — the standard
+    * billion-vector ANN composition (FAISS's IVFPQ): the coarse
+    * quantizer prunes the search to the probed cell, and the PQ codes
+    * make the in-cell scan an 8-byte-per-vector table-lookup sum.
+    * Residuals concentrate near the origin, so one SHARED codebook
+    * (trained/pinned across cells) quantizes them far better than it
+    * would raw vectors.
+    *
+    * Composition of the q42 coarse path ([[Similarity.ivfAssign]]:
+    * rounded-cosine assignment, ties to the smallest centroid id) and
+    * the q60 PQ path over residual subvectors; single-probe (the
+    * query's own cell), matching q42's oracle configuration.
+    *
+    * Scale shape: centroids, the residual codebook, and the query ADC
+    * tables are O(K·M·k) → broadcast. The corpus is scanned for
+    * assignment and encoding with nothing wider than
+    * (vec_id, m, code) shuffling; candidate scoring joins the encoded
+    * relation on `vec_id` (high-cardinality) against the cell-pruned
+    * candidate set, sums integer table entries, and ranks via the
+    * [[graft.functions.TopKBy]] bounded-heap aggregate.
+    *
+    * Determinism: residual arithmetic is element-wise double
+    * subtraction (exact in IEEE — no rounding step), every distance is
+    * the shared codegen'd dot fold rounded to integer micro-units, and
+    * all downstream sums/argmins/ranks are integer-exact — the DuckDB
+    * oracle replays the identical pipeline from the same pinned
+    * centroid/codebook ids.
+    */
+  def ivfAdcTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      centroidIds: Seq[Long], codebookIds: Seq[Long], m: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val corpus = graft.util.Parallelism.ensure(embeddings)
+      .select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nv", Similarity.norm(col("v")))
+    val centroids = corpus.filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nv").as("ncv"))
+    // (vec_id, v, nv, cell) — one corpus scan + broadcast centroids
+    val cells = Similarity.ivfAssign(corpus, centroids)
+    val resid = cells
+      .join(broadcast(centroids.select(col("cid").as("cell"), col("cv"))),
+        Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
+    val cellOf = resid.select("vec_id", "cell")
+    val sub = subvectors(resid, m, "vec_id", "r")
+    val codebook = codebookFromIds(sub, codebookIds)
+    val encoded = encode(sub, codebook)
+    // query ADC tables: the query's RESIDUAL (wrt its own cell) against
+    // every (subspace, centroid) — M·K rows per query, broadcast
+    val qtab = withNorm(sub.filter(col("vec_id").isin(queryIds: _*)))
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(codebook), Seq("m"))
+      .select(col("query_id"), col("m"), col("cid"),
+        d2Micro(col("n2"), col("cn2"), col("sv"), col("cv")).as("qd2i"))
+    // single-probe candidates: corpus vectors sharing the query's cell
+    val qcell = cellOf.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cand = cellOf.join(broadcast(qcell), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("vec_id", "query_id")
+    val scored = encoded.join(cand, Seq("vec_id"))
+      .join(broadcast(qtab.withColumnRenamed("cid", "code")),
+        Seq("query_id", "m", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("qd2i").as("ai")) // exact long sum — order-independent
+    scored
+      .groupBy("query_id")
+      .agg(TopKBy.topKBy(struct((-col("ai")).as("nai"),
+        (-col("vec_id")).as("nv")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (-col("t.nv")).as("vec_id"),
+        round(-col("t.nai") / 1e6, 4).as("approx_d2"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Per-subspace Lloyd training (the real codebook path; the q60 query
     * pins [[codebookFromIds]] for oracle determinism). All M subspaces
     * train in ONE DataFrame loop — assignment and centroid recomputation

@@ -70,4 +70,45 @@ object TimeSeries {
         col("n_events_roll"), col("value_roll"))
       .orderBy("day")
   }
+
+  /** Cohort retention matrix: users cohort by their FIRST active day;
+    * each later active day lands in period ⌊(day − cohort_day)/periodDays⌋,
+    * and the cell reports how many cohort members were active in that
+    * period (plus the share of the cohort, in basis points — period 0 is
+    * 10000 by construction since the first active day is in period 0).
+    *
+    * Scale shape: the event log reduces FIRST to the distinct (day, user)
+    * activity relation (one shuffle on the pair); cohorts are a per-user
+    * min aggregate (map-side partials, user-keyed — high cardinality);
+    * activity re-joins cohorts on `user` (the high-cardinality key); the
+    * final aggregates and the cohort-size join run on stat-scale
+    * relations (cohorts × periods). No window function anywhere.
+    *
+    * Determinism: day arithmetic is integer (datediff / integer period
+    * division of non-negative deltas); counts are exact; the only double
+    * is the final share, rounded at 4 dp.
+    */
+  def cohortRetention(events: DataFrame, periodDays: Int = 7,
+      tsCol: String = "ts", userCol: String = "user_id"): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    val activity = events
+      .select(to_date(col(tsCol)).as("day"), col(userCol).as("u"))
+      .distinct()
+    val cohorts = activity.groupBy("u").agg(min("day").as("cohort_day"))
+    val sizes = cohorts.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_users"))
+    val cells = activity.join(cohorts, "u")
+      .select(col("cohort_day"),
+        floor(datediff(col("day"), col("cohort_day")) / periodDays)
+          .cast("int").as("period"), col("u"))
+      .distinct()
+      .groupBy("cohort_day", "period")
+      .agg(count(lit(1)).as("active_users"))
+    cells.join(sizes, "cohort_day")
+      .select(col("cohort_day").cast("string").as("cohort_day"),
+        col("period"), col("active_users"), col("cohort_users"),
+        round(col("active_users") * 10000.0 / col("cohort_users"), 4)
+          .as("retention_bp"))
+      .orderBy("cohort_day", "period")
+  }
 }

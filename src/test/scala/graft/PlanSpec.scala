@@ -431,4 +431,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"data rows must not shuffle for the stats join:\n$p")
   }
+
+  test("q103: pinned-values pivot is ONE scan and ONE aggregate — no window, no distinct job") {
+    val p = plan("q103_pivot_daily")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"pivot must not rescan for category discovery:\n$p")
+    assert(!p.contains("Window"), s"pivot needs no window:\n$p")
+  }
+
+  test("q105: sequence funnel never windows or sorts the event log") {
+    val p = plan("q105_sequence_funnel")
+    assert(!p.contains("Window"), s"funnel anchors are aggregates, not windows:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"step joins must stay keyed on user:\n$p")
+  }
+
+  test("q106: padding report is scan-stage bucketing + one aggregate") {
+    val p = plan("q106_padding_report")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"expected exactly 1 scan:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"bucket arithmetic must stay in the scan stage:\n$p")
+  }
+
+  test("q107: correlation matrix is ONE scan, ONE aggregate; pair fan-out never rescans") {
+    val p = plan("q107_correlation")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"the pair rows must explode from the single stat row, not per-pair scans:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"no join/window belongs in a sufficient-statistics plan:\n$p")
+  }
+
+  test("q102: IVF-PQ candidates join on vec_id — no cartesian product, bounded-heap ranking") {
+    val p = plan("q102_ann_ivfpq")
+    assert(!p.contains("CartesianProduct"),
+      s"in-cell ADC scoring must not cross-join the corpus:\n$p")
+    assert(p.contains("partial_topkby"),
+      s"final ranking should be the TopKBy bounded-heap aggregate:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in the ADC path:\n$p")
+  }
 }
