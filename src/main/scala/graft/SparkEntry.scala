@@ -552,7 +552,7 @@ object SparkEntry {
       Round5Queries.queries ++ Round5bQueries.queries ++
       Round5cQueries.queries ++ Round5dQueries.queries ++
       Round5eQueries.queries ++ Round5fQueries.queries ++
-      Round5gQueries.queries
+      Round5gQueries.queries ++ Round5hQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -562,5 +562,6 @@ object SparkEntry {
       Round4Queries.oracleSql ++ Round5Queries.oracleSql ++
       Round5bQueries.oracleSql ++ Round5cQueries.oracleSql ++
       Round5dQueries.oracleSql ++ Round5eQueries.oracleSql ++
-      Round5fQueries.oracleSql ++ Round5gQueries.oracleSql
+      Round5fQueries.oracleSql ++ Round5gQueries.oracleSql ++
+      Round5hQueries.oracleSql
 }

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint suite — the Deequ-style check
+  * block the reference's monitors log per run as ad-hoc assertions
+  * (`/root/reference/DataFrames/databand_tracking_template.py:20-28`
+  * logs stats and the caller eyeballs them; a production observability
+  * pipeline wants machine-checkable pass/fail rules instead).
+  *
+  * Scale design: the whole suite compiles into ONE aggregate pass over
+  * the table — every rule contributes a conditional-count expression to
+  * a single `agg(...)`, the stat ROW is exploded into report rows
+  * driver-side-free, and nothing but that one scan touches the data.
+  * `unique` adds a `count(distinct)` which Catalyst plans as an Expand
+  * branch inside the same scan (no second read). All metrics are BIGINT
+  * violation counts, so the report is cross-engine exact by
+  * construction.
+  */
+object Constraints {
+
+  /** One rule = a name, the checked column, and a BIGINT aggregate
+    * expression counting VIOLATING rows (0 ⇔ pass).
+    */
+  final case class Rule(rule: String, column: String, violations: Column)
+
+  private def violRows(pred: Column): Column =
+    sum(when(pred, 1L).otherwise(0L)).cast("long")
+
+  /** Null rows violate. */
+  def complete(c: String): Rule =
+    Rule("complete", c, violRows(col(c).isNull))
+
+  /** Rows beyond one per distinct value violate; NULL rows all violate
+    * (`count(distinct)` ignores nulls, so `count(*) - count(distinct)`
+    * charges each null row — the strict reading of a key constraint).
+    */
+  def unique(c: String): Rule =
+    Rule("unique", c, (count(lit(1)) - countDistinct(col(c))).cast("long"))
+
+  /** Non-null values outside the allowed set violate. */
+  def inSet(c: String, values: Seq[String]): Rule =
+    Rule("in_set", c,
+      violRows(col(c).isNotNull && !col(c).isin(values: _*)))
+
+  /** Non-null values not matching the (RE2-portable) regex violate.
+    * Unanchored find semantics, like Spark `rlike` / DuckDB
+    * `regexp_matches` — anchor explicitly when needed.
+    */
+  def matches(c: String, regex: String): Rule =
+    Rule("pattern", c, violRows(col(c).isNotNull && !col(c).rlike(regex)))
+
+  /** Non-null values outside [lo, hi] violate. */
+  def bounds(c: String, lo: Double, hi: Double): Rule =
+    Rule("bounds", c, violRows(col(c).isNotNull &&
+      (col(c).cast("double") < lo || col(c).cast("double") > hi)))
+
+  /** Run the suite: one scan, one aggregate, then the stat row unfolds
+    * to `(rule, column, n_rows, n_violations, violation_bp, passed)` —
+    * one report row per rule, ordered by (rule, column).
+    */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "empty rule suite")
+    val metrics = rules.zipWithIndex.map { case (r, i) =>
+      r.violations.as(s"__m$i")
+    }
+    val stat = df.agg(count(lit(1)).cast("long").as("__n"),
+      metrics: _*)
+    val rows = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.rule).as("rule"), lit(r.column).as("column"),
+        col(s"__m$i").as("n_violations"))
+    }
+    stat.select(col("__n"), explode(array(rows: _*)).as("__r"))
+      .select(
+        col("__r.rule").as("rule"),
+        col("__r.column").as("col_name"),
+        col("__n").as("n_rows"),
+        col("__r.n_violations").as("n_violations"),
+        when(col("__n") > 0,
+          round(col("__r.n_violations") * lit(10000.0) / col("__n"), 4))
+          .as("violation_bp"),
+        (col("__r.n_violations") === 0L).as("passed"))
+      .orderBy("rule", "col_name")
+  }
+
+  /** Referential-integrity audit for one FK → PK pair, BOTH directions:
+    * orphan child rows (FK value absent from the parent) and
+    * unreferenced parent keys (coverage — the direction that catches a
+    * silently dead upstream).
+    *
+    * Scale design: each side reduces to its (key, count) relation FIRST
+    * — fully parallel hash aggregates — and only those key relations
+    * meet in a full-outer join. The child's data rows never join
+    * row-level; the shuffle carries one row per DISTINCT key, not per
+    * record. Null FK values are excluded from the join and reported in
+    * `n_null_fk` (a null FK is a completeness problem, not an orphan).
+    */
+  def refIntegrity(child: DataFrame, childName: String, fkCol: String,
+      parent: DataFrame, parentName: String, pkCol: String): DataFrame = {
+    val ck = child.agg(
+      count(lit(1)).cast("long").as("__rows"),
+      violNulls(fkCol).as("__nulls"))
+    val childKeys = child.where(col(fkCol).isNotNull)
+      .groupBy(col(fkCol).as("__k"))
+      .agg(count(lit(1)).cast("long").as("__ccnt"))
+    val parentKeys = parent.select(col(pkCol).as("__k")).distinct()
+      .withColumn("__p", lit(1))
+    val joined = childKeys.join(parentKeys, Seq("__k"), "full_outer")
+    val audit = joined.agg(
+      coalesce(sum(when(col("__p").isNull, col("__ccnt"))), lit(0L))
+        .cast("long").as("__orphans"),
+      coalesce(sum(when(col("__p").isNull, 1L)), lit(0L))
+        .cast("long").as("__orphan_keys"),
+      coalesce(sum(when(col("__p").isNotNull, 1L)), lit(0L))
+        .cast("long").as("__parent_keys"),
+      coalesce(sum(when(col("__p").isNotNull && col("__ccnt").isNull, 1L)),
+        lit(0L)).cast("long").as("__unref"))
+    audit.crossJoin(broadcast(ck)).select(
+      lit(childName).as("child_table"), lit(fkCol).as("fk"),
+      lit(parentName).as("parent_table"), lit(pkCol).as("pk"),
+      col("__rows").as("n_child_rows"),
+      col("__nulls").as("n_null_fk"),
+      col("__orphans").as("n_orphan_rows"),
+      when(col("__rows") > 0,
+        round(col("__orphans") * lit(10000.0) / col("__rows"), 4))
+        .as("orphan_bp"),
+      col("__parent_keys").as("n_parent_keys"),
+      col("__unref").as("n_unreferenced"),
+      when(col("__parent_keys") > 0,
+        round(col("__unref") * lit(10000.0) / col("__parent_keys"), 4))
+        .as("unreferenced_bp"))
+  }
+
+  private def violNulls(c: String): Column =
+    sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")
+
+  /** Audit several FK pairs into one report (one row each). */
+  def refIntegritySuite(
+      pairs: Seq[(DataFrame, String, String, DataFrame, String, String)])
+      : DataFrame = {
+    require(pairs.nonEmpty, "empty audit suite")
+    pairs.map { case (c, cn, fk, p, pn, pk) =>
+      refIntegrity(c, cn, fk, p, pn, pk)
+    }.reduce(_.unionByName(_))
+      .orderBy("child_table", "fk")
+  }
+}
