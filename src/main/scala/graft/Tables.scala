@@ -24,26 +24,36 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  /** `events.ts` is Parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. We read it as a long (legacy nanosAsLong
-    * conf) and convert with *integer* division — epoch-nanos ≈ 1.7e18
-    * exceeds a double's 2^53 exact-integer range, so a floating-point
-    * path would silently corrupt timestamps.
+  /** `events.ts` has shipped in two physical shapes across fixture
+    * generations: Parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects outright — read as long via the legacy nanosAsLong
+    * conf, then integer-divide: epoch-nanos ≈ 1.7e18 exceeds a double's
+    * 2^53 exact-integer range, so a floating-point path would silently
+    * corrupt timestamps) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (which Spark 4 infers as TIMESTAMP_NTZ — unusable for watermarks
+    * and epoch arithmetic). Both normalize to plain TimestampType under
+    * the session's UTC zone, matching how DuckDB's oracle reads the same
+    * files.
     */
   private val nanoTsCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     normalizeNanoTs(spark.read.parquet(path(dir, name)), name)
   }
 
-  /** Convert legacy-read nano-long columns back to proper timestamps. */
+  /** Convert legacy-read nano-long / NTZ-inferred columns to TimestampType. */
   def normalizeNanoTs(df: DataFrame, name: String): DataFrame =
     nanoTsCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
-      if (d.schema.fieldNames.contains(c) &&
-          d.schema(c).dataType == org.apache.spark.sql.types.LongType)
-        d.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
-      else d
+      if (!d.schema.fieldNames.contains(c)) d
+      else d.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          d.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          d.withColumn(c, d(c).cast(org.apache.spark.sql.types.TimestampType))
+        case _ => d
+      }
     }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")

@@ -23,6 +23,7 @@ object ContinuousMonitor {
   /** Hourly tumbling event-time aggregate over an events directory. */
   def hourlyEventCounts(spark: SparkSession, eventsPath: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val schema = spark.read.parquet(eventsPath).schema
     // The streaming file source lists a directory; a single-file fixture
     // path is globbed ("file.parquet" → "file.parque[t]") so the resolved
