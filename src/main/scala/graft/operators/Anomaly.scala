@@ -17,37 +17,60 @@ import org.apache.spark.sql.functions._
   * (`mad4 = 2×median(dev2)`). The only double arithmetic is the final
   * robust z `2·dev2 / (1.4826·mad4)`, rounded to 6 dp before any
   * comparison — so flags are cross-engine exact.
+  *
+  * Scale convention: each report is ONE scan of the data. The table
+  * reduces to its (group, value) HISTOGRAM (or daily stat rows) in a
+  * single map-side-combinable aggregate, and the medians arrive as
+  * WINDOW columns over that stat relation — no join back to the data,
+  * no second scan, no aggregate-of-aggregate lineage recompute (which
+  * Spark would otherwise re-scan once per reuse; exchange reuse does
+  * not bridge differently-shaped consumers).
   */
 object Anomaly {
 
-  /** Exact 2×median of an integer column per group: `(groupCol, med2)`.
-    *
-    * Same scale shape as the q11/q96 percentile machinery
-    * ([[Winsorize.exactBounds]]): aggregate to the (group, value)
-    * HISTOGRAM first — fully parallel — then a per-group running count
-    * over the DISTINCT values only. The doubled median of n values is
-    * `v@⌊(n−1)/2⌋ + v@⌊n/2⌋` (0-based), an exact BIGINT.
+  /** Append exact doubled-median column `out` per group to a HISTOGRAM
+    * `(groupCol, vCol, cntCol)` — vCol must be distinct within a group
+    * (a histogram key). Same scale shape as the q11/q96 percentile
+    * machinery ([[Winsorize.exactBounds]]): the only sort sees distinct
+    * VALUES, not rows. The doubled median of n values is
+    * `v@⌊(n−1)/2⌋ + v@⌊n/2⌋` (0-based), an exact BIGINT; a distinct
+    * value of count c covers 0-based positions [cum−c, cum−1], so the
+    * pick is a conditional-min window — two extra Window nodes over the
+    * SAME partitioning, no new shuffle.
     */
-  private[operators] def medianX2(df: DataFrame, groupCol: String,
-      valCol: String): DataFrame = {
-    val grouped = df
-      .select(col(groupCol), col(valCol).cast("long").as("__v"))
-      .where(col("__v").isNotNull)
-      .groupBy(groupCol, "__v").agg(count(lit(1)).as("__cnt"))
-    val byVal = Window.partitionBy(groupCol).orderBy("__v")
+  private[operators] def withMed2(h: DataFrame, groupCol: String,
+      vCol: String, cntCol: String, out: String): DataFrame = {
+    val byVal = Window.partitionBy(groupCol).orderBy(vCol)
     val byGrp = Window.partitionBy(groupCol)
-    val cum = grouped.select(col(groupCol), col("__v"), col("__cnt"),
-      sum("__cnt").over(byVal).as("__cum"),
-      sum("__cnt").over(byGrp).as("__n"))
-    // a distinct value covers 0-based positions [cum-cnt, cum-1];
-    // integer `div` keeps positions exact at any n
     def pick(pos: Column) = min(when(
-      pos >= col("__cum") - col("__cnt") && pos < col("__cum"),
-      col("__v")))
-    val lo = expr("(__n - 1) div 2")
-    val hi = expr("__n div 2")
-    cum.groupBy(groupCol)
-      .agg((pick(lo) + pick(hi)).cast("long").as("med2"))
+      pos >= col("__cum") - col(cntCol) && pos < col("__cum"),
+      col(vCol))).over(byGrp)
+    h.withColumn("__cum", sum(col(cntCol)).over(byVal))
+      .withColumn("__n", sum(col(cntCol)).over(byGrp))
+      .withColumn(out,
+        (pick(expr("(__n - 1) div 2")) + pick(expr("__n div 2")))
+          .cast("long"))
+      .drop("__cum", "__n")
+  }
+
+  /** Row-level sibling of [[withMed2]] for relations that are ALREADY
+    * tiny stat rows (one row per day): values may repeat, so positions
+    * come from a ROW frame under a deterministic (value, tiebreak)
+    * total order — any tiebreak picks the same two VALUES.
+    */
+  private[operators] def withMed2Rows(df: DataFrame, groupCol: Column,
+      vCol: String, tieCol: String, out: String): DataFrame = {
+    val byVal = Window.partitionBy(groupCol).orderBy(col(vCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byGrp = Window.partitionBy(groupCol)
+    def pick(pos: Column) = min(when(pos === col("__cum") - 1, col(vCol)))
+      .over(byGrp)
+    df.withColumn("__cum", count(lit(1)).over(byVal))
+      .withColumn("__n", count(lit(1)).over(byGrp))
+      .withColumn(out,
+        (pick(expr("(__n - 1) div 2")) + pick(expr("__n div 2")))
+          .cast("long"))
+      .drop("__cum", "__n")
   }
 
   /** Daily row-volume anomaly report: `(day, n_events, median_events,
@@ -55,23 +78,21 @@ object Anomaly {
     * flagged when the robust z `|n − med| / (1.4826·MAD)` exceeds `k`.
     * A zero MAD (all days identical) degrades to flagging any deviation.
     *
-    * Scale: the event log reduces to one stat row per day in a single
-    * map-side-combinable aggregate; the medians, joins and flags all
-    * live in the ≤365-row stat domain. Nothing after the first
-    * aggregate ever sees data rows.
+    * Scale: ONE scan — the event log reduces to one stat row per day in
+    * a single map-side-combinable aggregate; median and MAD arrive as
+    * window columns over those ≤365 rows (single-partition windows over
+    * a bounded stat domain, the q98/q99 convention). Nothing after the
+    * first aggregate ever sees data rows, and nothing re-scans them.
     */
   def dailyVolumeAnomaly(df: DataFrame, tsCol: String = "ts",
       k: Double = 2.0): DataFrame = {
     val daily = df
       .groupBy(to_date(col(tsCol)).as("__day"))
       .agg(count(lit(1)).cast("long").as("n_events"))
-    val med = medianX2(daily.withColumn("__g", lit(1)), "__g", "n_events")
-      .select(col("med2"))
-    val dev = daily.crossJoin(broadcast(med))
+    val withMed = withMed2Rows(daily, lit(1), "n_events", "__day", "med2")
       .withColumn("__dev2", abs(lit(2L) * col("n_events") - col("med2")))
-    val mad = medianX2(dev.withColumn("__g", lit(1)), "__g", "__dev2")
-      .select(col("med2").as("mad4"))
-    dev.crossJoin(broadcast(mad))
+    val withMad = withMed2Rows(withMed, lit(1), "__dev2", "__day", "mad4")
+    withMad
       .withColumn("robust_z", when(col("mad4") > 0,
         round(lit(2.0) * col("__dev2") / (lit(1.4826) * col("mad4")), 6)))
       .select(
@@ -101,8 +122,9 @@ object Anomaly {
     * between engines. Fabricated/synthetic amounts show up as a heavy
     * deviation from the logarithmic curve.
     *
-    * Scale: scan-stage digit extraction + a 9-group aggregate; the
-    * grand total broadcasts back as one stat row.
+    * Scale: ONE scan — digit extraction at scan stage, a 9-group
+    * aggregate, and the grand total as a window over the 9 joined stat
+    * rows (a second `obs.agg(...)` lineage would re-scan the table).
     */
   def benfordReport(df: DataFrame, valCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -113,12 +135,11 @@ object Anomaly {
       .select(substring(col("__i").cast("string"), 1, 1).cast("int")
         .as("digit"))
       .groupBy("digit").agg(count(lit(1)).cast("long").as("n"))
-    val total = obs.agg(sum("n").as("__t"))
     val expected = BenfordExpectedBp.toDF("digit", "exp_bp")
     expected
       .join(broadcast(obs), Seq("digit"), "left")
       .na.fill(0L, Seq("n"))
-      .crossJoin(broadcast(total))
+      .withColumn("__t", sum("n").over(Window.partitionBy(lit(1))))
       .select(
         col("digit"), col("n"),
         when(col("__t") > 0, round(col("n") * lit(10000.0) / col("__t"), 4))
@@ -134,32 +155,38 @@ object Anomaly {
     * `k`; a zero-MAD group (over half the mass on one value) degrades
     * to flagging any deviation from the median.
     *
-    * Scale: two grouped-histogram median passes (values, then
-    * deviations — both deduplicate before the only window), each
-    * re-entering as a BROADCAST stat relation; the scoring pass is
-    * scan-stage arithmetic and the report is one aggregate per group.
+    * Scale: ONE scan — the table reduces to its (group, value)
+    * histogram once; the value median arrives as a window column, the
+    * deviation domain re-aggregates to its own (group, dev2) histogram
+    * (deviations collide by symmetry, and the position-pick needs
+    * distinct keys), the MAD arrives as a second window column, and the
+    * census is one aggregate over histogram rows weighted by their
+    * counts. No joins anywhere — z depends only on (dev2, med2, mad4),
+    * all carried on the stat rows.
     */
   def madOutliers(df: DataFrame, groupCol: String, valCol: String,
       k: Double = 2.0): DataFrame = {
-    val med = medianX2(df, groupCol, valCol)
-    val dev = df
+    val hist = df
       .select(col(groupCol), col(valCol).cast("long").as("__v"))
       .where(col("__v").isNotNull)
-      .join(broadcast(med), Seq(groupCol))
+      .groupBy(groupCol, "__v").agg(count(lit(1)).as("__cnt"))
+    val withMed = withMed2(hist, groupCol, "__v", "__cnt", "med2")
       .withColumn("__dev2", abs(lit(2L) * col("__v") - col("med2")))
-    val mad = medianX2(dev, groupCol, "__dev2")
-      .withColumnRenamed("med2", "mad4")
-    val scored = dev.join(broadcast(mad), Seq(groupCol))
+    val devHist = withMed
+      .groupBy(col(groupCol), col("med2"), col("__dev2"))
+      .agg(sum("__cnt").as("__cnt"))
+    val withMad = withMed2(devHist, groupCol, "__dev2", "__cnt", "mad4")
+    val scored = withMad
       .withColumn("__z", when(col("mad4") > 0,
         round(lit(2.0) * col("__dev2") / (lit(1.4826) * col("mad4")), 6)))
       .withColumn("__out", when(col("mad4") > 0, col("__z") > k)
         .otherwise(col("__dev2") > 0))
     scored.groupBy(groupCol)
       .agg(
-        count(lit(1)).cast("long").as("n_rows"),
+        sum("__cnt").cast("long").as("n_rows"),
         round(first("med2") / 2.0, 1).as("median"),
         round(first("mad4") / 4.0, 2).as("mad"),
-        sum(when(col("__out"), 1L).otherwise(0L)).cast("long")
+        sum(when(col("__out"), col("__cnt")).otherwise(0L)).cast("long")
           .as("n_outliers"),
         max(col("__z")).as("max_robust_z"))
       .withColumn("outlier_bp",

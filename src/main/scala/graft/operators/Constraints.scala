@@ -91,32 +91,35 @@ object Constraints {
     *
     * Scale design: each side reduces to its (key, count) relation FIRST
     * — fully parallel hash aggregates — and only those key relations
-    * meet in a full-outer join. The child's data rows never join
-    * row-level; the shuffle carries one row per DISTINCT key, not per
-    * record. Null FK values are excluded from the join and reported in
-    * `n_null_fk` (a null FK is a completeness problem, not an orphan).
+    * meet in ONE full-outer join, scanning child and parent exactly
+    * once each. The child's null-FK rows ride the key relation as the
+    * null bucket (they equi-match nothing, so they survive the join
+    * unmatched) and every metric — row count, null count, orphans,
+    * coverage — falls out of a single aggregate over the joined key
+    * rows. A null FK is reported in `n_null_fk`, not as an orphan
+    * (a completeness problem, not a referential one); null parent keys
+    * are dropped, matching the oracle's `pk IS NOT NULL` arithmetic.
     */
   def refIntegrity(child: DataFrame, childName: String, fkCol: String,
       parent: DataFrame, parentName: String, pkCol: String): DataFrame = {
-    val ck = child.agg(
-      count(lit(1)).cast("long").as("__rows"),
-      violNulls(fkCol).as("__nulls"))
-    val childKeys = child.where(col(fkCol).isNotNull)
+    val childKeys = child
       .groupBy(col(fkCol).as("__k"))
       .agg(count(lit(1)).cast("long").as("__ccnt"))
-    val parentKeys = parent.select(col(pkCol).as("__k")).distinct()
+    val parentKeys = parent.select(col(pkCol).as("__k"))
+      .where(col("__k").isNotNull).distinct()
       .withColumn("__p", lit(1))
     val joined = childKeys.join(parentKeys, Seq("__k"), "full_outer")
-    val audit = joined.agg(
-      coalesce(sum(when(col("__p").isNull, col("__ccnt"))), lit(0L))
-        .cast("long").as("__orphans"),
-      coalesce(sum(when(col("__p").isNull, 1L)), lit(0L))
-        .cast("long").as("__orphan_keys"),
+    joined.agg(
+      coalesce(sum(col("__ccnt")), lit(0L)).cast("long").as("__rows"),
+      coalesce(sum(when(col("__k").isNull, col("__ccnt"))), lit(0L))
+        .cast("long").as("__nulls"),
+      coalesce(sum(when(col("__k").isNotNull && col("__p").isNull,
+        col("__ccnt"))), lit(0L)).cast("long").as("__orphans"),
       coalesce(sum(when(col("__p").isNotNull, 1L)), lit(0L))
         .cast("long").as("__parent_keys"),
       coalesce(sum(when(col("__p").isNotNull && col("__ccnt").isNull, 1L)),
         lit(0L)).cast("long").as("__unref"))
-    audit.crossJoin(broadcast(ck)).select(
+    .select(
       lit(childName).as("child_table"), lit(fkCol).as("fk"),
       lit(parentName).as("parent_table"), lit(pkCol).as("pk"),
       col("__rows").as("n_child_rows"),
@@ -131,9 +134,6 @@ object Constraints {
         round(col("__unref") * lit(10000.0) / col("__parent_keys"), 4))
         .as("unreferenced_bp"))
   }
-
-  private def violNulls(c: String): Column =
-    sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")
 
   /** Audit several FK pairs into one report (one row each). */
   def refIntegritySuite(

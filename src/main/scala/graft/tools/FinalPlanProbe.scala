@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Post-AQE scan audit: runs each query to completion and reports the
+  * FINAL adaptive plan's FileScan / ReusedExchange counts (the pre-AQE
+  * `executedPlan` string can both over-count — AQE may reuse identical
+  * exchange subtrees at runtime — and under-report: when
+  * `isFinalPlan=true` the string prints initial AND final sections, so
+  * divide by 2 when comparing against PlanSpec's pre-execution gates).
+  * This is the probe that caught the q111/q113 aggregate-of-aggregate
+  * lineage re-scanning events 4x / documents 6x.
+  *
+  * Usage: runMain graft.tools.FinalPlanProbe <sfDir> <q1> [q2...]
+  */
+object FinalPlanProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.tail.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      def n(re: String) = re.r.findAllIn(p).size
+      println(s"=== $name: FileScan=${n("FileScan")} " +
+        s"ReusedExchange=${n("ReusedExchange")}")
+      println(p.linesIterator
+        .filter(l => l.contains("FileScan") || l.contains("Reused"))
+        .mkString("\n"))
+      spark.sharedState.cacheManager.clearCache()
+      graft.util.Caches.releaseAll()
+    }
+    spark.stop()
+  }
+}
