@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.FuzzyMatch
+
+/** Round-5 additions, part nine — approximate string matching:
+  *
+  *  - q114 vocabulary typo/variant pairs at Levenshtein distance 1,
+  *    SymSpell deletion-neighborhood blocking + residual exact filter
+  *
+  * Oracle = the brute-force V² levenshtein scan over the SAME top-V
+  * vocabulary CTE (the q93 (count DESC, term ASC) total order) — the
+  * blocking guarantees recall at distance 1, so the pair sets are
+  * identical, not approximately so.
+  */
+object Round5iQueries {
+
+  /** q114 runs over ENTITY LABELS (customer.c_name), the classic
+    * entity-resolution input: the fixture's documents vocabulary is a
+    * small pinned word list with zero distance-1 pairs at any cut, but
+    * entity names ("Customer#000000421") are digit-substitution rich —
+    * 2,980 pairs bind at sf0.01 under V=300. The length floor keeps
+    * deletion keys ≥ 3 chars.
+    */
+  val VariantVocabV = 300
+  val VariantMinLen = 4
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_typo_variants" -> ((s, dir) =>
+      FuzzyMatch.variantPairs(Tables.load(s, dir, "customer"),
+        VariantVocabV, VariantMinLen, textCol = "c_name")))
+
+  val oracleSql: Map[String, String] = Map(
+    "q114_typo_variants" ->
+      s"""WITH tk AS (SELECT
+         |    unnest(regexp_extract_all(lower(c_name), '[a-z0-9]+')) AS w
+         |  FROM customer),
+         |v AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tk
+         |  WHERE length(w) >= $VariantMinLen
+         |  GROUP BY w ORDER BY n DESC, w ASC LIMIT $VariantVocabV)
+         |SELECT a.w AS term_a, b.w AS term_b, a.n AS n_a, b.n AS n_b
+         |FROM v a JOIN v b
+         |  ON a.w < b.w AND levenshtein(a.w, b.w) = 1
+         |ORDER BY term_a, term_b""".stripMargin)
+}

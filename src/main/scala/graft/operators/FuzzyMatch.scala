@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TextOps => T}
+
+/** Approximate string matching over the corpus vocabulary — the typo /
+  * spelling-variant miner (entity-resolution flavored: the same
+  * machinery matches "labled"/"labeled" column values or near-identical
+  * catalog names, the fuzzy half the reference's schema-drift monitor
+  * (`/root/reference/Snowflake/snowflake_table_monitor.py:97-113`)
+  * cannot see).
+  *
+  * Blocking is the SymSpell deletion-neighborhood scheme (public
+  * algorithm, symspell; also the basis of DuckDB's fuzzy completion):
+  * two terms are within Levenshtein distance 1 only if they share a
+  * member of their {self} ∪ single-deletions key sets — substitution ⇒
+  * both delete the differing position; insert/delete ⇒ the shorter term
+  * IS a deletion of the longer. Sharing a key does NOT imply distance 1
+  * (e.g. "ab"/"ba" share "a"), so candidates pass a residual
+  * `levenshtein(a, b) = 1` filter — blocking guarantees RECALL, the
+  * residual restores precision, and the pair set equals the brute-force
+  * V² scan exactly (the oracle).
+  *
+  * Scale design: the corpus reduces to its top-V vocabulary in ONE
+  * token-count aggregate (the q93 (count DESC, term ASC) total order,
+  * localCheckpoint'd — V stat rows; the Dedup-CC precedent — so the
+  * self-join does not re-run the corpus scan per side). Deletion keys
+  * explode V rows to ≤ V·(L+1); the candidate join is key-equi with a
+  * broadcast build side and fan-out bounded by Σ bucket² ≤ (V·(L+1))·V
+  * in the worst case — corpus-size independent. `minLen` keeps keys ≥
+  * 3 chars so short-word deletion buckets cannot blow up.
+  */
+object FuzzyMatch {
+
+  /** Top-V vocabulary (terms of length ≥ minLen) with counts, under the
+    * deterministic (count DESC, term ASC) total order.
+    */
+  private[operators] def topVocab(docs: DataFrame, vocabSize: Int,
+      minLen: Int, textCol: String): DataFrame =
+    graft.util.Parallelism.ensure(docs)
+      .select(explode(T.tokens(col(textCol))).as("w"))
+      .where(length(col("w")) >= minLen)
+      .groupBy("w").agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(vocabSize)
+
+  /** `{self} ∪ single-deletions` key set of a (non-empty) string
+    * column, by name: deleting 1-based position i+1 is
+    * `substr(w, 1, i) || substr(w, i+2)`.
+    */
+  private[operators] def deletionKeys(colName: String): Column =
+    array_union(
+      array(col(colName)),
+      expr(s"transform(sequence(0, length($colName) - 1), " +
+        s"i -> concat(substr($colName, 1, i), " +
+        s"substr($colName, i + 2)))"))
+
+  /** Vocabulary variant pairs within Levenshtein distance exactly 1:
+    * `(term_a, term_b, n_a, n_b)` with `term_a < term_b`, ordered. The
+    * lower-count side of a pair is the usual typo suspect; downstream
+    * normalizers join this relation back onto the token stream.
+    */
+  def variantPairs(docs: DataFrame, vocabSize: Int, minLen: Int = 4,
+      textCol: String = "text"): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val vocab = topVocab(docs, vocabSize, minLen, textCol)
+      .localCheckpoint()
+    val keyed = vocab.select(col("w"), col("n"),
+      explode(deletionKeys("w")).as("k"))
+    val a = keyed.select(col("w").as("term_a"), col("n").as("n_a"),
+      col("k"))
+    val b = keyed.select(col("w").as("term_b"), col("n").as("n_b"),
+      col("k"))
+    a.join(broadcast(b), Seq("k"))
+      .where(col("term_a") < col("term_b") &&
+        levenshtein(col("term_a"), col("term_b")) === 1)
+      .select("term_a", "term_b", "n_a", "n_b")
+      .distinct() // a pair can share several deletion keys
+      .orderBy("term_a", "term_b")
+  }
+}

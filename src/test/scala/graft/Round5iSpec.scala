@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.FuzzyMatch
+
+/** Part-nine operator: SymSpell deletion-neighborhood variant mining.
+  * The load-bearing property is EXACT equality with the brute-force V²
+  * Levenshtein scan — blocking guarantees recall at distance 1, the
+  * residual filter restores precision.
+  */
+class Round5iSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** One doc per word occurrence, so token counts are the multiplicities. */
+  private def corpus(words: (String, Int)*) =
+    words.toSeq.flatMap { case (w, n) => Seq.fill(n)(w) }
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+
+  /** Reference Levenshtein for the differentials. */
+  private def levDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("variantPairs: substitution / insertion pairs found, dist-2 killed") {
+    val docs = corpus(
+      ("abcd", 3), ("abed", 2), // substitution, dist 1
+      ("abcde", 1), // 'e' inserted vs abcd, dist 1
+      ("axyd", 1), // two substitutions vs abcd, dist 2 — excluded
+      ("bacd", 1), // transposition vs abcd: SHARES deletion keys, dist 2
+      ("abc", 9)) // below minLen, never in vocab
+    val got = FuzzyMatch.variantPairs(docs, vocabSize = 100, minLen = 4)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // sanity on the fixture itself: bacd is a candidate the residual kills
+    assert(levDist("abcd", "bacd") == 2)
+    assert(got == Seq(
+      ("abcd", "abcde", 3L, 1L),
+      ("abcd", "abed", 3L, 2L)))
+  }
+
+  test("variantPairs ≡ brute force on an adversarial dense vocabulary") {
+    // every length-4 and length-5 word over {a,b}: deletion buckets
+    // collide maximally and transposition-like dist-2 pairs abound
+    val all4 = (0 until 16).map(i =>
+      (0 until 4).map(j => if (((i >> j) & 1) == 1) 'b' else 'a').mkString)
+    val all5 = (0 until 32).map(i =>
+      (0 until 5).map(j => if (((i >> j) & 1) == 1) 'b' else 'a').mkString)
+    val vocabWords = (all4 ++ all5).distinct
+    val docs = corpus(vocabWords.map(w => (w, 1)): _*)
+    val got = FuzzyMatch.variantPairs(docs, vocabSize = 100, minLen = 4)
+      .as[(String, String, Long, Long)].collect()
+      .map(p => (p._1, p._2)).toSet
+    val truth = (for {
+      a <- vocabWords; b <- vocabWords
+      if a < b && levDist(a, b) == 1
+    } yield (a, b)).toSet
+    assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
+    // both substitution and indel pairs are exercised by the truth set
+    assert(truth.exists { case (a, b) => a.length == b.length })
+    assert(truth.exists { case (a, b) => a.length != b.length })
+  }
+
+  test("variantPairs: canonical order, no self pairs, vocab cut respected") {
+    val docs = corpus(("aaaa", 5), ("aaab", 4), ("aabb", 3), ("abbb", 2))
+    // vocabSize=2 keeps only {aaaa, aaab}: the aabb/abbb pairs vanish
+    val got = FuzzyMatch.variantPairs(docs, vocabSize = 2, minLen = 4)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("aaaa", "aaab", 5L, 4L)))
+  }
+
+  test("q114 plan: candidate join is broadcast, corpus never re-scanned") {
+    val df = SparkEntry.queries("q114_typo_variants")(
+      spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    // vocab is localCheckpoint'd: the self-join reads checkpointed stat
+    // rows, not two fresh corpus lineages
+    assert(!p.contains("Scan parquet"),
+      s"variant join re-scanned the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"key join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"key join regressed:\n$p")
+  }
+}
