@@ -439,13 +439,6 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"pivot needs no window:\n$p")
   }
 
-  test("q105: sequence funnel never windows or sorts the event log") {
-    val p = plan("q105_sequence_funnel")
-    assert(!p.contains("Window"), s"funnel anchors are aggregates, not windows:\n$p")
-    assert(!p.contains("CartesianProduct"),
-      s"step joins must stay keyed on user:\n$p")
-  }
-
   test("q106: padding report is scan-stage bucketing + one aggregate") {
     val p = plan("q106_padding_report")
     assert("Scan parquet".r.findAllIn(p).size == 1,
@@ -469,5 +462,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_topkby"),
       s"final ranking should be the TopKBy bounded-heap aggregate:\n$p")
     assert(!p.contains("Window"), s"no window belongs in the ADC path:\n$p")
+  }
+
+  test("q105: funnel is ONE scan + ONE user shuffle of stacked windows, no joins") {
+    // the greedy anchors t1..tK are K conditional-min windows over the
+    // SAME user partition: one exchange, one sort, and the per-user +
+    // stat aggregates reuse that partitioning. The earlier join-chain
+    // formulation re-ran the events scan once per step and per count.
+    val p = plan("q105_sequence_funnel")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"funnel re-scanned the event log:\n$p")
+    assert(!p.contains("Join"), s"funnel planned a join:\n$p")
+    assert("Exchange hashpartitioning\\(u#".r.findAllIn(p).size == 1,
+      s"expected exactly one user shuffle:\n$p")
   }
 }
