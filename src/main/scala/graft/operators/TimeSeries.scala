@@ -47,10 +47,19 @@ object TimeSeries {
         round(col(valCol).cast("double") * 1000000.0).cast("long")
           .as("v_micro"))
 
-    val daily = base.groupBy("day")
-      .agg(count(lit(1)).as("n_events"), sum("v_micro").as("v_micro"))
-    val dayUser = base.select("day", "u").distinct()
-    val dau = dayUser.groupBy("day").agg(count(lit(1)).as("dau"))
+    // the (day, user)-grain aggregate is the ONE pass over the event
+    // log — everything below (daily volume, DAU, WAU spread) derives
+    // from it, so it is cached (graft.util.Caches.releaseAll drops it
+    // at pipeline boundaries); without the cache each consumer re-runs
+    // the full scan (5 events scans measured at audit time)
+    val du = graft.util.Caches.cached(
+      base.groupBy("day", "u")
+        .agg(count(lit(1)).as("n"), sum("v_micro").as("v_micro")))
+    val daily = du.groupBy("day")
+      .agg(sum("n").as("n_events"), sum("v_micro").as("v_micro"))
+    val dayUser = du.select("day", "u")
+    // du's grain is distinct (day, user), so DAU is a plain count
+    val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
     val limits = daily.agg(max("day").as("max_day"))
 
     def spread(df: DataFrame) = df
@@ -77,12 +86,13 @@ object TimeSeries {
     * period (plus the share of the cohort, in basis points — period 0 is
     * 10000 by construction since the first active day is in period 0).
     *
-    * Scale shape: the event log reduces FIRST to the distinct (day, user)
-    * activity relation (one shuffle on the pair); cohorts are a per-user
-    * min aggregate (map-side partials, user-keyed — high cardinality);
-    * activity re-joins cohorts on `user` (the high-cardinality key); the
-    * final aggregates and the cohort-size join run on stat-scale
-    * relations (cohorts × periods). No window function anywhere.
+    * Scale shape: ONE scan — the event log reduces to the distinct
+    * (day, user) activity relation (one shuffle on the pair), the
+    * cohort day arrives as a per-user min WINDOW column (one shuffle on
+    * the high-cardinality user key, no join back), and the
+    * checkpointed cohorts × periods cell matrix feeds both the report
+    * and its own period-0 slice (= the cohort sizes, since every
+    * member is active on their first day).
     *
     * Determinism: day arithmetic is integer (datediff / integer period
     * division of non-negative deltas); counts are exact; the only double
@@ -94,16 +104,27 @@ object TimeSeries {
     val activity = events
       .select(to_date(col(tsCol)).as("day"), col(userCol).as("u"))
       .distinct()
-    val cohorts = activity.groupBy("u").agg(min("day").as("cohort_day"))
-    val sizes = cohorts.groupBy("cohort_day")
-      .agg(count(lit(1)).as("cohort_users"))
-    val cells = activity.join(cohorts, "u")
+    // cohort day = per-user min as a WINDOW column (the q105 shape):
+    // one shuffle on the high-cardinality user key, no join back, and
+    // the event log is scanned exactly once. The stat-scale cell matrix
+    // (cohorts × periods) is checkpointed because it is consumed twice
+    // (cells + its own period-0 slice); re-deriving it would re-run the
+    // whole corpus lineage per consumer.
+    val withCohort = activity.withColumn("cohort_day",
+      min("day").over(org.apache.spark.sql.expressions.Window
+        .partitionBy("u")))
+    val cells = withCohort
       .select(col("cohort_day"),
         floor(datediff(col("day"), col("cohort_day")) / periodDays)
           .cast("int").as("period"), col("u"))
       .distinct()
       .groupBy("cohort_day", "period")
       .agg(count(lit(1)).as("active_users"))
+      .localCheckpoint()
+    // every cohort member is active on their first day, so the period-0
+    // cell IS the cohort size
+    val sizes = cells.where(col("period") === 0)
+      .select(col("cohort_day"), col("active_users").as("cohort_users"))
     cells.join(sizes, "cohort_day")
       .select(col("cohort_day").cast("string").as("cohort_day"),
         col("period"), col("active_users"), col("cohort_users"),

@@ -28,13 +28,22 @@ object FinalPlanProbe {
     args.tail.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect()
-      val p = df.queryExecution.executedPlan.toString
-      def n(re: String) = re.r.findAllIn(p).size
-      println(s"=== $name: FileScan=${n("FileScan")} " +
-        s"ReusedExchange=${n("ReusedExchange")}")
-      println(p.linesIterator
-        .filter(l => l.contains("FileScan") || l.contains("Reused"))
-        .mkString("\n"))
+      // tree-based: the toString form reprints cached-plan children under
+      // InMemoryRelation and (post-AQE) an initial-plan section, both of
+      // which inflate naive string counts
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def leaves(p: SparkPlan): Seq[String] = p match {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case q: QueryStageExec => leaves(q.plan)
+        case l if l.children.isEmpty && l.subqueries.isEmpty =>
+          Seq(l.nodeName)
+        case n => (n.children ++ n.subqueries).flatMap(leaves)
+      }
+      val ls = leaves(df.queryExecution.executedPlan)
+        .groupBy(identity).view.mapValues(_.size).toMap
+      println(s"=== $name: " + ls.toSeq.sortBy(-_._2)
+        .map { case (k, v) => s"$k=$v" }.mkString(" "))
       spark.sharedState.cacheManager.clearCache()
       graft.util.Caches.releaseAll()
     }

@@ -19,6 +19,26 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Leaf nodeName → count, by TREE traversal: the string form reprints
+    * cached-relation fill plans under every InMemoryTableScan, so
+    * substring counting over-reports scans for cache-backed plans.
+    */
+  private def leafCounts(name: String): Map[String, Int] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leaves(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case q: QueryStageExec => leaves(q.plan)
+      case l if l.children.isEmpty && l.subqueries.isEmpty => Seq(l.nodeName)
+      case n => (n.children ++ n.subqueries).flatMap(leaves)
+    }
+    leaves(SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
+      .groupBy(identity).view.mapValues(_.size).toMap
+  }
+
+  private def parquetLeaves(m: Map[String, Int]): Int =
+    m.collect { case (k, v) if k.startsWith("Scan parquet") => v }.sum
+
   test("q02: predicate and projection push down to the parquet scan") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters:") &&
@@ -410,6 +430,21 @@ class PlanSpec extends AnyFunSuite {
       s"rolling aggregates must not window data rows:\n$p")
     assert(p.contains("Generate explode"),
       s"daily rows should explode to their target days:\n$p")
+    // every consumer derives from the cached (day, user)-grain
+    // aggregate — the event log is scanned once, at cache fill
+    val ls = leafCounts("q99_rolling_activity")
+    assert(ls.getOrElse("InMemoryTableScan", 0) >= 3,
+      s"a consumer bypassed the day-user cache: $ls\n$p")
+    assert(parquetLeaves(ls) == 0,
+      s"a consumer re-scanned events past the cache: $ls\n$p")
+  }
+
+  test("q104: cohort matrix is checkpointed stat rows — one events scan") {
+    val p = plan("q104_cohort_retention")
+    assert(!p.contains("Scan parquet"),
+      s"cells/sizes re-ran the corpus lineage:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the stat-scale cells/sizes join should broadcast:\n$p")
   }
 
   test("q100: heavy-key cut is TakeOrdered; the only window ranks the N stat rows") {
