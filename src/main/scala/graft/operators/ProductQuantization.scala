@@ -34,16 +34,16 @@ object ProductQuantization {
     * vector with its squared norm in integer micro-units.
     */
   def subvectors(embeddings: DataFrame, m: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", carryCols: Seq[String] = Nil): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     // Spark's `/` is double division — keep the slice bounds integral
     val subLen = (size(col("v")) / lit(m)).cast("int")
     graft.util.Parallelism.ensure(embeddings)
-      .select(col(idCol).as("vec_id"), v.as("v"))
-      .select(col("vec_id"), posexplode(
+      .select(col(idCol).as("vec_id") +: (carryCols.map(col) :+ v.as("v")): _*)
+      .select(col("vec_id") +: (carryCols.map(col) :+ posexplode(
         transform(sequence(lit(0), lit(m - 1)),
           i => slice(col("v"), i * subLen + 1, subLen)))
-        .as(Seq("m", "sv")))
+        .as(Seq("m", "sv"))): _*)
   }
 
   /** Squared L2 in integer micro-units between subvector columns, via
@@ -74,11 +74,13 @@ object ProductQuantization {
     * centroid (integer distances; ties to the smallest cid). One scan,
     * broadcast codebook, min_by partial aggregation.
     */
-  def encode(sub: DataFrame, codebook: DataFrame): DataFrame =
+  def encode(sub: DataFrame, codebook: DataFrame,
+      carryCols: Seq[String] = Nil): DataFrame =
     withNorm(sub).join(broadcast(codebook), Seq("m"))
-      .select(col("vec_id"), col("m"), col("cid"),
-        d2Micro(col("n2"), col("cn2"), col("sv"), col("cv")).as("d2i"))
-      .groupBy("vec_id", "m")
+      .select(col("vec_id") +: (carryCols.map(col) ++ Seq(col("m"),
+        col("cid"),
+        d2Micro(col("n2"), col("cn2"), col("sv"), col("cv")).as("d2i"))): _*)
+      .groupBy(((Seq("vec_id") ++ carryCols) :+ "m").map(col): _*)
       .agg(min_by(col("cid"), struct(col("d2i"), col("cid"))).as("code"))
 
   /** ADC top-k: approximate ‖q−x‖² as Σ_m table[m, code_m(x)] over the
@@ -160,10 +162,13 @@ object ProductQuantization {
         Seq("cell"))
       .select(col("vec_id"), col("cell"),
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
-    val cellOf = resid.select("vec_id", "cell")
-    val sub = subvectors(resid, m, "vec_id", "r")
+    // `cell` rides the subvector/code relations (carryCols), so the
+    // corpus is scanned ONCE and the single-probe candidate restriction
+    // is a broadcast join on the carried cell — no second assignment
+    // pass, no corpus-scale vec_id self-join
+    val sub = subvectors(resid, m, "vec_id", "r", carryCols = Seq("cell"))
     val codebook = codebookFromIds(sub, codebookIds)
-    val encoded = encode(sub, codebook)
+    val encoded = encode(sub, codebook, carryCols = Seq("cell"))
     // query ADC tables: the query's RESIDUAL (wrt its own cell) against
     // every (subspace, centroid) — M·K rows per query, broadcast
     val qtab = withNorm(sub.filter(col("vec_id").isin(queryIds: _*)))
@@ -171,13 +176,11 @@ object ProductQuantization {
       .join(broadcast(codebook), Seq("m"))
       .select(col("query_id"), col("m"), col("cid"),
         d2Micro(col("n2"), col("cn2"), col("sv"), col("cv")).as("qd2i"))
-    // single-probe candidates: corpus vectors sharing the query's cell
-    val qcell = cellOf.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("cell"))
-    val cand = cellOf.join(broadcast(qcell), Seq("cell"))
+    // single-probe: score corpus codes against queries of the SAME cell
+    val qcell = sub.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("cell")).distinct()
+    val scored = encoded.join(broadcast(qcell), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select("vec_id", "query_id")
-    val scored = encoded.join(cand, Seq("vec_id"))
       .join(broadcast(qtab.withColumnRenamed("cid", "code")),
         Seq("query_id", "m", "code"))
       .groupBy("query_id", "vec_id")
