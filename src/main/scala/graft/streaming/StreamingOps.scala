@@ -113,6 +113,96 @@ object StreamingOps {
       }.toDF()
   }
 
+  /** One typed input row of [[funnelStream]]. */
+  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+      etype: String)
+
+  /** Per-user greedy anchors, epoch millis; Long.MinValue = unreached. */
+  final case class FunnelAnchors(anchors: Seq[Long])
+
+  /** One newly-reached funnel step (emitted at most once per
+    * (user, step) over the stream's lifetime — anchors are set-once).
+    */
+  final case class FunnelReach(user_id: Long, step_idx: Int,
+      ts: java.sql.Timestamp)
+
+  /** Streaming ordered-sequence funnel — the continuous form of
+    * [[graft.operators.EventFunnel.sequenceFunnel]]: per user, the
+    * greedy anchor chain t₁ < t₂ < … advances as events arrive, and
+    * every newly-reached step emits one `(user, step_idx, anchor_ts)`
+    * row. Counting emitted rows per step over any drained horizon
+    * reproduces the batch funnel's reach counts exactly (anchors are
+    * SET-ONCE: processing a batch in ascending event-time order fixes
+    * each anchor at its final value the moment it is first set — the
+    * same induction that makes the batch chain's greedy-earliest
+    * matching complete).
+    *
+    * Cross-batch semantics mirror [[asofEnrichStream]]: anchors carry
+    * forward and only ADVANCE; an event arriving in a later batch with
+    * an earlier timestamp than an already-set anchor cannot retro-lower
+    * it (emit-once, no retro-attribution). State is one fixed-size
+    * anchor vector per user, expired via event-time timeout `stateTtlMs`
+    * past the user's latest activity when set.
+    */
+  def funnelStream(events: DataFrame, steps: Seq[String],
+      watermarkDelay: String, stateTtlMs: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(stateTtlMs.forall(_ > 0), "stateTtlMs must be positive")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .filter(col("event_type").isin(steps.map(s => s: Any): _*))
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("event_type").as("etype"))
+      .withWatermark("ts", watermarkDelay)
+      .as[FunnelEvent]
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val k = steps.size
+    val Unset = Long.MinValue
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelAnchors, FunnelReach](
+        OutputMode.Append, timeoutConf) {
+        (user: Long, rows: Iterator[FunnelEvent],
+            state: GroupState[FunnelAnchors]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val anchors = state.getOption
+              .map(_.anchors.toArray)
+              .getOrElse(Array.fill(k)(Unset))
+            val out = Seq.newBuilder[FunnelReach]
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              var i = 0
+              while (i < k) {
+                if (steps(i) == e.etype && anchors(i) == Unset &&
+                    (i == 0 ||
+                      (anchors(i - 1) != Unset && t > anchors(i - 1)))) {
+                  anchors(i) = t
+                  out += FunnelReach(user, i + 1, e.ts)
+                }
+                i += 1
+              }
+            }
+            if (sorted.nonEmpty || anchors.exists(_ != Unset)) {
+              state.update(FunnelAnchors(anchors.toSeq))
+              stateTtlMs.foreach { ttl =>
+                val latest = (anchors.filter(_ != Unset) ++
+                  sorted.map(_.ts.getTime)).max
+                state.setTimeoutTimestamp(latest + ttl)
+              }
+            }
+            out.result().iterator
+          }
+      }.toDF()
+  }
+
+
   /** Streaming incremental dedup against a STATIC corpus: the continuous
     * form of [[graft.operators.Dedup.incrementalNewDocs]]. Incoming docs
     * fingerprint scan-stage; a stream-static LEFT ANTI join against the

@@ -299,4 +299,85 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(got.find(_._1 == "click").get._4 > 0.0)
     } finally q.stop()
   }
+
+  test("streaming funnel on a drained stream equals the batch sequence funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val steps = graft.Round5gQueries.FunnelSteps
+    val all = ev.select("user_id", "ts", "event_type", "event_id", "value")
+      .as[RawEv].collect().toSeq
+    val input = MemoryStream[RawEv]
+    val out = StreamingOps.funnelStream(input.toDS().toDF(), steps, "1 hour")
+    val name = "funnel_stream_" + System.nanoTime()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(all)
+      q.processAllAvailable()
+      // emitted (user, step) rows are unique; counts per step = reach
+      val emitted = spark.table(name)
+      assert(emitted.groupBy("user_id", "step_idx").count()
+        .filter(col("count") > 1).isEmpty, "a (user, step) emitted twice")
+      val got = emitted.groupBy("step_idx").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val expect = graft.operators.EventFunnel
+        .sequenceFunnel(ev, steps)
+        .select("step_idx", "users")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(expect(1) > 0 && got == expect.filter(_._2 > 0))
+    } finally q.stop()
+  }
+
+  test("streaming funnel carries anchors across batches; no retro-lowering") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[RawEv]
+    val out = StreamingOps.funnelStream(input.toDS().toDF(),
+      Seq("view", "click"), "0 seconds")
+    val name = "funnel_stream2_" + System.nanoTime()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: user 1 views; user 2 clicks (click before any view
+      // never converts, exactly as in batch)
+      input.addData(
+        RawEv(1, ts("2024-01-01 10:00:00"), "view", 1, 0.0),
+        RawEv(2, ts("2024-01-01 10:00:00"), "click", 2, 0.0))
+      q.processAllAvailable()
+      // batch 2: user 1 clicks AFTER the carried view anchor -> step 2;
+      // user 2's later view opens step 1 but its old click cannot
+      // retro-fill step 2 (emit-once)
+      input.addData(
+        RawEv(1, ts("2024-01-01 11:00:00"), "click", 3, 0.0),
+        RawEv(2, ts("2024-01-01 11:00:00"), "view", 4, 0.0))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select("user_id", "step_idx")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == Set((1L, 1), (1L, 2), (2L, 1)))
+    } finally q.stop()
+  }
+
+  test("streaming funnel: equal timestamps never advance the chain") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[RawEv]
+    val out = StreamingOps.funnelStream(input.toDS().toDF(),
+      Seq("view", "click"), "0 seconds")
+    val name = "funnel_stream3_" + System.nanoTime()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(
+        RawEv(1, ts("2024-01-01 10:00:00"), "view", 1, 0.0),
+        RawEv(1, ts("2024-01-01 10:00:00"), "click", 2, 0.0))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select("user_id", "step_idx")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == Set((1L, 1)))
+    } finally q.stop()
+  }
 }
