@@ -48,15 +48,14 @@ object Collocations {
     // uni and pair are vocabulary-scale stat relations consumed by the
     // scalar actions below AND the final join — persist so the corpus
     // is tokenized once, not once per consumer
-    val uni = base.select(explode(TextOps.tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c1"))
-      .persist()
-    val pair = base
+    val uni = graft.util.Caches.cached(
+      base.select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1")))
+    val pair = graft.util.Caches.cached(base
       .select(explode(WordNgramsAll.wordNgramsAll(col("text"), 2)).as("g"))
       .select(substring_index(col("g"), " ", 1).as("w1"),
         substring_index(col("g"), " ", -1).as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
-      .persist()
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair")))
     def scalarOrZero(r: org.apache.spark.sql.Row): Long =
       if (r.isNullAt(0)) 0L else r.getLong(0)
     val t = scalarOrZero(uni.agg(sum("c1")).head()).toDouble

@@ -210,7 +210,8 @@ object CorpusStats {
         explode(TextOps.tokens(col(textCol))).as("w"))
     // sc feeds three consumers (corpus counts, totals, score join) —
     // persist the vocabulary-scale relation so tokens explode once
-    val sc = tok.groupBy("g", "w").agg(count(lit(1)).as("c")).persist()
+    val sc = graft.util.Caches.cached(
+      tok.groupBy("g", "w").agg(count(lit(1)).as("c")))
     val corpus = sc.groupBy("w").agg(sum("c").as("ca"))
     val totals = sc.groupBy("g").agg(sum("c").as("t"))
     val grandRow = totals.agg(sum("t")).head()

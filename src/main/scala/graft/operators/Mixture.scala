@@ -34,8 +34,11 @@ object Mixture {
     val spark = df.sparkSession
     import spark.implicits._
     val sharesDf = shares.toSeq.sortBy(_._1).toDF(groupCol, "__share")
+    // G stat rows, checkpointed: the t scalar and the rate relation
+    // would otherwise each re-run the counting scan
     val counts = df.groupBy(col(groupCol))
       .agg(count(lit(1)).cast("double").as("__n"))
+      .localCheckpoint()
     val joined = counts.join(sharesDf, Seq(groupCol))
     val t = joined.agg(min(col("__n") / col("__share")).as("__t"))
     val rates = joined.crossJoin(broadcast(t))
@@ -69,8 +72,10 @@ object Mixture {
   def temperatureRebalance(df: DataFrame, groupCol: String,
       alpha: Double = 0.5, idCol: String = "doc_id"): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    // G stat rows, checkpointed (see rebalance)
     val counts = df.groupBy(col(groupCol))
       .agg(count(lit(1)).cast("double").as("__n"))
+      .localCheckpoint()
     val wcol = if (alpha == 0.5) sqrt(col("__n")) else pow(col("__n"), lit(alpha))
     val w = counts.withColumn("__wq", round(wcol * lit(1000000.0)).cast("long"))
     val sw = w.agg(sum("__wq").as("__sw"))

@@ -57,11 +57,10 @@ object Retrieval {
     // tf feeds BOTH the vocabulary aggregate and the candidate join —
     // persist so the corpus is tokenized once, not per consumer (the
     // (doc, term, tf) stat relation spills gracefully at scale)
-    val tf = base
+    val tf = graft.util.Caches.cached(base
       .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
         explode(col("ws")).as("term"))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      .persist()
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val qdf = queries.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
       .toDF("query_id", "term")
