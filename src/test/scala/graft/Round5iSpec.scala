@@ -88,4 +88,38 @@ class Round5iSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"key join regressed:\n$p")
   }
+
+  test("fuzzyJoinNames: exact + distance-1 links, counts carried, exact droppable") {
+    val left = corpus(("abcd", 2), ("xxxx", 1))
+      .withColumnRenamed("text", "name")
+    val right = corpus(("abed", 1), ("abcd", 3), ("zzzz", 1))
+      .withColumnRenamed("text", "name")
+    val got = FuzzyMatch.fuzzyJoinNames(left, "name", right, "name")
+      .as[(String, String, Long, Long, Int)].collect().toSeq
+    assert(got == Seq(
+      ("abcd", "abcd", 2L, 3L, 0),
+      ("abcd", "abed", 2L, 1L, 1)))
+    val noExact = FuzzyMatch.fuzzyJoinNames(left, "name", right, "name",
+      includeExact = false)
+      .as[(String, String, Long, Long, Int)].collect().toSeq
+    assert(noExact == Seq(("abcd", "abed", 2L, 1L, 1)))
+  }
+
+  test("fuzzyJoinNames ≡ brute force across a dense two-relation split") {
+    val all4 = (0 until 16).map(i =>
+      (0 until 4).map(j => if (((i >> j) & 1) == 1) 'b' else 'a').mkString)
+    val (l, r) = all4.partition(_.count(_ == 'b') % 2 == 0)
+    val left = corpus(l.map((_, 1)): _*).withColumnRenamed("text", "name")
+    val right = corpus(r.map((_, 1)): _*).withColumnRenamed("text", "name")
+    val got = FuzzyMatch.fuzzyJoinNames(left, "name", right, "name")
+      .as[(String, String, Long, Long, Int)].collect()
+      .map(p => (p._1, p._2, p._5)).toSet
+    val truth = (for {
+      a <- l; b <- r; d = levDist(a, b) if d <= 1
+    } yield (a, b, d)).toSet
+    // the parity split means no exact matches and EVERY substitution
+    // crosses sides — maximal stress on the shared-deletion-key recall
+    assert(truth.nonEmpty && truth.forall(_._3 == 1))
+    assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
+  }
 }
