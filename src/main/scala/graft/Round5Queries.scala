@@ -83,23 +83,7 @@ object Round5Queries {
       val d = docs(s, dir)
       val existing = d.filter(col("doc_id") % Round3Queries.BenchMod === 0)
       val incoming = d.filter(col("doc_id") % Round3Queries.BenchMod =!= 0)
-      val fp = TextOps.fingerprint(col("text"))
-      val knownFps = existing.select(fp.as("__fp")).distinct()
-        .withColumn("__known", lit(1L))
-      val flagged = incoming.withColumn("__fp", fp)
-        .join(knownFps, Seq("__fp"), "left")
-      val perSource = flagged.groupBy("source").agg(
-        count(lit(1)).as("n_incoming"),
-        sum(coalesce(col("__known"), lit(0L))).as("n_dup_existing"))
-      val keptCounts = Dedup.incrementalNewDocs(incoming, existing)
-        .groupBy("source").agg(count(lit(1)).as("n_new_unique"))
-      perSource.join(keptCounts, Seq("source"), "left")
-        .na.fill(0L, Seq("n_new_unique"))
-        .withColumn("n_dup_within",
-          col("n_incoming") - col("n_dup_existing") - col("n_new_unique"))
-        .select("source", "n_incoming", "n_dup_existing", "n_new_unique",
-          "n_dup_within")
-        .orderBy("source")
+      Dedup.incrementalReport(incoming, existing, "source")
     }),
 
     // Stratified deterministic sampling: per-stratum keep rates, still a

@@ -37,26 +37,28 @@ object Decontaminate {
     * (symmetric Jaccard would dilute them).
     */
   def overlapScores(corpus: DataFrame, benchmark: DataFrame, ngram: Int = 2,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      carryCols: Seq[String] = Nil): DataFrame = {
     val benchShingles = graft.util.Parallelism.ensure(benchmark)
       .select(explode(TextOps.ngrams(col(textCol), ngram)).as("sh"))
       .distinct()
       .withColumn("hit", lit(1L))
-    val perDoc = graft.util.Parallelism.ensure(corpus)
-      .select(col(idCol).as("doc_id"),
-        explode(TextOps.ngrams(col(textCol), ngram)).as("sh"))
+    // ONE corpus scan: explode_outer keeps shingle-less docs (a null
+    // shingle matches no benchmark row), so no join back to the corpus
+    // for them or for carried report columns
+    val carry = carryCols.map(col)
+    graft.util.Parallelism.ensure(corpus)
+      .select(col(idCol).as("doc_id") +: (carry :+
+        explode_outer(TextOps.ngrams(col(textCol), ngram)).as("sh")): _*)
       .join(broadcast(benchShingles), Seq("sh"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
+      .groupBy((Seq("doc_id") ++ carryCols).map(col): _*)
+      .agg(count(col("sh")).as("n_shingles"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-    corpus.select(col(idCol).as("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0))
+      .select(col("doc_id") +: (carry ++ Seq(
+        col("n_shingles"), col("n_hits"),
+        when(col("n_shingles") === 0, lit(0.0))
           .otherwise(round(col("n_hits").cast("double") / col("n_shingles"), 4))
-          .as("overlap"))
+          .as("overlap"))): _*)
   }
 
   /** Per-group contamination report over a corpus/benchmark split:
@@ -74,8 +76,8 @@ object Decontaminate {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val bp = when(col("n_shingles") === 0, lit(0L))
       .otherwise(round(col("n_hits") * 10000.0 / col("n_shingles"), 0).cast("long"))
-    overlapScores(corpus, benchmark, ngram, idCol, textCol)
-      .join(corpus.select(col(idCol).as("doc_id"), col(groupCol)), "doc_id")
+    overlapScores(corpus, benchmark, ngram, idCol, textCol,
+      carryCols = Seq(groupCol))
       .withColumn("bp", bp)
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n_docs"),

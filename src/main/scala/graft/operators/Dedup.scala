@@ -108,6 +108,41 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** Per-group ingest accounting for one delivery against an existing
+    * corpus: `(group, n_incoming, n_dup_existing, n_new_unique,
+    * n_dup_within)` — the report form of [[incrementalNewDocs]].
+    *
+    * ONE scan per input: the delivery's fingerprint relation left-joins
+    * the corpus's distinct fingerprints (known flag), the min-id-per-
+    * fingerprint window REUSES that join's fingerprint partitioning (a
+    * fingerprint is known for all its rows or none, so ranking over all
+    * rows ≡ ranking over fresh rows), and one aggregate emits all four
+    * counts. Deriving the kept set via [[incrementalNewDocs]] and
+    * re-joining would scan both inputs twice.
+    */
+  def incrementalReport(incoming: DataFrame, existing: DataFrame,
+      groupCol: String, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val knownFps = graft.util.Parallelism.ensure(existing)
+      .select(TextOps.fingerprint(col(textCol)).as("__fp")).distinct()
+      .withColumn("__known", lit(1L))
+    val flagged = graft.util.Parallelism.ensure(incoming)
+      .select(col(groupCol), col(idCol).as("__id"),
+        TextOps.fingerprint(col(textCol)).as("__fp"))
+      .join(knownFps, Seq("__fp"), "left")
+    val w = Window.partitionBy("__fp").orderBy(col("__id").asc)
+    flagged.withColumn("__rn", row_number().over(w))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_incoming"),
+        sum(coalesce(col("__known"), lit(0L))).as("n_dup_existing"),
+        sum(when(col("__known").isNull && col("__rn") === 1, 1L)
+          .otherwise(0L)).as("n_new_unique"))
+      .withColumn("n_dup_within",
+        col("n_incoming") - col("n_dup_existing") - col("n_new_unique"))
+      .orderBy(groupCol)
+  }
+
   // -------------------------------------------------------------------
   // n-gram Jaccard near-dup (blocked pairwise)
   // -------------------------------------------------------------------

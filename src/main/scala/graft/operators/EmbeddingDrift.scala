@@ -41,19 +41,28 @@ object EmbeddingDrift {
     */
   def report(oldV: DataFrame, newV: DataFrame, labelCol: String = "label",
       vecCol: String = "embedding"): DataFrame = {
-    val co = centroids(oldV, labelCol, vecCol).withColumnRenamed("m", "mo")
-    val cn = centroids(newV, labelCol, vecCol).withColumnRenamed("m", "mn")
-    val geom = co.join(cn, Seq("label", "pos"))
+    // ONE scan per snapshot: the (label, pos) aggregate carries the
+    // vector count alongside the mean (every non-empty vector has a
+    // pos-0 row, so the pos-0 count IS the label's vector count), so no
+    // separate counting scan re-reads the snapshot
+    def snap(v: DataFrame, m: String, n: String) =
+      graft.util.Parallelism.ensure(v)
+        .select(col(labelCol).as("label"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(avg("x").as(m), count(lit(1)).as(n))
+    val co = snap(oldV, "mo", "__co_n")
+    val cn = snap(newV, "mn", "__cn_n")
+    co.join(cn, Seq("label", "pos"))
       .groupBy("label")
       .agg(
+        max(when(col("pos") === 0, col("__co_n"))).as("n_old"),
+        max(when(col("pos") === 0, col("__cn_n"))).as("n_new"),
         round(sum(col("mo") * col("mn")) /
           (sqrt(sum(col("mo") * col("mo"))) * sqrt(sum(col("mn") * col("mn")))), 4)
           .as("centroid_cos"),
         round(sqrt(sum(col("mn") * col("mn"))) / sqrt(sum(col("mo") * col("mo"))), 4)
           .as("norm_ratio"))
-    val no = oldV.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("n_old"))
-    val nn = newV.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("n_new"))
-    geom.join(no, "label").join(nn, "label")
       .select(col("label"), col("n_old"), col("n_new"),
         col("centroid_cos"), col("norm_ratio"))
       .orderBy("label")

@@ -39,23 +39,30 @@ object Repetition {
     * Zero-/sub-n-token docs stay in the output with both ratios 0.0.
     */
   def docStats(docs: DataFrame, ngram: Int = 2, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", carryCols: Seq[String] = Nil): DataFrame = {
+    // ONE scan: the per-doc scalars ride the n-gram explode as grouping
+    // keys (exact per-doc values, so the key is deterministic), and
+    // explode_outer keeps gram-less docs — no join back to the corpus
+    // for them (or for carried report columns)
+    val carry = carryCols.map(col)
     val base = graft.util.Parallelism.ensure(docs)
-      .select(col(idCol).as("doc_id"),
+      .select(col(idCol).as("doc_id") +: (carry ++ Seq(
         size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
         tokenRepetition(col(textCol)).as("token_rep"),
-        WordNgramsAll.wordNgramsAll(col(textCol), ngram).as("grams"))
-    val top = base
-      .select(col("doc_id"), explode(col("grams")).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id")
+        explode_outer(WordNgramsAll.wordNgramsAll(col(textCol), ngram))
+          .as("g"))): _*)
+    val keys = (Seq("doc_id") ++ carryCols ++ Seq("n_tokens", "token_rep"))
+    base
+      .groupBy((keys :+ "g").map(col): _*)
+      .agg(count(col("g")).as("cnt"))
+      .groupBy(keys.map(col): _*)
       .agg(max("cnt").as("top_cnt"), sum("cnt").as("total_grams"))
-    base.drop("grams")
-      .join(top, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"), col("token_rep"),
+      .select((keys.map(col) :+
         when(col("total_grams").isNull || col("total_grams") === 0, lit(0.0))
           .otherwise(round(col("top_cnt").cast("double") / col("total_grams"), 4))
-          .as("top_ngram_frac"))
+          .as("top_ngram_frac")): _*)
+      .select(col("doc_id") +: (carry ++ Seq(col("n_tokens"),
+        col("token_rep"), col("top_ngram_frac"))): _*)
   }
 
   /** Per-group repetition report: doc counts, mean ratios, and how many
@@ -71,8 +78,7 @@ object Repetition {
       ngram: Int = 2, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     def bp(c: Column): Column = round(c * 10000, 0).cast("long")
-    docStats(docs, ngram, idCol, textCol)
-      .join(docs.select(col(idCol).as("doc_id"), col(groupCol)), "doc_id")
+    docStats(docs, ngram, idCol, textCol, carryCols = Seq(groupCol))
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n_docs"),
         round(sum(bp(col("token_rep"))) / (count(lit(1)) * 10000.0), 4)
