@@ -118,10 +118,14 @@ object CorpusStats {
       carryCols: Seq[String] = Seq("source")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val carry = carryCols.map(col)
-    val base = graft.util.Parallelism.ensure(docs)
-      .select(col(idCol).as("doc_id") +: carry :+
-        TextOps.tokens(col(textCol)).as("ws"): _*)
-      .withColumn("n", size(col("ws")).cast("long"))
+    // cached (Caches.releaseAll to drop): the materialized token
+    // relation feeds the span explode AND the all-docs completion join
+    // — without the cache each consumer re-tokenizes the corpus
+    val base = graft.util.Caches.cached(
+      graft.util.Parallelism.ensure(docs)
+        .select(col(idCol).as("doc_id") +: carry :+
+          TextOps.tokens(col(textCol)).as("ws"): _*)
+        .withColumn("n", size(col("ws")).cast("long")))
     val spans = base
       .select(col("doc_id") +: carry :+ col("n") :+ explode(
         when(col("n") >= k,
