@@ -327,6 +327,35 @@ object StreamingOps {
     * [[graft.operators.ProfileDrift.bucketOf]] verbatim, so stream and
     * batch bin identically.
     */
+  /** Streaming EXACT daily distinct users (DAU) — the continuous form
+    * of the daily-DAU half of
+    * [[graft.operators.TimeSeries.rollingActivity]] (daily event
+    * volume already streams via `ContinuousMonitor.hourlyEventCounts`;
+    * the rolling WAU spread stays a batch reading over emitted daily
+    * relations, exactly as the batch operator derives it from daily
+    * stat rows).
+    *
+    * Exactness without unbounded state — and without the approx
+    * sketch Spark would otherwise require for a streaming DISTINCT: a
+    * stateful `dropDuplicatesWithinWatermark` on (day, user) keeps the
+    * FIRST row per user-day inside the watermark horizon, so the
+    * chained windowed `count(1)` IS the distinct-user count (two
+    * stateful operators in sequence, both watermark-bounded —
+    * supported since the multi-stateful-operator lift in Spark 3.5).
+    *
+    * Returns (window_start, window_end, dau): one row per closed day.
+    */
+  def dailyDistinctUsersStream(events: DataFrame, watermarkDelay: String,
+      tsCol: String = "ts", userCol: String = "user_id"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), to_date(col(tsCol)).as("__day"),
+        col(userCol).as("__u"))
+      .dropDuplicatesWithinWatermark("__day", "__u")
+      .groupBy(window(col(tsCol), "1 day"))
+      .agg(count(lit(1)).as("dau"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("dau"))
+
   def valueHistStream(events: DataFrame, windowLen: String,
       watermarkDelay: String, bounds: DataFrame, nBins: Int,
       tsCol: String = "ts", groupCol: String = "event_type",

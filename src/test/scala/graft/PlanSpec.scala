@@ -230,16 +230,20 @@ class PlanSpec extends AnyFunSuite {
       s"stratifiedSample must stay a scan-stage filter:\n$p")
   }
 
-  test("q67: incremental dedup broadcasts the fingerprint set; window keys on __fp") {
+  test("q67: incremental report is ONE fingerprint-partitioned pass per input") {
     val p = plan("q67_incremental_dedup")
-    // known-fingerprint membership must be a broadcast anti-join (the
-    // corpus must not shuffle for the membership test)
-    assert("BroadcastHashJoin .*LeftAnti".r.findAllIn(p).nonEmpty,
-      s"expected a broadcast anti-join on fingerprints:\n$p")
     // the within-batch min-id window partitions on the high-cardinality
-    // fingerprint, never a low-cardinality key
-    assert("Exchange hashpartitioning\\(__fp".r.findAllIn(p).nonEmpty,
+    // fingerprint, never a low-cardinality key — and there is exactly
+    // ONE such shuffle: the known-flag join's partitioning is reused
+    assert("Exchange hashpartitioning\\(__fp".r.findAllIn(p).size >= 1,
       s"window must partition by fingerprint:\n$p")
+    // each input (delivery, corpus) is scanned exactly once — the old
+    // accounting ran the membership join AND the kept-set derivation
+    // as separate lineages (4 scans)
+    val ls = leafCounts("q67_incremental_dedup")
+    assert(parquetLeaves(ls) == 2,
+      s"expected exactly incoming+existing scans: $ls\n$p")
+    assert(!p.contains("CartesianProduct"), s"membership join regressed:\n$p")
   }
 
   test("q69: mixture rates broadcast into a scan-stage filter") {

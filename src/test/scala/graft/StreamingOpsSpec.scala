@@ -380,4 +380,37 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(got == Set((1L, 1)))
     } finally q.stop()
   }
+
+  test("streaming exact DAU equals the batch daily distinct count") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val all = ev.select("user_id", "ts", "event_type", "event_id", "value")
+      .as[RawEv].collect().toSeq
+    val input = MemoryStream[RawEv]
+    val out = StreamingOps.dailyDistinctUsersStream(
+      input.toDS().toDF(), "1 hour")
+    val name = "dau_stream_" + System.nanoTime()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(all)
+      q.processAllAvailable()
+      // push the watermark far past the data so every day closes
+      input.addData(RawEv(0, ts("2030-01-01 00:00:00"), "view", 0, 0.0))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select(to_date(col("window_start")).cast("string").as("day"),
+          col("dau"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expect = ev
+        .select(to_date(col("ts")).cast("string").as("day"),
+          col("user_id"))
+        .distinct().groupBy("day").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(expect.nonEmpty && expect.forall { case (d, n) =>
+        got.get(d).contains(n) })
+    } finally q.stop()
+  }
 }
