@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import org.apache.spark.sql.functions.col
 
-import graft.operators.FuzzyMatch
+import graft.operators.{Bpe, FuzzyMatch}
 
 /** Round-5 additions, part nine — approximate string matching:
   *
@@ -43,7 +43,26 @@ object Round5iQueries {
       FuzzyMatch.fuzzyJoinNames(
         c.where(col("c_custkey") % 2 === 0), "c_name",
         c.where(col("c_custkey") % 2 === 1), "c_name")
-    }))
+    }),
+
+    // q116: BPE tokenizer training, round-1 pair census — the
+    // oracle-checkable stage of the learner (markerless so the SQL
+    // mirror stays a plain substr pair explode)
+    "q116_bpe_pairs" -> ((s, dir) =>
+      Bpe.firstPairCounts(Tables.load(s, dir, "documents"), BpePairsTopN)),
+
+    // q117: the learned merge table itself. Iterative argmax-per-round
+    // is not SQL-expressible (the q43 class: rows-only by construction);
+    // Round5iSpec proves the learner equal to a sequential reference
+    // implementation on this same fixture.
+    "q117_bpe_merges" -> ((s, dir) =>
+      Bpe.learnMerges(Tables.load(s, dir, "documents"), BpeMerges)))
+
+  /** q116 census cut (binds below the fixture's distinct pair count). */
+  val BpePairsTopN = 40
+
+  /** q117 merge budget. */
+  val BpeMerges = 8
 
   val oracleSql: Map[String, String] = Map(
     "q114_typo_variants" ->
@@ -69,5 +88,18 @@ object Round5iQueries {
          |  a.n AS n_left, b.n AS n_right,
          |  CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist
          |FROM a, b WHERE levenshtein(a.w, b.w) <= 1
-         |ORDER BY left_name, right_name""".stripMargin)
+         |ORDER BY left_name, right_name""".stripMargin,
+
+    "q116_bpe_pairs" ->
+      s"""WITH tk AS (SELECT unnest(${LlmQueries.tokSql}) AS w
+         |  FROM documents),
+         |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tk
+         |  GROUP BY 1),
+         |p AS (SELECT substr(w, CAST(i AS INTEGER), 1) AS l,
+         |    substr(w, CAST(i AS INTEGER) + 1, 1) AS r, n
+         |  FROM wc, unnest(range(1, length(w))) AS t(i))
+         |SELECT l AS "left", r AS "right",
+         |  CAST(sum(n) AS BIGINT) AS n_pair
+         |FROM p GROUP BY 1, 2
+         |ORDER BY n_pair DESC, l, r LIMIT $BpePairsTopN""".stripMargin)
 }

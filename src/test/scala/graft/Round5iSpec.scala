@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.FuzzyMatch
+import graft.operators.{Bpe, FuzzyMatch}
 
 /** Part-nine operator: SymSpell deletion-neighborhood variant mining.
   * The load-bearing property is EXACT equality with the brute-force V²
@@ -121,5 +121,90 @@ class Round5iSpec extends AnyFunSuite {
     // crosses sides — maximal stress on the shared-deletion-key recall
     assert(truth.nonEmpty && truth.forall(_._3 == 1))
     assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
+  }
+
+  // ------------------------------------------------------------------
+  // BPE vocabulary induction
+  // ------------------------------------------------------------------
+
+  /** Sequential reference BPE (Sennrich): the ground truth the
+    * distributed learner must reproduce exactly.
+    */
+  private def refBpe(words: Map[String, Long], nMerges: Int,
+      marker: Boolean): Seq[(Int, String, String, Long)] = {
+    def mergeSeq(s: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    var vocab: Map[Vector[String], Long] = words.toSeq.map { case (w, n) =>
+      val chars = w.map(_.toString).toVector
+      val syms = if (marker) chars.init :+ (chars.last + Bpe.Eow) else chars
+      syms -> n
+    }.groupMapReduce(_._1)(_._2)(_ + _)
+    (1 to nMerges).flatMap { rank =>
+      val pairs = vocab.toSeq.flatMap { case (s, n) =>
+        s.sliding(2).collect { case Vector(a, b) => (a, b) -> n }
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      if (pairs.isEmpty) None
+      else {
+        val ((l, r), c) = pairs.minBy { case ((l, r), c) => (-c, l, r) }
+        vocab = vocab.toSeq.map { case (s, n) => mergeSeq(s, l, r) -> n }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        Some((rank, l, r, c))
+      }
+    }
+  }
+
+  test("learnMerges: hand-derived merge sequence, markerless") {
+    val docs = corpus(("aaab", 2), ("ab", 1))
+    val got = Bpe.learnMerges(docs, 3, marker = false)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    // round 1: (a,a) weight 4 beats (a,b) 3; leftmost-greedy turns
+    // aaab into [aa, a, b]; round 2: (a,b) 3 beats (aa,a) 2; round 3
+    // only (aa, ab) remains
+    assert(got == Seq((1, "a", "a", 4L), (2, "a", "b", 3L),
+      (3, "aa", "ab", 2L)))
+  }
+
+  test("learnMerges: end-of-word marker keeps word-final symbols distinct") {
+    val docs = corpus(("ab", 2), ("cb", 1))
+    val got = Bpe.learnMerges(docs, 2)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1, "a", s"b${Bpe.Eow}", 2L),
+      (2, "c", s"b${Bpe.Eow}", 1L)))
+  }
+
+  test("learnMerges stops early when no pair remains") {
+    val docs = corpus(("ab", 3))
+    val got = Bpe.learnMerges(docs, 10, marker = false)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "b", 3L))) // "ab" is one symbol after it
+  }
+
+  test("learnMerges ≡ sequential reference BPE on the fixture corpus") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val words = Bpe.wordCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = refBpe(words, 6, marker = true)
+    val got = Bpe.learnMerges(docs, 6)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(expect.size == 6 && got == expect)
+  }
+
+  test("segment: leftmost-greedy application incl. the overlap case") {
+    val docs = corpus(("aaa", 1), ("aaab", 1), ("ba", 1))
+    val got = Bpe.segment(docs, Seq(("a", "a"), ("a", "b")),
+      marker = false)
+      .as[(String, Long, Seq[String])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got("aaa") == Seq("aa", "a")) // non-overlapping, leftmost
+    assert(got("aaab") == Seq("aa", "ab")) // second merge applies after
+    assert(got("ba") == Seq("b", "a")) // order matters: (b,a) unmerged
   }
 }
