@@ -123,6 +123,21 @@ class Round5iSpec extends AnyFunSuite {
     assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
   }
 
+
+  test("q115 plan: candidate stage runs on distinct names — two scans, no product") {
+    val df = SparkEntry.queries("q115_fuzzy_join")(
+      spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      s"expected one scan per side:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate stage regressed to a product join:\n$p")
+    // name column + the parity filter key only — no wide reads
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"),
+      s"scan reads more than the parity key and the name:\n$p")
+  }
+
   // ------------------------------------------------------------------
   // BPE vocabulary induction
   // ------------------------------------------------------------------
