@@ -61,6 +61,19 @@ object Round5hQueries {
     ("lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("events", "user_id", "customer", "c_custkey"))
 
+  /** q118 DISCOVERY candidates: the three true FKs, one spurious
+    * direction (orderkey "into" custkey: containment collapses to 10%),
+    * and one reversed pair whose parent column is NON-unique — so both
+    * report axes (containment, parent key-ness) separate signal from
+    * noise at every SF.
+    */
+  val FkCandidates: Seq[(String, String, String, String)] = Seq(
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("orders", "o_orderkey", "customer", "c_custkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"))
+
   val VolumeK = 2.0 // binds at sf0.01: 2 of 30 days flagged
   val OutlierK = 2.0 // binds at sf0.01 on several sources
 
@@ -71,6 +84,11 @@ object Round5hQueries {
 
     "q110_ref_integrity" -> ((s, dir) =>
       Constraints.refIntegritySuite(FkPairs.map { case (c, fk, p, pk) =>
+        (Tables.load(s, dir, c), c, fk, Tables.load(s, dir, p), p, pk)
+      })),
+
+    "q118_fk_discovery" -> ((s, dir) =>
+      Constraints.fkDiscovery(FkCandidates.map { case (c, fk, p, pk) =>
         (Tables.load(s, dir, c), c, fk, Tables.load(s, dir, p), p, pk)
       })),
 
@@ -207,7 +225,36 @@ object Round5hQueries {
        |  max(z) AS max_robust_z
        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private def fkDiscoveryOracle: String = {
+    val rows = FkCandidates.zipWithIndex.map { case ((c, fk, p, pk), i) =>
+      s"""  SELECT '$c' AS child_table, '$fk' AS fk,
+         |    '$p' AS parent_table, '$pk' AS pk,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ck$i) AS n_child_keys,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ck$i
+         |      WHERE k IN (SELECT k FROM pk$i)) AS n_contained,
+         |    CASE WHEN (SELECT count(*) FROM ck$i) > 0
+         |      THEN round((SELECT count(*) FROM ck$i
+         |          WHERE k IN (SELECT k FROM pk$i)) * 10000.0
+         |        / (SELECT count(*) FROM ck$i), 4) END AS containment_bp,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM $p) AS n_parent_rows,
+         |    (SELECT CAST(count(DISTINCT $pk) AS BIGINT) FROM $p)
+         |      AS n_parent_keys,
+         |    (SELECT count(DISTINCT $pk) FROM $p)
+         |      = (SELECT count(*) FROM $p) AS parent_unique""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val ctes = FkCandidates.zipWithIndex.map { case ((c, fk, p, pk), i) =>
+      s"""ck$i AS (SELECT DISTINCT $fk AS k FROM $c
+         |  WHERE $fk IS NOT NULL),
+         |pk$i AS (SELECT DISTINCT $pk AS k FROM $p
+         |  WHERE $pk IS NOT NULL)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $ctes
+       |$rows
+       |ORDER BY child_table, fk, parent_table, pk""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q118_fk_discovery" -> fkDiscoveryOracle,
     "q109_constraints" -> constraintsOracle,
     "q110_ref_integrity" -> refIntegrityOracle,
     "q111_volume_anomaly" -> volumeOracle,

@@ -135,6 +135,59 @@ object Constraints {
         .as("unreferenced_bp"))
   }
 
+  /** FK-candidate DISCOVERY — the inference complement of
+    * [[refIntegrity]] (which audits a KNOWN pair): for every candidate
+    * `(child, fkCol, parent, pkCol)`, how much of the child's key
+    * domain the parent covers, plus whether the parent column is even
+    * key-like. High containment into a unique parent column is the
+    * signature of an undeclared foreign key; low containment flags a
+    * spurious structural guess — the report a catalog monitor publishes
+    * when the warehouse declares no constraints (the reference's
+    * catalogs expose none: `svv_table_info`/`show columns` carry no FK
+    * metadata).
+    *
+    * Output per candidate: `(child_table, fk, parent_table, pk,
+    * n_child_keys, n_contained, containment_bp, n_parent_rows,
+    * n_parent_keys, parent_unique)`.
+    *
+    * Scale design: each side reduces to its DISTINCT-key relation
+    * before anything joins (the q110 shape); containment is a left
+    * semi-style flag join between key relations, and the parent's
+    * row/key counts ride its key relation as one stat row. Costs one
+    * scan per side per candidate.
+    */
+  def fkDiscovery(
+      candidates: Seq[(DataFrame, String, String, DataFrame, String, String)])
+      : DataFrame = {
+    require(candidates.nonEmpty, "empty candidate list")
+    candidates.map { case (child, childName, fkCol, parent, parentName, pkCol) =>
+      val childKeys = child.where(col(fkCol).isNotNull)
+        .select(col(fkCol).as("__k")).distinct()
+      val parentStat = parent
+        .agg(count(lit(1)).cast("long").as("__prows"),
+          count_distinct(col(pkCol)).cast("long").as("__pkeys"))
+      val parentKeys = parent.select(col(pkCol).as("__k"))
+        .where(col("__k").isNotNull).distinct()
+        .withColumn("__p", lit(1))
+      childKeys.join(parentKeys, Seq("__k"), "left")
+        .agg(count(lit(1)).cast("long").as("__ckeys"),
+          coalesce(sum(col("__p")), lit(0L)).cast("long").as("__hit"))
+        .crossJoin(broadcast(parentStat))
+        .select(
+          lit(childName).as("child_table"), lit(fkCol).as("fk"),
+          lit(parentName).as("parent_table"), lit(pkCol).as("pk"),
+          col("__ckeys").as("n_child_keys"),
+          col("__hit").as("n_contained"),
+          when(col("__ckeys") > 0,
+            round(col("__hit") * lit(10000.0) / col("__ckeys"), 4))
+            .as("containment_bp"),
+          col("__prows").as("n_parent_rows"),
+          col("__pkeys").as("n_parent_keys"),
+          (col("__pkeys") === col("__prows")).as("parent_unique"))
+    }.reduce(_.unionByName(_))
+      .orderBy("child_table", "fk", "parent_table", "pk")
+  }
+
   /** Audit several FK pairs into one report (one row each). */
   def refIntegritySuite(
       pairs: Seq[(DataFrame, String, String, DataFrame, String, String)])

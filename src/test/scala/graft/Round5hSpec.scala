@@ -229,4 +229,41 @@ class Round5hSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1,
       s"expected exactly 1 orders scan:\n$p")
   }
+
+  // ------------------------------------------------------------------
+  // Constraints.fkDiscovery
+  // ------------------------------------------------------------------
+
+  test("fkDiscovery: containment and parent key-ness on a hand toy") {
+    val child = Seq(Option(1L), Option(2L), Option(3L), Option(2L),
+      Option.empty[Long]).toDF("fk")
+    val parent = Seq(1L, 2L, 4L, 4L).toDF("pk")
+    val got = Constraints.fkDiscovery(Seq(
+      (child, "c", "fk", parent, "p", "pk"))).collect().toSeq
+    assert(got == Seq(Row("c", "fk", "p", "pk",
+      3L, // distinct non-null child keys {1,2,3}
+      2L, // {1,2} hit the parent
+      6666.6667, // containment bp
+      4L, // parent rows
+      3L, // distinct parent keys {1,2,4}
+      false))) // 4 repeats: not key-like
+  }
+
+  test("fkDiscovery: a true FK into a unique parent reads 10000 bp") {
+    val child = Seq(1L, 1L, 2L).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Constraints.fkDiscovery(Seq(
+      (child, "c", "fk", parent, "p", "pk"))).collect().head
+    assert(r.getDouble(6) == 10000.0 && r.getBoolean(9))
+  }
+
+  test("q118: candidate stage joins distinct-key relations, no product joins") {
+    val p = SparkEntry.queries("q118_fk_discovery")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"stat-row combine regressed to a cartesian:\n$p")
+    // every equi-join runs on the __k key relations
+    assert(!"Join [a-z_]".r.findAllIn(p).exists(x => !x.contains("__k")) ||
+      !p.contains("SortMergeJoin [f"), s"row-level join leaked:\n$p")
+  }
 }
