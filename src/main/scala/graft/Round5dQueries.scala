@@ -164,7 +164,8 @@ object Round5dQueries {
        |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)))
        |      * 1000000.0) AS BIGINT) AS s
        |  FROM tfx JOIN q USING (term) JOIN dfx USING (term), st),
-       |ag AS (SELECT query_id, doc_id, sum(s) AS score_micro FROM sc
+       |ag AS (SELECT query_id, doc_id,
+       |    CAST(sum(s) AS BIGINT) AS score_micro FROM sc
        |  GROUP BY query_id, doc_id),
        |br AS (SELECT query_id, doc_id, score_micro,
        |    CAST(row_number() OVER (PARTITION BY query_id

@@ -86,7 +86,8 @@ object Round5fQueries {
          |    coalesce(c_ref, 0) AS c_ref, coalesce(c_cur, 0) AS c_cur
          |  FROM hr FULL OUTER JOIN hc
          |    ON hr.g = hc.g AND hr.bucket = hc.bucket),
-         |t AS (SELECT g, sum(c_ref) AS n_ref, sum(c_cur) AS n_cur
+         |t AS (SELECT g, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+         |    CAST(sum(c_cur) AS BIGINT) AS n_cur
          |  FROM h GROUP BY g
          |  HAVING sum(c_ref) > 0 AND sum(c_cur) > 0),
          |k AS (SELECT h.g, t.n_ref, t.n_cur,
@@ -105,7 +106,8 @@ object Round5fQueries {
          |  FROM base GROUP BY day),
          |du AS (SELECT DISTINCT day, u FROM base),
          |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
-         |roll AS (SELECT d.day, sum(x.n_events) AS n_events_roll,
+         |roll AS (SELECT d.day,
+         |    CAST(sum(x.n_events) AS BIGINT) AS n_events_roll,
          |    round(sum(x.vm) / 1000000.0, 4) AS value_roll
          |  FROM daily d JOIN daily x
          |    ON x.day BETWEEN d.day - ${RollDays - 1} AND d.day

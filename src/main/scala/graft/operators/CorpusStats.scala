@@ -167,15 +167,29 @@ object CorpusStats {
     * by (#sources choose 2) — independent of corpus size — so the join
     * output is |distinct shingles| · O(S²) at worst, and the per-source
     * size relation (S rows) broadcasts to complete the matrix.
+    *
+    * `maxShingleSources` is the stop-shingle knob for wide-S catalogs
+    * (user/tenant/domain slices, where S² per shingle is no longer
+    * small): shingles present in MORE than that many sources are dropped
+    * from the intersection join only — per-source sizes n_a/n_b stay
+    * exact — so n_common/jaccard only ever decrease under the cap.
     */
   def sourceOverlap(docs: DataFrame, groupCol: String = "source",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxShingleSources: Option[Long] = None): DataFrame = {
     val sh = graft.util.Parallelism.ensure(docs)
       .select(col(groupCol).as("g"),
         explode(TextOps.bigrams(col(textCol))).as("s"))
       .distinct()
     val sizes = sh.groupBy("g").agg(count(lit(1)).as("n"))
-    val inter = sh.as("x").join(sh.as("y"),
+    val shJ = maxShingleSources match {
+      case Some(cap) =>
+        val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("s")
+        sh.join(broadcast(hot), Seq("s"), "left_anti")
+      case None => sh
+    }
+    val inter = shJ.as("x").join(shJ.as("y"),
         col("x.s") === col("y.s") && col("x.g") < col("y.g"))
       .groupBy(col("x.g").as("ga"), col("y.g").as("gb"))
       .agg(count(lit(1)).as("n_common"))

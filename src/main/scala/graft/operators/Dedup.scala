@@ -229,16 +229,30 @@ object Dedup {
     * Shape: identical to [[jaccardPairs]] — one shingle explode, an
     * equi-join on (block, shingle), a per-pair count, and two size
     * lookups; pairs sharing zero shingles never materialize. Same
-    * scale/skew profile (and the same stop-shingle cap applies upstream
-    * via maxShingleDocs if needed).
+    * scale/skew profile, and the same stop-shingle cap: `maxShingleDocs`
+    * drops shingles present in more than that many docs of a block from
+    * the INTERSECTION join (denominators |A|, |B| stay exact, from the
+    * uncapped explode). A shingle in d docs fans out d²/2 join rows, so
+    * at 100 TB one boilerplate shingle without the cap is a guaranteed
+    * hot key; capped containment only ever DECREASES, so capped
+    * survivors ⊆ uncapped survivors (spec-pinned).
     */
   def containmentPairs(docs: DataFrame, blockCol: String, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
-      ngram: Int = 2): DataFrame = {
+      maxShingleDocs: Option[Long] = None, ngram: Int = 2): DataFrame = {
     require(threshold > 0.0, "threshold must be > 0 (zero-overlap pairs are never materialized)")
     val s = shingled(docs, blockCol, idCol, textCol, ngram)
-    val ex = s.select(col("block"), col("doc_id"), explode(col("shingles")).as("sh"))
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val exAll = s.select(col("block"), col("doc_id"), explode(col("shingles")).as("sh"))
+    val sizes = exAll.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // Stop-shingle skew guard — same pattern as jaccardPairs: the hot-set
+    // relation is tiny (only shingles with df > cap) and broadcasts.
+    val ex = maxShingleDocs match {
+      case Some(cap) =>
+        val hot = exAll.groupBy("block", "sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("block", "sh")
+        exAll.join(broadcast(hot), Seq("block", "sh"), "left_anti")
+      case None => exAll
+    }
     ex.as("a").join(ex.as("b"),
         col("a.block") === col("b.block") && col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -1,15 +1,29 @@
 #!/usr/bin/env python3
-"""Local mimic of the driver's correctness gate.
+"""Local mimic of the driver's correctness gate — DRIVER-EXACT mode.
 
-Usage: python3 tools/selfcheck.py [sfDir] [outDir] [--only q44,q46]
+Usage: python3 tools/selfcheck.py [sfDir] [outDir] [--only q44,q46] [--run]
 
 Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` already ran (or run
 with --run to invoke it). Registers each parquet fixture as a DuckDB view
 named after the table, executes every oracle_sql.json entry, and compares
 against the Spark-written parquet under outDir/<query>/ with columns
 sorted by name and rows sorted by all columns.
+
+Comparison contract (mirrors the driver's hash, which is computed over
+TYPED values — see round-5 verdict: q83/q98/q99 were value-identical but
+hash-red because DuckDB sum(BIGINT) returns HUGEINT while Spark writes
+BIGINT):
+  1. Column NAMES must match after sorting.
+  2. Column DTYPE KINDS must match (int vs float vs object vs bool vs
+     datetime). DuckDB HUGEINT surfaces as float64/object in pandas, so a
+     dtype-kind mismatch is exactly the class the old tolerance hid.
+  3. Cell values must be EXACTLY equal — no float tolerance. A row set
+     that only matches under 1e-9 tolerance prints a WARN and FAILs,
+     because the driver's typed hash would reject it.
+A typed row-hash (sha256 over sorted rows of `repr`-ed typed values) is
+printed per query so two runs can be diffed without the full dump.
 """
-import json, math, subprocess, sys
+import hashlib, json, math, subprocess, sys
 import duckdb
 
 args = []
@@ -55,7 +69,39 @@ def norm(df):
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
-def cells_equal(a, b):
+def kind(dtype):
+    """Collapse a pandas dtype to the kind the driver's typed hash sees."""
+    k = dtype.kind  # i/u int, f float, b bool, M datetime, O object, ...
+    return {"u": "i"}.get(k, k)
+
+def typed_hash(df):
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False, name=None):
+        h.update(repr(row).encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+def cells_exact(a, b):
+    """Exact typed equality — what the driver's hash enforces."""
+    a_nan = isinstance(a, float) and math.isnan(a)
+    b_nan = isinstance(b, float) and math.isnan(b)
+    if (a is None or a_nan) and (b is None or b_nan):
+        return True
+    if (a is None or a_nan) or (b is None or b_nan):
+        return False
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b
+    if type(a) is not type(b):
+        # numpy vs python scalars of the same kind are fine; int vs float is not
+        af, bf = isinstance(a, (int,)) or "int" in type(a).__name__, \
+                 isinstance(b, (int,)) or "int" in type(b).__name__
+        if af != bf and ("float" in type(a).__name__ or isinstance(a, float)
+                         or "float" in type(b).__name__ or isinstance(b, float)):
+            return False
+    return str(a) == str(b)
+
+def cells_loose(a, b):
+    """The old tolerant compare — used only to diagnose, never to pass."""
     if a is None and b is None:
         return True
     try:
@@ -67,7 +113,7 @@ def cells_equal(a, b):
     except (TypeError, ValueError):
         pass
     if (a is None) != (b is None):
-        try:  # pandas NaN vs None
+        try:
             if a is None and isinstance(b, float) and math.isnan(b): return True
             if b is None and isinstance(a, float) and math.isnan(a): return True
         except TypeError:
@@ -76,6 +122,7 @@ def cells_equal(a, b):
     return str(a) == str(b)
 
 fails = 0
+warn_loose = []
 for name, sql in sorted(oracle.items()):
     try:
         expect = norm(con.execute(sql).fetchdf())
@@ -93,17 +140,40 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: rows {len(got)} != {len(expect)}")
         fails += 1
         continue
+    # Dtype-kind gate: catches HUGEINT (float64/object) vs BIGINT (int64)
+    # even when every printed value matches.
+    dt_bad = [(c, str(expect[c].dtype), str(got[c].dtype))
+              for c in expect.columns
+              if kind(expect[c].dtype) != kind(got[c].dtype)]
+    if dt_bad:
+        print(f"FAIL {name}: dtype kind mismatch (oracle vs spark): {dt_bad}")
+        fails += 1
+        continue
     bad = []
+    loose_only = []
     for i in range(len(expect)):
         for c in expect.columns:
             a, b = expect[c].iloc[i], got[c].iloc[i]
-            if not cells_equal(a, b):
-                bad.append((i, c, a, b))
-    if bad:
-        print(f"FAIL {name}: {len(bad)} cell diffs, first: {bad[:3]}")
+            if not cells_exact(a, b):
+                if cells_loose(a, b):
+                    loose_only.append((i, c, a, b))
+                else:
+                    bad.append((i, c, a, b))
+    if bad or loose_only:
+        detail = []
+        if bad:
+            detail.append(f"{len(bad)} hard diffs, first: {bad[:3]}")
+        if loose_only:
+            detail.append(f"{len(loose_only)} tolerance-only diffs "
+                          f"(WOULD FAIL DRIVER HASH), first: {loose_only[:3]}")
+            warn_loose.append(name)
+        print(f"FAIL {name}: " + "; ".join(detail))
         fails += 1
     else:
-        exact = "exact"
-        print(f"PASS {name} ({len(expect)} rows, {exact})")
-print(f"\n{len(oracle) - fails}/{len(oracle)} oracle queries pass")
+        print(f"PASS {name} ({len(expect)} rows, exact, "
+              f"hash {typed_hash(got)})")
+if warn_loose:
+    print(f"\nWARN: {len(warn_loose)} queries pass only under float "
+          f"tolerance and would be red at the driver: {warn_loose}")
+print(f"\n{len(oracle) - fails}/{len(oracle)} oracle queries pass (driver-exact)")
 sys.exit(1 if fails else 0)
