@@ -150,11 +150,15 @@ object Constraints {
     * n_child_keys, n_contained, containment_bp, n_parent_rows,
     * n_parent_keys, parent_unique)`.
     *
-    * Scale design: each side reduces to its DISTINCT-key relation
-    * before anything joins (the q110 shape); containment is a left
-    * semi-style flag join between key relations, and the parent's
-    * row/key counts ride its key relation as one stat row. Costs one
-    * scan per side per candidate.
+    * Scale design: each side reduces to its key relation before
+    * anything joins (the q110 shape) — the parent's to (key, row-count)
+    * groups, so its row total AND key count ride the SAME relation
+    * (refIntegrity's `__ccnt` move) — and ONE full-outer join between
+    * the two key relations feeds a single stat aggregate. Genuinely one
+    * scan per side per candidate: no separate parent stat lineage.
+    * (A table repeated across candidates still re-scans per pair —
+    * parquet scans are cheap relative to caching corpus-scale keys;
+    * callers auditing many candidates against one parent can cache it.)
     */
   def fkDiscovery(
       candidates: Seq[(DataFrame, String, String, DataFrame, String, String)])
@@ -163,16 +167,20 @@ object Constraints {
     candidates.map { case (child, childName, fkCol, parent, parentName, pkCol) =>
       val childKeys = child.where(col(fkCol).isNotNull)
         .select(col(fkCol).as("__k")).distinct()
-      val parentStat = parent
-        .agg(count(lit(1)).cast("long").as("__prows"),
-          count_distinct(col(pkCol)).cast("long").as("__pkeys"))
-      val parentKeys = parent.select(col(pkCol).as("__k"))
-        .where(col("__k").isNotNull).distinct()
-        .withColumn("__p", lit(1))
-      childKeys.join(parentKeys, Seq("__k"), "left")
-        .agg(count(lit(1)).cast("long").as("__ckeys"),
-          coalesce(sum(col("__p")), lit(0L)).cast("long").as("__hit"))
-        .crossJoin(broadcast(parentStat))
+        .withColumn("__c", lit(1))
+      // (key, per-key row count) — the null-key group keeps the total
+      // row count exact while never equi-matching a (non-null) child key
+      val parentKeys = parent.select(col(pkCol).as("__pk"))
+        .groupBy("__pk").agg(count(lit(1)).cast("long").as("__pc"))
+      childKeys.join(parentKeys, col("__k") === col("__pk"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("__c").isNotNull, 1L)), lit(0L))
+            .cast("long").as("__ckeys"),
+          coalesce(sum(when(col("__c").isNotNull && col("__pk").isNotNull,
+            1L)), lit(0L)).cast("long").as("__hit"),
+          coalesce(sum(col("__pc")), lit(0L)).cast("long").as("__prows"),
+          coalesce(sum(when(col("__pk").isNotNull, 1L)), lit(0L))
+            .cast("long").as("__pkeys"))
         .select(
           lit(childName).as("child_table"), lit(fkCol).as("fk"),
           lit(parentName).as("parent_table"), lit(pkCol).as("pk"),

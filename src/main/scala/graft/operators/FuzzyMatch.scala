@@ -71,6 +71,14 @@ object FuzzyMatch {
     * by the same key-sharing argument as [[variantPairs]] (distance 0
     * shares the self key). Row-level linkage is the caller's follow-up
     * equi-join on the name columns.
+    *
+    * Length floor: names SHORTER THAN 2 CHARACTERS are excluded from
+    * both sides (the [[topVocab]] `minLen` convention) — a
+    * single-character name is within distance 1 of every character and
+    * of the empty string, so its "matches" are noise that would fan out
+    * against the whole alphabet. Pairs involving 1-char names (e.g.
+    * "a" ~ "ab") are therefore deliberately NOT emitted; the q115
+    * oracle applies the same floor.
     */
   def fuzzyJoinNames(left: DataFrame, leftCol: String,
       right: DataFrame, rightCol: String,

@@ -194,7 +194,11 @@ object StreamingOps {
               stateTtlMs.foreach { ttl =>
                 val latest = (anchors.filter(_ != Unset) ++
                   sorted.map(_.ts.getTime)).max
-                state.setTimeoutTimestamp(latest + ttl)
+                // `latest` can come from a late event (flatMapGroupsWithState
+                // does not drop late rows); a timeout at-or-before the
+                // current watermark throws. Clamp to watermark + 1 ms.
+                state.setTimeoutTimestamp(
+                  math.max(latest + ttl, state.getCurrentWatermarkMs() + 1))
               }
             }
             out.result().iterator
@@ -336,22 +340,27 @@ object StreamingOps {
     * stat rows).
     *
     * Exactness without unbounded state — and without the approx
-    * sketch Spark would otherwise require for a streaming DISTINCT: a
-    * stateful `dropDuplicatesWithinWatermark` on (day, user) keeps the
-    * FIRST row per user-day inside the watermark horizon, so the
-    * chained windowed `count(1)` IS the distinct-user count (two
-    * stateful operators in sequence, both watermark-bounded —
-    * supported since the multi-stateful-operator lift in Spark 3.5).
+    * sketch Spark would otherwise require for a streaming DISTINCT:
+    * two CHAINED windowed aggregates (the Spark 3.5+ chained
+    * time-window form). The first groups by (1-day window, user) — its
+    * state is keyed on the window, so a user active twice in the same
+    * day collapses to ONE row no matter how many micro-batches or how
+    * far apart the arrivals, as long as they beat the watermark. The
+    * second re-windows the first's `window` column and counts rows =
+    * distinct users. This is exact under ANY watermarkDelay — unlike a
+    * `dropDuplicatesWithinWatermark` formulation, whose dedup state is
+    * evicted `delay` after each arrival rather than at day close, and
+    * which therefore double-counts a user re-appearing in the same day
+    * more than `delay` apart.
     *
     * Returns (window_start, window_end, dau): one row per closed day.
     */
   def dailyDistinctUsersStream(events: DataFrame, watermarkDelay: String,
       tsCol: String = "ts", userCol: String = "user_id"): DataFrame =
     events.withWatermark(tsCol, watermarkDelay)
-      .select(col(tsCol), to_date(col(tsCol)).as("__day"),
-        col(userCol).as("__u"))
-      .dropDuplicatesWithinWatermark("__day", "__u")
-      .groupBy(window(col(tsCol), "1 day"))
+      .groupBy(window(col(tsCol), "1 day"), col(userCol).as("__u"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(window(col("window"), "1 day"))
       .agg(count(lit(1)).as("dau"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("dau"))

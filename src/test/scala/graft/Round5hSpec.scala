@@ -266,4 +266,22 @@ class Round5hSpec extends AnyFunSuite {
     assert(!"Join [a-z_]".r.findAllIn(p).exists(x => !x.contains("__k")) ||
       !p.contains("SortMergeJoin [f"), s"row-level join leaked:\n$p")
   }
+
+  test("q118: exactly one scan per side per candidate (tree-counted)") {
+    // 5 candidates × (1 child + 1 parent) = 10 parquet leaves; the
+    // parent's row/key totals ride its key relation, no second lineage
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leaves(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case q: QueryStageExec => leaves(q.plan)
+      case l if l.children.isEmpty && l.subqueries.isEmpty => Seq(l.nodeName)
+      case n => (n.children ++ n.subqueries).flatMap(leaves)
+    }
+    val n = leaves(SparkEntry.queries("q118_fk_discovery")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan)
+      .count(_.startsWith("Scan parquet"))
+    assert(n == 2 * graft.Round5hQueries.FkCandidates.size,
+      s"expected 2 parquet leaves per candidate, got $n total")
+  }
 }

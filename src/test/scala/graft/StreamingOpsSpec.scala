@@ -413,4 +413,41 @@ class StreamingOpsSpec extends AnyFunSuite {
         got.get(d).contains(n) })
     } finally q.stop()
   }
+
+  test("streaming DAU: same-day re-activity beyond the watermark delay counts ONCE") {
+    // the dropDuplicatesWithinWatermark formulation failed exactly this:
+    // its dedup state evicts `delay` after each arrival, so a user active
+    // twice in one day, with the watermark advanced past the first
+    // arrival + delay in between, double-counted. The chained windowed
+    // aggregates key state on the DAY window, which only closes at
+    // day-end + delay.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[RawEv]
+    val out = StreamingOps.dailyDistinctUsersStream(
+      input.toDS().toDF(), "1 hour")
+    val name = "dau_stream2_" + System.nanoTime()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: user 1 active at 10:00
+      input.addData(RawEv(1, ts("2024-01-01 10:00:00"), "view", 1, 0.0))
+      q.processAllAvailable()
+      // batch 2: a DIFFERENT user advances the watermark to 12:00 —
+      // past 10:00 + 1 h, where per-arrival dedup state would evict
+      input.addData(RawEv(2, ts("2024-01-01 13:00:00"), "view", 2, 0.0))
+      q.processAllAvailable()
+      // batch 3: user 1 again, SAME day, 10 h after the first arrival
+      input.addData(RawEv(1, ts("2024-01-01 20:00:00"), "view", 3, 0.0))
+      q.processAllAvailable()
+      // close the day
+      input.addData(RawEv(0, ts("2030-01-01 00:00:00"), "view", 4, 0.0))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .filter(to_date(col("window_start")) === lit("2024-01-01"))
+        .select("dau").collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(2L), s"expected exactly [2] (users 1 and 2), got $got")
+    } finally q.stop()
+  }
 }
