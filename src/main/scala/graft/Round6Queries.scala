@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusStats, Dedup}
+import graft.operators.{CorpusStats, Dedup, Multimodal}
 
 /** Round-6 additions: the stop-shingle skew caps, oracled where they
   * BIND (the q61a pattern — a deliberately tight cap at the gate SF
@@ -54,7 +54,17 @@ object Round6Queries {
     "q76a_source_overlap_capped" -> ((s, dir) =>
       CorpusStats.sourceOverlap(docs(s, dir),
         maxShingleSources = Some(OverlapSourceCap))
-        .orderBy("source_a", "source_b")))
+        .orderBy("source_a", "source_b")),
+
+    // REAL audio metadata: each doc's bytes wrapped into a genuine
+    // RIFF/WAVE container (channels/rate varied by doc_id), then parsed
+    // back by the chunk-walking header parser. The oracle recomputes
+    // every field in closed form from (doc_id, byte length) — so the
+    // parser is checked against independent arithmetic, not itself.
+    "q119_audio_metadata" -> ((s, dir) =>
+      Multimodal.audioMetadata(
+        Multimodal.synthesizeWavPayloads(docs(s, dir)))
+        .orderBy("doc_id")))
 
   val oracleSql: Map[String, String] = Map(
     "q97a_containment_capped" -> {
@@ -108,5 +118,21 @@ object Round6Queries {
          |FROM sz x JOIN sz y ON x.source < y.source
          |LEFT JOIN iv ON iv.sa = x.source AND iv.sb = y.source
          |ORDER BY source_a, source_b""".stripMargin
-    })
+    },
+
+    // WAV synthesis parameters in closed form: channels = 1 + id%2,
+    // rate = 8000 + (id%3)*4000, 16-bit PCM, data truncated to whole
+    // frames ⇒ n_frames = floor(utf8_bytes / (channels*2)).
+    "q119_audio_metadata" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents)
+        |SELECT doc_id, channels, sample_rate,
+        |  CAST(16 AS INTEGER) AS bits_per_sample,
+        |  CAST(nb // (channels * 2) AS BIGINT) AS n_frames,
+        |  CAST((nb // (channels * 2)) * 1000 // sample_rate AS BIGINT)
+        |    AS duration_ms
+        |FROM p ORDER BY doc_id""".stripMargin)
 }

