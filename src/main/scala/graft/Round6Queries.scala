@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusStats, Dedup, Multimodal}
+import graft.operators.{CorpusStats, Dedup, Multimodal, Similarity,
+  TextOps, TimeSeries}
 
 /** Round-6 additions: the stop-shingle skew caps, oracled where they
   * BIND (the q61a pattern — a deliberately tight cap at the gate SF
@@ -39,6 +40,22 @@ object Round6Queries {
     */
   val OverlapSourceCap = 18L
 
+  /** q122's Misra-Gries capacity: ≥ the fixture's 31-token vocabulary,
+    * so no decrement ever fires and every count is EXACT (the oracle
+    * condition); Round6Spec separately proves the error bound where the
+    * capacity BINDS.
+    */
+  val HeavyCap = 64
+  val HeavyTopK = 10
+
+  /** q123's k-means geometry: 8 deterministic init centroids (vec_ids
+    * present at every fixture SF) × 2 Lloyd rounds — enough for the
+    * recompute-reassign cycle to be exercised, small enough for the
+    * unrolled SQL oracle to stay mechanical.
+    */
+  val KmInitIds: Seq[Long] = (0 until 8).map(i => i.toLong * 13)
+  val KmRounds = 2
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Capped containment pairs: same one-explode shingle equi-join as
     // q97, minus shingles in > cap docs of the block. The hot-set
@@ -64,7 +81,49 @@ object Round6Queries {
     "q119_audio_metadata" -> ((s, dir) =>
       Multimodal.audioMetadata(
         Multimodal.synthesizeWavPayloads(docs(s, dir)))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // Quality-based dedup cluster representatives: keep the LONGEST doc
+    // per MinHash near-dup cluster (most-complete-version selection)
+    // instead of min-id. CC relation is pair-participant-sized; one
+    // cluster-keyed window picks rep + size together.
+    "q120_cluster_reps" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.keepRepresentative(d, Dedup.minhashNearDups(d), "n_chars")
+        .orderBy("cluster")
+    }),
+
+    // SCD2 change intervals over the event stream: per user, runs of
+    // the same event_type collapse to validity windows (open run =
+    // null valid_to). One user-keyed shuffle; both windows and the
+    // interval aggregate share its partitioning.
+    "q121_change_intervals" -> ((s, dir) =>
+      TimeSeries.changeIntervals(Tables.load(s, dir, "events"),
+        "user_id", "event_type", "ts")
+        .orderBy("key", "valid_from", "state")),
+
+    // One-pass bounded-memory heavy hitters (Misra-Gries aggregate):
+    // per-source top tokens. Capacity ≥ vocabulary at the gate SF, so
+    // counts are exact and the oracle is plain GROUP BY counts; the
+    // capacity-BINDING regime is spec-pinned (error bound), not oracled
+    // — MG summaries under decrements are stream-order-dependent.
+    "q122_heavy_hitters" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("source")
+        .agg(graft.functions.MisraGries.misraGries(col("w"), HeavyCap).as("hh"))
+        .select(col("source"), posexplode(col("hh")).as(Seq("pos", "e")))
+        .filter(col("pos") < HeavyTopK)
+        .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+          col("e.item").as("item"), col("e.count_lower").as("count_lower"))
+        .orderBy("source", "rank")),
+
+    // Oracle-exact k-means census: 2 Lloyd rounds from fixed init ids,
+    // micro-integer distances and centroid means (combine-order-free),
+    // final (cell, n_vecs, inertia_micro) — the convergence diagnostic.
+    "q123_kmeans" -> ((s, dir) =>
+      Similarity.kmeansReport(Tables.load(s, dir, "embeddings"),
+        KmInitIds, KmRounds)))
 
   val oracleSql: Map[String, String] = Map(
     "q97a_containment_capped" -> {
@@ -134,5 +193,94 @@ object Round6Queries {
         |  CAST(nb // (channels * 2) AS BIGINT) AS n_frames,
         |  CAST((nb // (channels * 2)) * 1000 // sample_rate AS BIGINT)
         |    AS duration_ms
-        |FROM p ORDER BY doc_id""".stripMargin)
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // q64a's recursive CC over the verified MinHash pairs, then the rep
+    // pick: (n_chars DESC, doc_id) window inside each cluster.
+    "q120_cluster_reps" ->
+      s"""WITH RECURSIVE ${LlmQueries.minhashPairsCtes},
+         |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |r AS (SELECT DISTINCT src AS id, src AS lab FROM edges
+         |  UNION SELECT e.src, r.lab FROM edges e JOIN r ON e.dst = r.id),
+         |cc AS (SELECT id, min(lab) AS cluster FROM r GROUP BY id),
+         |m AS (SELECT cc.cluster, cc.id AS doc_id, d.n_chars
+         |  FROM cc JOIN documents d ON d.doc_id = cc.id),
+         |s AS (SELECT cluster, count(*) AS n_docs FROM m GROUP BY cluster),
+         |rep AS (SELECT cluster, doc_id, n_chars FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY n_chars DESC, doc_id) AS rn FROM m) WHERE rn = 1)
+         |SELECT rep.cluster, rep.doc_id AS rep_doc, s.n_docs,
+         |  rep.n_chars AS rep_score
+         |FROM rep JOIN s USING (cluster) ORDER BY cluster""".stripMargin,
+
+    // Run-length state history: lag flags changes, a ROWS-framed running
+    // sum numbers runs (ROWS on BOTH sides — DuckDB's default RANGE
+    // frame would merge tied timestamps), lead closes each interval.
+    "q121_change_intervals" ->
+      """WITH b AS (SELECT user_id AS key, event_type AS state, ts
+        |  FROM events),
+        |g AS (SELECT key, state, ts, lag(state) OVER (PARTITION BY key
+        |    ORDER BY ts, state) AS prev FROM b),
+        |r AS (SELECT key, state, ts,
+        |    sum(CASE WHEN prev IS NULL OR prev <> state THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY key ORDER BY ts, state
+        |        ROWS UNBOUNDED PRECEDING) AS run FROM g),
+        |i AS (SELECT key, state, run, min(ts) AS valid_from,
+        |    count(*) AS n_obs FROM r GROUP BY key, state, run),
+        |f AS (SELECT key, state, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY key ORDER BY run)
+        |      AS valid_to, n_obs FROM i)
+        |SELECT key, state, valid_from, valid_to, n_obs FROM f
+        |ORDER BY key, valid_from, state""".stripMargin,
+
+    // Non-binding capacity ⇒ MG counts are exact ⇒ the oracle is the
+    // plain per-source token census, top-K by (count DESC, token).
+    "q122_heavy_hitters" -> {
+      val tok = LlmQueries.tokSql
+      s"""WITH t AS (SELECT source, unnest($tok) AS w FROM documents),
+         |c AS (SELECT source, w, count(*) AS n FROM t GROUP BY source, w),
+         |r AS (SELECT source, w, n, row_number() OVER (PARTITION BY source
+         |    ORDER BY n DESC, w) AS rk FROM c)
+         |SELECT source, CAST(rk AS INTEGER) AS rank, w AS item,
+         |  n AS count_lower
+         |FROM r WHERE rk <= $HeavyTopK ORDER BY source, rank""".stripMargin
+    },
+
+    // Unrolled 2-round Lloyd: micro-integer distances (sequential L2
+    // fold, same order as Spark's aggregate), micro-integer centroid
+    // means, argmin ties to the smallest cid.
+    "q123_kmeans" -> {
+      val ids = KmInitIds.mkString("(", ", ", ")")
+      def d2m(c: String) =
+        s"""CAST(round(list_reduce(list_prepend(0.0,
+           |      list_transform(range(len(e.v)), j ->
+           |        (e.v[j+1] - $c.cv[j+1]) * (e.v[j+1] - $c.cv[j+1]))),
+           |      (a, b) -> a + b) * 1000000.0) AS BIGINT)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN $ids),
+         |s1 AS (SELECT e.vec_id, e.v, c0.cid, ${d2m("c0")} AS d2m
+         |  FROM e, c0),
+         |a1 AS (SELECT vec_id, v, cid AS cell FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2m, cid)
+         |      AS rn FROM s1) WHERE rn = 1),
+         |px AS (SELECT cell, r.pos AS pos, r.x AS x FROM (SELECT cell,
+         |    unnest(list_transform(range(len(v)), j ->
+         |      struct_pack(pos := j, x := v[j+1]))) AS r FROM a1)),
+         |cm AS (SELECT cell, pos,
+         |    sum(CAST(round(x * 1000000.0) AS BIGINT))::DOUBLE
+         |      / count(*) / 1000000.0 AS m
+         |  FROM px GROUP BY cell, pos),
+         |c1 AS (SELECT cell AS cid, list(m ORDER BY pos) AS cv
+         |  FROM cm GROUP BY cell),
+         |s2 AS (SELECT e.vec_id, c1.cid, ${d2m("c1")} AS d2m
+         |  FROM e, c1),
+         |a2 AS (SELECT vec_id, cid AS cell, d2m FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2m, cid)
+         |      AS rn FROM s2) WHERE rn = 1)
+         |SELECT cell, count(*) AS n_vecs,
+         |  CAST(sum(d2m) AS BIGINT) AS inertia_micro
+         |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin
+    })
 }

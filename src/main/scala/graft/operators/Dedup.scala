@@ -479,6 +479,42 @@ object Dedup {
     connectedComponents(pairs)
       .groupBy("cluster").agg(count(lit(1)).as("n_docs"))
 
+  /** Quality-based cluster representative selection: per near-dup
+    * cluster keep the doc with the HIGHEST `scoreCol` (min doc_id on
+    * ties) instead of [[connectedComponents]]' min-id default — "keep
+    * the most complete version", the choice real pipelines make when
+    * near-dups differ by truncation or boilerplate stripping.
+    *
+    * Returns `(cluster, rep_doc, n_docs, rep_score)` for every cluster
+    * of size ≥ 2. Docs in no pair are their own survivors and don't
+    * appear (callers anti-join the non-representatives away, exactly as
+    * with the min-id convention).
+    *
+    * Shape: the component relation (pair-participating docs only — far
+    * smaller than the corpus) joins doc scores once, then ONE window
+    * ranked by (score DESC, doc_id) inside each cluster picks the rep
+    * while the same partition feeds the size count — a single
+    * cluster-keyed shuffle after CC.
+    */
+  def keepRepresentative(docs: DataFrame, pairs: DataFrame,
+      scoreCol: String, idCol: String = "doc_id"): DataFrame = {
+    val cc = connectedComponents(pairs)
+    val scored = cc.join(
+      docs.select(col(idCol).as("doc_id"), col(scoreCol).as("__score")),
+      Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster")
+      .orderBy(col("__score").desc, col("doc_id").asc)
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_docs",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster")))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col("doc_id").as("rep_doc"),
+        col("n_docs"), col("__score").as("rep_score"))
+  }
+
   // -------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------

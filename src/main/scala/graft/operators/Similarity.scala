@@ -197,6 +197,65 @@ object Similarity {
     centroids
   }
 
+  /** Oracle-exact k-means (the hash-pinnable twin of [[ivfTrain]]):
+    * Lloyd rounds where every cross-engine hazard is removed —
+    * distances are sequential L2 folds (identical fold order to DuckDB's
+    * `list_reduce`), per-vector distances collapse to MICRO-integers
+    * before any aggregate (integer sums are combine-order-independent),
+    * and centroid means divide micro-integer sums (one double division,
+    * same association both engines). Assignment ties break to the
+    * smallest centroid id on the micro distance.
+    *
+    * Returns the final-assignment census: `(cell, n_vecs,
+    * inertia_micro)` — cluster sizes and the summed micro-L2² cost, the
+    * convergence diagnostic a training loop monitors.
+    *
+    * Scale shape per round: ONE corpus scan + K-row broadcast for
+    * assignment (max_by partial aggregation, never a corpus×K shuffle),
+    * one (cell, dim)-keyed mean whose exchange carries #cells × dim
+    * rows after partial agg, and a K-row driver materialization
+    * (documented safe — K × dim doubles).
+    */
+  def kmeansReport(embeddings: DataFrame, initIds: Seq[Long], rounds: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rounds >= 1, "need at least one assignment round")
+    val spark = embeddings.sparkSession
+    val corpus = graft.util.Parallelism.ensure(embeddings)
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    var centroids = corpus.filter(col("vec_id").isin(initIds: _*))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    def assign(cs: DataFrame): DataFrame = {
+      val d2 = aggregate(zip_with(col("v"), col("cv"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, t) => acc + t)
+      corpus.crossJoin(broadcast(cs))
+        .select(col("vec_id"), col("v"), col("cid"),
+          round(d2 * 1000000.0).cast("long").as("d2_micro"))
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("v"), col("cid"), col("d2_micro")),
+          struct(col("d2_micro"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.v").as("v"),
+          col("m.cid").as("cell"), col("m.d2_micro").as("d2_micro"))
+    }
+    for (_ <- 1 until rounds) {
+      val next = assign(centroids)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg((sum(round(col("x") * 1000000.0).cast("long")).cast("double")
+          / count(lit(1)) / 1000000.0).as("m"))
+        .groupBy("cell").agg(
+          array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("cid"),
+          transform(col("pm"), s => s.getField("m")).as("cv"))
+      centroids = spark.createDataFrame(
+        java.util.Arrays.asList(next.collect(): _*), next.schema)
+    }
+    assign(centroids)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("d2_micro").as("inertia_micro"))
+      .orderBy("cell")
+  }
+
   /** IVF top-k ANN: assign every vector to its nearest centroid's cell
     * (one scan + broadcast of K centroids), then brute-force rank within
     * the `nprobe` cells nearest each QUERY. At scale the per-cell join

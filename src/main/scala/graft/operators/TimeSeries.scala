@@ -132,4 +132,44 @@ object TimeSeries {
           .as("retention_bp"))
       .orderBy("cohort_day", "period")
   }
+
+  /** SCD2-style change intervals: collapse a keyed event/snapshot stream
+    * into state-validity runs — for each key, consecutive observations
+    * of the SAME state merge into one `(key, state, valid_from,
+    * valid_to, n_obs)` interval, `valid_to` null for the current (open)
+    * run. The slowly-changing-dimension history builder every warehouse
+    * pipeline carries, built from the raw stream instead of a merge
+    * loop.
+    *
+    * Shape: ONE shuffle, ONE sort (plan-gated). Every window — lag,
+    * row_number, the per-key total count, and the leads over the
+    * filtered change rows — shares the (key | ts, state) partitioning
+    * and ordering, and run aggregation is ARITHMETIC, not a groupBy:
+    * a run's observation count is the row-number gap to the next change
+    * row, so no (key, run)-keyed exchange ever happens. Ties on ts
+    * break by the state value so runs are deterministic under duplicate
+    * timestamps.
+    */
+  def changeIntervals(df: DataFrame, keyCol: String, stateCol: String,
+      tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy("key")
+      .orderBy(col("ts").asc, col("state").asc)
+    val marked = df
+      .select(col(keyCol).as("key"), col(stateCol).as("state"),
+        col(tsCol).as("ts"))
+      .withColumn("__prev", lag("state", 1).over(byKey))
+      .withColumn("__rn", row_number().over(byKey))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("key")))
+    // change rows carry their run's start; the next change row (same
+    // partitioning + ordering — the filter preserves both) closes it
+    marked
+      .filter(col("__prev").isNull || col("__prev") =!= col("state"))
+      .withColumn("valid_to", lead("ts", 1).over(byKey))
+      .withColumn("n_obs",
+        coalesce(lead("__rn", 1).over(byKey) - col("__rn"),
+          col("__n") - col("__rn") + 1L))
+      .select(col("key"), col("state"), col("ts").as("valid_from"),
+        col("valid_to"), col("n_obs"))
+  }
 }

@@ -94,4 +94,109 @@ class Round6Spec extends AnyFunSuite {
         s"$q: stop-shingle anti-join not broadcast:\n$p")
     }
   }
+
+  test("MisraGries: exact when capacity ≥ distinct; MG bounds when it binds") {
+    import graft.functions.MisraGries.misraGries
+    import graft.operators.TextOps
+    val toks = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+    val truth = toks.groupBy("w").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = truth.values.sum
+    def summary(cap: Int): Seq[(String, Long)] =
+      toks.agg(misraGries(col("w"), cap).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item"), col("e.count_lower")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // capacity ≥ distinct (31 in the fixture): EXACT — sorted equality
+    val exact = summary(64)
+    assert(exact.toMap == truth, "non-binding capacity must be exact")
+    assert(exact == exact.sortBy { case (w, c) => (-c, w) }, "output unsorted")
+    // capacity 8 < 31: classic Misra-Gries bounds
+    val cap = 8
+    val mg = summary(cap).toMap
+    assert(mg.size <= cap)
+    val eps = n.toDouble / (cap + 1)
+    mg.foreach { case (w, c) =>
+      assert(c <= truth(w), s"count_lower above truth for $w")
+      assert(truth(w) - c <= eps, s"error above n/(cap+1) for $w")
+    }
+    truth.foreach { case (w, c) =>
+      if (c > eps) assert(mg.contains(w), s"heavy item $w missing (n=$c > $eps)")
+    }
+  }
+
+  test("keepRepresentative: rep is the max-score member; sizes partition clusters") {
+    import graft.operators.Dedup
+    val pairs = Dedup.minhashNearDups(docs)
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val chars = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reps = Dedup.keepRepresentative(docs, pairs, "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(reps.nonEmpty)
+    val members = cc.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(reps.map(_._1).toSet == members.keySet, "one rep per cluster")
+    reps.foreach { case (cl, rep, sz, score) =>
+      val m = members(cl)
+      assert(m.contains(rep) && sz == m.size && score == chars(rep))
+      val best = m.map(id => (-chars(id), id)).min._2
+      assert(rep == best, s"cluster $cl rep $rep != max-score member $best")
+    }
+    graft.util.Caches.releaseAll()
+  }
+
+  test("changeIntervals: runs, ties, open-run null, n_obs arithmetic") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00")),
+      (1L, "a", ts("2024-01-01 11:00:00")),
+      (1L, "b", ts("2024-01-01 12:00:00")),
+      (1L, "a", ts("2024-01-01 13:00:00")),
+      // key 2: duplicate timestamp with two states — (ts, state) order
+      (2L, "y", ts("2024-01-01 10:00:00")),
+      (2L, "x", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.operators.TimeSeries
+      .changeIntervals(df, "user_id", "event_type", "ts")
+      .orderBy("key", "valid_from", "state").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", ts("2024-01-01 10:00:00"), Some(ts("2024-01-01 12:00:00")), 2L),
+      (1L, "b", ts("2024-01-01 12:00:00"), Some(ts("2024-01-01 13:00:00")), 1L),
+      (1L, "a", ts("2024-01-01 13:00:00"), None, 1L),
+      (2L, "x", ts("2024-01-01 10:00:00"), Some(ts("2024-01-01 10:00:00")), 1L),
+      (2L, "y", ts("2024-01-01 10:00:00"), None, 1L)))
+  }
+
+  test("q121: one exchange, one sort (window-arithmetic run aggregation)") {
+    val p = SparkEntry.queries("q121_change_intervals")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the final orderBy adds a rangepartitioning exchange + sort; the
+    // operator itself must contribute exactly ONE hash exchange and ONE
+    // key sort
+    assert("Exchange hashpartitioning\\(key".r.findAllIn(p).size == 1,
+      s"expected exactly 1 key shuffle:\n$p")
+    val belowOrder = p.split("rangepartitioning").last
+    assert("\\bSort \\[key".r.findAllIn(belowOrder).size == 1,
+      s"expected exactly 1 key sort under the windows:\n$p")
+  }
+
+  test("kmeansReport: census partitions the corpus; inertia falls across rounds") {
+    import graft.operators.Similarity
+    val e = Tables.load(spark, sf, "embeddings")
+    val r1 = Similarity.kmeansReport(e, Round6Queries.KmInitIds, 1).collect()
+    val r2 = Similarity.kmeansReport(e, Round6Queries.KmInitIds, 2).collect()
+    val total = e.count()
+    for (r <- Seq(r1, r2)) {
+      assert(r.map(_.getLong(1)).sum == total, "cells must partition the corpus")
+      assert(r.map(_.getLong(0)).toSet.subsetOf(
+        Round6Queries.KmInitIds.toSet), "cells keyed by init centroid ids")
+    }
+    val i1 = r1.map(_.getLong(2)).sum
+    val i2 = r2.map(_.getLong(2)).sum
+    assert(i2 < i1, s"Lloyd round must not increase inertia: $i1 -> $i2")
+  }
 }
