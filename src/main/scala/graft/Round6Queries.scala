@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusStats, Dedup, Multimodal, Similarity,
-  TextOps, TimeSeries}
+import graft.operators.{Attribution, CorpusStats, Dedup, Multimodal,
+  Rendezvous, Similarity, Standardize, TextOps, TimeSeries}
 
 /** Round-6 additions: the stop-shingle skew caps, oracled where they
   * BIND (the q61a pattern — a deliberately tight cap at the gate SF
@@ -123,7 +123,34 @@ object Round6Queries {
     // final (cell, n_vecs, inertia_micro) — the convergence diagnostic.
     "q123_kmeans" -> ((s, dir) =>
       Similarity.kmeansReport(Tables.load(s, dir, "embeddings"),
-        KmInitIds, KmRounds)))
+        KmInitIds, KmRounds)),
+
+    // Rendezvous (minimal-movement) sharding census: argmax-weight
+    // shard as a scan-stage array fold — no explode, no shuffle before
+    // the rollup. Stability under resize is spec-pinned.
+    "q124_rendezvous" -> ((s, dir) =>
+      Rendezvous.shardReport(docs(s, dir), RendezvousShards)),
+
+    // Leave-one-out target encoding (leakage-safe categorical mean):
+    // G-row stat broadcast + scan-stage arithmetic, zero data shuffles.
+    "q125_target_encoding" -> ((s, dir) =>
+      Standardize.looTargetEncode(Tables.load(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice")
+        .select("o_orderkey", "o_orderpriority", "loo_mean")
+        .orderBy("o_orderkey")),
+
+    // Linear multi-touch attribution: each purchase's value split
+    // equally (integer micro-quotients) across the user's clicks in the
+    // preceding 2 h; per-click credit totals.
+    "q126_attribution" -> ((s, dir) =>
+      Attribution.linearCredits(Tables.load(s, dir, "events"),
+        AttrWindowSeconds)))
+
+  /** q124 geometry (resize spec grows it by one). */
+  val RendezvousShards = 8
+
+  /** q126's attribution window (2 h, matching the q63 convention). */
+  val AttrWindowSeconds = 7200L
 
   val oracleSql: Map[String, String] = Map(
     "q97a_containment_capped" -> {
@@ -282,5 +309,57 @@ object Round6Queries {
          |SELECT cell, count(*) AS n_vecs,
          |  CAST(sum(d2m) AS BIGINT) AS inertia_micro
          |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin
-    })
+    },
+
+    // Highest-random-weight argmax per doc, unrolled as a cross join +
+    // rank (the Spark side folds the same weights scan-stage).
+    "q124_rendezvous" -> {
+      val m = graft.operators.Sampling.HashMod
+      s"""WITH s AS (SELECT range AS s FROM range($RendezvousShards)),
+         |h AS (SELECT d.doc_id, s.s,
+         |    ((d.doc_id % $m) * 2654435761 + 11) % $m
+         |      * ((2654435761 + s.s * 97003) % $m) % $m AS h
+         |  FROM documents d, s),
+         |a AS (SELECT doc_id, s AS shard FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s)
+         |      AS rn FROM h) WHERE rn = 1)
+         |SELECT CAST(shard AS INTEGER) AS shard, count(*) AS n_docs,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+    },
+
+    // LOO mean: micro-integer group sums, (sum − own)/(n−1)/10⁶ with
+    // the same division association as the Spark side.
+    "q125_target_encoding" ->
+      """WITH v AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(round(o_totalprice * 1000000.0) AS BIGINT) AS vm
+        |  FROM orders),
+        |s AS (SELECT o_orderpriority, CAST(sum(vm) AS BIGINT) AS sm,
+        |    count(*) AS n FROM v GROUP BY o_orderpriority)
+        |SELECT v.o_orderkey, v.o_orderpriority,
+        |  CASE WHEN s.n > 1 THEN
+        |    round(((s.sm - v.vm)::DOUBLE / (s.n - 1)) / 1000000.0, 6)
+        |  END AS loo_mean
+        |FROM v JOIN s USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Pairing window [purchase − 2 h, purchase); per-purchase touch
+    // count as a window over the pair relation; integer micro-quotients.
+    "q126_attribution" ->
+      s"""WITH p AS (SELECT user_id, event_id AS p_event,
+         |    CAST(round(value * 1000000.0) AS BIGINT) AS vm,
+         |    CAST(floor(epoch(ts)) AS BIGINT) - $AttrWindowSeconds AS lo,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS hi
+         |  FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, event_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS v
+         |  FROM events WHERE event_type = 'click'),
+         |j AS (SELECT c.event_id, p.p_event, p.vm
+         |  FROM p JOIN c ON p.user_id = c.user_id
+         |    AND c.v >= p.lo AND c.v < p.hi),
+         |n AS (SELECT *, count(*) OVER (PARTITION BY p_event) AS np
+         |  FROM j)
+         |SELECT event_id, count(*) AS n_purchases,
+         |  CAST(sum(vm // np) AS BIGINT) AS credit_micro
+         |FROM n GROUP BY event_id ORDER BY event_id""".stripMargin)
 }

@@ -56,7 +56,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => ArrayJaccard(args.head, args(1))),
     ("graft_array_dot",
       info("graft_array_dot", "graft_array_dot(a, b) - dot product of double arrays"),
-      (args: Seq[Expression]) => ArrayDot(args.head, args(1))))
+      (args: Seq[Expression]) => ArrayDot(args.head, args(1))),
+    // aggregates: the analyzer wraps a registered AggregateFunction in
+    // its AggregateExpression automatically, so these compose with
+    // GROUP BY / FILTER like any built-in
+    ("graft_misra_gries",
+      info("graft_misra_gries", "graft_misra_gries(item, capacity) - one-pass bounded-memory heavy hitters; array<struct<item, count_lower>> by (count DESC, item)"),
+      (args: Seq[Expression]) =>
+        MisraGries(args.head, long(args(1), "capacity").toInt)),
+    ("graft_topk_by",
+      info("graft_topk_by", "graft_topk_by(struct, k) - exact per-group top-k structs, descending, bounded-heap aggregate"),
+      (args: Seq[Expression]) =>
+        TopKBy(args.head, long(args(1), "k").toInt)))
 
   /** Register the function set on a live session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -44,4 +44,34 @@ object Standardize {
           round((v - col("__mu")) / col("__sigma"), 4)))
       .drop("__g", "__mu", "__sigma")
   }
+
+  /** Leave-one-out target encoding: append, per row, the mean of
+    * `valCol` over the row's `catCol` group EXCLUDING the row itself —
+    * the leakage-safe categorical encoding (the naive group mean leaks
+    * each row's own target into its feature; LOO is the standard fix
+    * when an explicit fold split isn't in play). Singleton groups yield
+    * NULL (no peers to average).
+    *
+    * Determinism: values collapse to MICRO-integers before the group
+    * sum (integer aggregate — combine-order-free), and the LOO mean is
+    * `(sum_micro − own_micro) / (n − 1) / 10⁶` rounded to 6 dp, the
+    * same association both engines.
+    *
+    * Scale shape: the zScore pattern exactly — one stat aggregate to a
+    * G-row relation, re-entering as a BROADCAST join; the encoding is
+    * scan-stage arithmetic. No window over the data rows, no shuffle.
+    */
+  def looTargetEncode(df: DataFrame, catCol: String, valCol: String,
+      encCol: String = "loo_mean"): DataFrame = {
+    val vm = round(col(valCol) * 1000000.0).cast("long")
+    val stats = df.groupBy(col(catCol).as("__g"))
+      .agg(sum(round(col(valCol) * 1000000.0).cast("long")).as("__sm"),
+        count(lit(1)).as("__n"))
+    df.join(broadcast(stats), col(catCol) === col("__g"))
+      .withColumn(encCol,
+        when(col("__n") > 1,
+          round((col("__sm") - vm).cast("double") / (col("__n") - 1)
+            / 1000000.0, 6)))
+      .drop("__g", "__sm", "__n")
+  }
 }

@@ -184,6 +184,89 @@ class Round6Spec extends AnyFunSuite {
       s"expected exactly 1 key sort under the windows:\n$p")
   }
 
+  test("Rendezvous: minimal movement on resize; no empty shard at fixture scale") {
+    import graft.operators.Rendezvous
+    val s8 = Rendezvous.assignShards(docs, 8).select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val s9 = Rendezvous.assignShards(docs, 9).select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // THE rendezvous law: a doc either keeps its shard or moves to the
+    // NEW one — never between two old shards
+    s8.foreach { case (d, sh) =>
+      assert(s9(d) == sh || s9(d) == 8,
+        s"doc $d moved between old shards: $sh -> ${s9(d)}")
+    }
+    val moved = s8.count { case (d, sh) => s9(d) != sh }
+    // expected n/9 ≈ 56; generous band to stay non-flaky but binding
+    assert(moved > 0 && moved < s8.size / 3, s"movement off-profile: $moved")
+    assert((0 until 8).forall(sh => s8.values.exists(_ == sh)),
+      "an empty shard at 500 docs signals a degenerate weight")
+    // scan-stage argmax mirrors the closed-form weight
+    val d0 = s8.keysIterator.next()
+    val expect = (0 until 8).maxBy(s => (Rendezvous.weight(d0, s), -s))
+    assert(s8(d0) == expect)
+  }
+
+  test("looTargetEncode: hand toy — LOO means, singleton NULL") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 6.0), ("b", 5.0))
+      .toDF("cat", "v")
+    val got = graft.operators.Standardize.looTargetEncode(df, "cat", "v")
+      .select("cat", "v", "loo_mean").collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got == Set(
+      ("a", 1.0, Some(4.0)),  // (2+6)/2
+      ("a", 2.0, Some(3.5)),  // (1+6)/2
+      ("a", 6.0, Some(1.5)),  // (1+2)/2
+      ("b", 5.0, None)))      // no peers
+  }
+
+  test("linearCredits: hand toy — equal split, truncated micro-quotient") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // two clicks inside the window, one outside, one AT purchase ts
+      (1L, ts("2024-01-01 09:00:00"), 7L, "click", 0.0),
+      (2L, ts("2024-01-01 09:30:00"), 7L, "click", 0.0),
+      (3L, ts("2024-01-01 07:59:59"), 7L, "click", 0.0),
+      (4L, ts("2024-01-01 10:00:00"), 7L, "click", 0.0),
+      (5L, ts("2024-01-01 10:00:00"), 7L, "purchase", 10.000001),
+      // other user: no clicks -> purchase attributes nothing
+      (6L, ts("2024-01-01 10:00:00"), 8L, "purchase", 99.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.Attribution.linearCredits(ev, 7200L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // value 10.000001 -> 10000001 micro; 2 clicks -> 5000000 each,
+    // remainder 1 dropped; click at exactly purchase ts is OUT ([lo, hi))
+    assert(got == Set((1L, 1L, 5000000L), (2L, 1L, 5000000L)))
+  }
+
+  test("SQL surface: graft_misra_gries and graft_topk_by resolve and agree") {
+    graft.functions.GraftExtensions.register(spark)
+    docs.createOrReplaceTempView("r6docs")
+    val sql = spark.sql(
+      s"""SELECT source, graft_misra_gries(w, 64) AS hh FROM (
+         |  SELECT source, explode(graft_tokens(text)) AS w FROM r6docs)
+         |GROUP BY source""".stripMargin)
+      .select(col("source"), explode(col("hh")).as("e"))
+      .select("source", "e.item", "e.count_lower").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val api = docs
+      .select(col("source"),
+        explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
+      .groupBy("source")
+      .agg(graft.functions.MisraGries.misraGries(col("w"), 64).as("hh"))
+      .select(col("source"), explode(col("hh")).as("e"))
+      .select("source", "e.item", "e.count_lower").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(sql == api && sql.nonEmpty)
+    val topk = spark.sql(
+      """SELECT graft_topk_by(struct(n_chars, doc_id), 3) AS t
+        |FROM r6docs""".stripMargin).collect()
+    assert(topk.head.getSeq[org.apache.spark.sql.Row](0).size == 3)
+  }
+
   test("kmeansReport: census partitions the corpus; inertia falls across rounds") {
     import graft.operators.Similarity
     val e = Tables.load(spark, sf, "embeddings")
