@@ -394,6 +394,92 @@ object StreamingOps {
     * buckets (the full-outer below) is exact — no grid completion.
     * Groups with an empty side are skipped, mirroring the batch report.
     */
+  /** Streaming windowed heavy hitters: the continuous form of q122's
+    * [[graft.functions.MisraGries]] census — per (event-time window,
+    * group), the bounded-memory top-token summary, emitted when the
+    * watermark closes the window. The MG aggregate composes with
+    * Spark's streaming partial/merge aggregation exactly like any
+    * built-in (that is the point of implementing it as a
+    * TypedImperativeAggregate): per-batch partials hold ≤ capacity
+    * counters per open window, and the error bounds compose across
+    * merges. With capacity ≥ the window's distinct items the summary is
+    * exact — the spec's batch-equivalence condition.
+    */
+  def heavyHittersStream(docs: DataFrame, windowLen: String,
+      watermarkDelay: String, capacity: Int, tsCol: String = "ts",
+      groupCol: String = "source", textCol: String = "text"): DataFrame =
+    docs.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), col(groupCol).as("g"),
+        explode(graft.operators.TextOps.tokens(col(textCol))).as("w"))
+      .groupBy(window(col(tsCol), windowLen), col("g"))
+      .agg(graft.functions.MisraGries.misraGries(col("w"), capacity)
+        .as("hh"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("g"), col("hh"))
+
+  /** One keyed observation of [[changeIntervalsStream]]. */
+  final case class RunEvent(key: Long, state: String,
+      ts: java.sql.Timestamp)
+
+  /** The open run carried per key. */
+  final case class RunCarry(state: String, fromMillis: Long, nObs: Long)
+
+  /** One CLOSED state-validity interval. */
+  final case class ClosedRun(key: Long, state: String,
+      valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp,
+      n_obs: Long)
+
+  /** Streaming SCD2: the continuous form of
+    * [[graft.operators.TimeSeries.changeIntervals]] — per key, runs of
+    * the same state collapse into validity intervals; an interval is
+    * emitted the moment its run CLOSES (a different state arrives for
+    * the key). The still-open run per key is exactly the state carried
+    * by `flatMapGroupsWithState`, so output matches the batch
+    * operator's closed (valid_to non-null) rows on a drained stream;
+    * the batch form's open-interval rows are precisely what remains in
+    * state.
+    *
+    * Ordering: rows are processed in (ts, state) order WITHIN a batch
+    * (micro-batch disorder handled); across batches arrival order is
+    * history — a row arriving late enough to land before the open run's
+    * start cannot rewrite emitted intervals (emit-once; bound lateness
+    * upstream with the watermark, as [[funnelStream]] documents).
+    */
+  def changeIntervalsStream(events: DataFrame, watermarkDelay: String,
+      keyCol: String = "user_id", stateCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).cast("long").as("key"),
+        col(stateCol).cast("string").as("state"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .as[RunEvent]
+    typed.groupByKey(_.key)
+      .flatMapGroupsWithState[RunCarry, ClosedRun](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[RunEvent], st: GroupState[RunCarry]) =>
+          val out = Seq.newBuilder[ClosedRun]
+          var carry = st.getOption
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.state))
+          sorted.foreach { e =>
+            carry match {
+              case Some(c) if c.state == e.state =>
+                carry = Some(c.copy(nObs = c.nObs + 1))
+              case Some(c) =>
+                out += ClosedRun(key, c.state,
+                  new java.sql.Timestamp(c.fromMillis), e.ts, c.nObs)
+                carry = Some(RunCarry(e.state, e.ts.getTime, 1L))
+              case None =>
+                carry = Some(RunCarry(e.state, e.ts.getTime, 1L))
+            }
+          }
+          carry.foreach(st.update)
+          out.result().iterator
+      }.toDF()
+  }
+
   def psiFromCounts(hist: DataFrame, refHist: DataFrame,
       nBins: Int): DataFrame = {
     // replicate the reference histogram across each emitted (window, g)

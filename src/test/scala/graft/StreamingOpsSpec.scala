@@ -414,6 +414,81 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters on a drained window equal the batch MG census") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val all = d.select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => SrcDoc(r.getLong(0), r.getString(1),
+        r.getString(2), ts("2024-01-01 00:30:00"))).toSeq
+    val input = MemoryStream[SrcDoc]
+    val out = StreamingOps.heavyHittersStream(
+      input.toDS().toDF(), "1 hour", "10 minutes", capacity = 64)
+    val name = "hh_stream_" + System.nanoTime()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(all)
+      q.processAllAvailable()
+      input.addData(SrcDoc(-1, "zz", "closer", ts("2030-01-01 00:00:00")))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .filter(col("window_start") === ts("2024-01-01 00:00:00"))
+        .select(col("g"), explode(col("hh")).as("e"))
+        .select("g", "e.item", "e.count_lower").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val expect = d
+        .select(col("source").as("g"),
+          explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
+        .groupBy("g", "w").agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == expect && got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming change intervals: closed runs match batch; open runs stay in state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[RawEv]
+    val out = StreamingOps.changeIntervalsStream(
+      input.toDS().toDF(), "1 hour")
+    val name = "scd2_stream_" + System.nanoTime()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: user 1 run of 'a' (2 obs)
+      input.addData(
+        RawEv(1, ts("2024-01-01 10:00:00"), "a", 1, 0.0),
+        RawEv(1, ts("2024-01-01 11:00:00"), "a", 2, 0.0))
+      q.processAllAvailable()
+      assert(spark.table(name).isEmpty, "open run must not emit")
+      // batch 2: 'b' closes the 'a' run (carried across batches)
+      input.addData(RawEv(1, ts("2024-01-01 12:00:00"), "b", 3, 0.0))
+      q.processAllAvailable()
+      // batch 3: 'a' again closes 'b'
+      input.addData(RawEv(1, ts("2024-01-01 13:00:00"), "a", 4, 0.0))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select("key", "state", "valid_from", "valid_to", "n_obs")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
+      val batch = graft.operators.TimeSeries.changeIntervals(
+        Seq((1L, "a", ts("2024-01-01 10:00:00")),
+          (1L, "a", ts("2024-01-01 11:00:00")),
+          (1L, "b", ts("2024-01-01 12:00:00")),
+          (1L, "a", ts("2024-01-01 13:00:00")))
+          .toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts")
+        .filter(col("valid_to").isNotNull)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
+      assert(got == batch && got.size == 2,
+        s"stream $got != batch closed $batch")
+    } finally q.stop()
+  }
+
   test("streaming DAU: same-day re-activity beyond the watermark delay counts ONCE") {
     // the dropDuplicatesWithinWatermark formulation failed exactly this:
     // its dedup state evicts `delay` after each arrival, so a user active
