@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Attribution, CorpusStats, Dedup, Multimodal,
-  Rendezvous, Similarity, Standardize, TextOps, TimeSeries}
+import graft.operators.{Attribution, CorpusStats, Dedup, Layout,
+  Multimodal, Rendezvous, Similarity, Standardize, TextOps, TimeSeries,
+  Transitions}
 
 /** Round-6 additions: the stop-shingle skew caps, oracled where they
   * BIND (the q61a pattern — a deliberately tight cap at the gate SF
@@ -144,7 +145,25 @@ object Round6Queries {
     // preceding 2 h; per-click credit totals.
     "q126_attribution" -> ((s, dir) =>
       Attribution.linearCredits(Tables.load(s, dir, "events"),
-        AttrWindowSeconds)))
+        AttrWindowSeconds)),
+
+    // Z-order layout census: Morton keys over (custkey, orderkey),
+    // bucketed by the top bits — the zone-map ranges files written in
+    // z-key order would carry. Integer quantization off ONE broadcast
+    // stat row; the interleave is a closed-form shift/mask fold.
+    "q127_zorder" -> ((s, dir) =>
+      Layout.zOrderReport(Tables.load(s, dir, "orders"),
+        Seq("o_custkey", "o_orderkey"), ZBits, ZBucketBits)),
+
+    // First-order Markov transition matrix over each user's event
+    // timeline: counts + P(to | from), state-domain stat rows only.
+    "q128_transitions" -> ((s, dir) =>
+      Transitions.transitionMatrix(Tables.load(s, dir, "events"),
+        "user_id", "event_type")))
+
+  /** q127 geometry: 8 bits/dim × 2 dims, 4 bucket bits = 16 buckets. */
+  val ZBits = 8
+  val ZBucketBits = 4
 
   /** q124 geometry (resize spec grows it by one). */
   val RendezvousShards = 8
@@ -361,5 +380,45 @@ object Round6Queries {
          |  FROM j)
          |SELECT event_id, count(*) AS n_purchases,
          |  CAST(sum(vm // np) AS BIGINT) AS credit_micro
-         |FROM n GROUP BY event_id ORDER BY event_id""".stripMargin)
+         |FROM n GROUP BY event_id ORDER BY event_id""".stripMargin,
+
+    // Same quantization + bit-interleave, generated as a literal OR
+    // chain (DuckDB's integer &, |, <<, >> match Spark's long ops;
+    // non-negative quantized dims ⇒ // and integer division agree).
+    "q127_zorder" -> {
+      val maxQ = (1L << ZBits) - 1
+      def q(c: String) =
+        s"(($c - mn_$c) * $maxQ // greatest(mx_$c - mn_$c, 1))"
+      val inter = (0 until ZBits).flatMap { b =>
+        Seq(s"(((q0 >> $b) & 1) << ${b * 2})",
+          s"(((q1 >> $b) & 1) << ${b * 2 + 1})")
+      }.mkString(" | ")
+      val shift = ZBits * 2 - ZBucketBits
+      s"""WITH st AS (SELECT min(o_custkey) AS mn_o_custkey,
+         |    max(o_custkey) AS mx_o_custkey,
+         |    min(o_orderkey) AS mn_o_orderkey,
+         |    max(o_orderkey) AS mx_o_orderkey FROM orders),
+         |qd AS (SELECT o_custkey, o_orderkey,
+         |    ${q("o_custkey")} AS q0, ${q("o_orderkey")} AS q1
+         |  FROM orders, st),
+         |z AS (SELECT o_custkey, o_orderkey, ($inter) AS zkey FROM qd)
+         |SELECT zkey >> $shift AS bucket, count(*) AS n_rows,
+         |  min(o_custkey) AS min_o_custkey, max(o_custkey) AS max_o_custkey,
+         |  min(o_orderkey) AS min_o_orderkey, max(o_orderkey) AS max_o_orderkey
+         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
+
+    // Lag over (ts, event_id) per user → state-pair census; per-from
+    // totals as a window over the S² stat rows.
+    "q128_transitions" ->
+      """WITH g AS (SELECT user_id, event_type AS state, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_state
+        |  FROM events),
+        |c AS (SELECT from_state, state AS to_state, count(*) AS n
+        |  FROM g WHERE from_state IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT *, sum(n) OVER (PARTITION BY from_state) AS tot
+        |  FROM c)
+        |SELECT from_state, to_state, n, round(n::DOUBLE / tot, 6) AS p
+        |FROM t ORDER BY from_state, to_state""".stripMargin)
 }

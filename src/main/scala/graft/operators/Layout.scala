@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) data-layout keys: interleave the bits of several
+  * quantized columns so rows close in EVERY dimension land close in ONE
+  * sort order — the multi-column locality trick behind Delta/Iceberg's
+  * `OPTIMIZE ZORDER BY`. Files written in z-key order carry tight
+  * min/max ranges on ALL z-ordered columns simultaneously, so zone-map
+  * data skipping prunes scans for predicates on any of them; a plain
+  * lexicographic sort only ever serves its leading column.
+  *
+  * Everything is integer arithmetic on a broadcast min/max stat row —
+  * quantization is `(v − min) · (2ᵇ − 1) / range` in integer division,
+  * the interleave is a closed-form shift/mask fold — so z-keys are
+  * deterministic and the oracle mirrors them bit-for-bit.
+  */
+object Layout {
+
+  /** Interleave `bits`-wide quantized dims (dim i's bit b lands at
+    * position `b · n + i`). Pure Column fold — codegen-friendly, no UDF.
+    */
+  private def interleave(dims: Seq[Column], bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      dims.zipWithIndex.foldLeft(acc) { case (a, (d, i)) =>
+        a.bitwiseOR(
+          shiftleft(shiftright(d, b).bitwiseAND(lit(1L)), b * dims.size + i))
+      }
+    }
+
+  /** Append a `zkey` column interleaving `cols` at `bits` bits each
+    * (`bits · cols.size ≤ 62`). Min/max per column come from ONE stat
+    * aggregate broadcast back; constant columns quantize to 0.
+    */
+  def withZKey(df: DataFrame, cols: Seq[String], bits: Int = 8): DataFrame = {
+    require(cols.size >= 2, "z-order needs at least 2 columns")
+    require(bits * cols.size <= 62, "z-key must fit a signed long")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("long").as(s"__min_$c"),
+      max(col(c)).cast("long").as(s"__max_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val maxQ = (1L << bits) - 1
+    val joined = df.crossJoin(broadcast(stats))
+    val dims = cols.map { c =>
+      val lo = col(s"__min_$c")
+      val range = greatest(col(s"__max_$c") - lo, lit(1L))
+      (col(c).cast("long") - lo) * maxQ / range
+    }
+    joined
+      .withColumn("zkey", interleave(dims, bits))
+      .drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
+  }
+
+  /** Locality census: bucket rows by the TOP `bucketBits` of the z-key
+    * and report, per bucket, the count and each dimension's min/max —
+    * the zone-map a file written per bucket would carry. Tight
+    * per-bucket ranges on every column = the z-order win, spec-asserted
+    * against the global ranges.
+    */
+  def zOrderReport(df: DataFrame, cols: Seq[String], bits: Int = 8,
+      bucketBits: Int = 4): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= bits * cols.size)
+    val keyed = withZKey(df, cols, bits)
+    val shift = bits * cols.size - bucketBits
+    val aggCols = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        min(col(c)).cast("long").as(s"min_$c"),
+        max(col(c)).cast("long").as(s"max_$c")))
+    keyed
+      .withColumn("bucket", shiftright(col("zkey"), shift))
+      .groupBy("bucket")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .orderBy("bucket")
+  }
+}

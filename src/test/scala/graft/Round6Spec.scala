@@ -267,6 +267,68 @@ class Round6Spec extends AnyFunSuite {
     assert(topk.head.getSeq[org.apache.spark.sql.Row](0).size == 3)
   }
 
+  test("Layout: z-buckets localize BOTH dimensions; toy interleave is exact") {
+    import spark.implicits._
+    import graft.operators.Layout
+    // toy: quantized values ARE the raw values (min 0, max 255 present)
+    val toy = (0L to 255L).flatMap(x => Seq((x, 0L), (x, 255L)))
+      .toDF("a", "b")
+    val keyed = Layout.withZKey(toy, Seq("a", "b"), 8)
+      .select("a", "b", "zkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    keyed.foreach { case (a, b, z) =>
+      val expect = (0 until 8).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+      assert(z == expect, s"interleave($a, $b) = $z != $expect")
+    }
+    // fixture locality: average per-bucket span of EACH dim must be a
+    // small fraction of its global span (the data-skipping win)
+    val rep = SparkEntry.queries("q127_zorder")(spark, sf).collect()
+    val spans = rep.map(r => (r.getLong(3) - r.getLong(2),
+      r.getLong(5) - r.getLong(4)))
+    val globalCust = docsSpanOf("o_custkey")
+    val globalOrd = docsSpanOf("o_orderkey")
+    val avgCust = spans.map(_._1).sum.toDouble / spans.length
+    val avgOrd = spans.map(_._2).sum.toDouble / spans.length
+    assert(avgCust < globalCust / 2.0 && avgOrd < globalOrd / 2.0,
+      s"z-buckets don't localize: cust $avgCust/$globalCust ord $avgOrd/$globalOrd")
+  }
+
+  private def docsSpanOf(c: String): Double = {
+    val r = Tables.load(spark, sf, "orders")
+      .agg(min(col(c)).cast("long"), max(col(c)).cast("long")).head()
+    (r.getLong(1) - r.getLong(0)).toDouble
+  }
+
+  test("Transitions: hand toy — counts, conditional rows sum to 1, tie order") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "v", 1L),
+      (1L, ts("2024-01-01 11:00:00"), "c", 2L),
+      (1L, ts("2024-01-01 12:00:00"), "v", 3L),
+      (1L, ts("2024-01-01 13:00:00"), "c", 4L),
+      // same ts: event_id breaks the tie (5 before 6)
+      (2L, ts("2024-01-01 10:00:00"), "v", 5L),
+      (2L, ts("2024-01-01 10:00:00"), "p", 6L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val got = graft.operators.Transitions
+      .transitionMatrix(ev, "user_id", "event_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == Set(
+      ("v", "c", 2L, 0.666667), ("v", "p", 1L, 0.333333),
+      ("c", "v", 1L, 1.0)))
+    // conditional distribution check on the fixture
+    val fx = SparkEntry.queries("q128_transitions")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(3)))
+    fx.groupBy(_._1).foreach { case (from, rows) =>
+      val s = rows.map(_._2).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"P(.|$from) sums to $s")
+    }
+  }
+
   test("kmeansReport: census partitions the corpus; inertia falls across rounds") {
     import graft.operators.Similarity
     val e = Tables.load(spark, sf, "embeddings")
