@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pairwise Pearson correlation matrix over numeric columns — the
@@ -66,6 +67,44 @@ object Correlate {
       .select(explode(array(pairRows: _*)).as("p"))
       .select(col("p.col_x"), col("p.col_y"), col("p.n"), col("p.r"))
       .orderBy("col_x", "col_y")
+  }
+
+  /** Mutual information between two categorical columns — the
+    * categorical sibling of [[pearsonMatrix]] (Pearson sees nothing in
+    * nominal data; MI is the standard dependence measure for
+    * source↔language / domain↔label audits and feature selection).
+    *
+    * Shape: ONE scan to the (a, b) contingency census; marginals and the
+    * grand total ride windows over those STAT rows (|A|·|B| of them),
+    * never the data — the q128 move. Each cell's contribution
+    * (n_ab/n)·ln(n·n_ab / (n_a·n_b)) is rounded to integer NANO-nats
+    * BEFORE the total (the q87 KL convention: the Σ of integers is
+    * order-independent, so the report is hash-exact cross-engine).
+    *
+    * Output: one row per observed cell — (a, b, n_ab, contrib_nano) plus
+    * the shared `mi_nano` total (Σ over all cells, ≥ 0 up to the per-cell
+    * rounding) carried on every row.
+    */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val wa = Window.partitionBy("a")
+    val wb = Window.partitionBy("b")
+    val wAll = Window.partitionBy()
+    val contrib = round(
+      (col("n_ab").cast("double") / col("n")) *
+        log(col("n").cast("double") * col("n_ab") /
+          (col("n_a").cast("double") * col("n_b"))) * lit(1e9))
+      .cast("long")
+    cells
+      .withColumn("n_a", sum("n_ab").over(wa))
+      .withColumn("n_b", sum("n_ab").over(wb))
+      .withColumn("n", sum("n_ab").over(wAll))
+      .withColumn("contrib_nano", contrib)
+      .withColumn("mi_nano", sum("contrib_nano").over(wAll))
+      .select(col("a").as(aCol), col("b").as(bCol), col("n_ab"),
+        col("contrib_nano"), col("mi_nano"))
+      .orderBy(aCol, bCol)
   }
 
   /** Double-precision fallback on Spark's `corr` — same relation shape,

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over relation-derived graphs.
+  *
+  * Training-data curation grows graph-shaped subproblems everywhere the
+  * moment dedup/similarity evidence exists: near-dup pairs form a graph
+  * (components = dup clusters, q50), co-occurrence relations form a graph
+  * (items sharing an order / documents sharing a domain), and importance
+  * propagation over such graphs (PageRank) is the classic way to turn
+  * local link evidence into a global quality/centrality score — the same
+  * shape web-crawl curation pipelines use to pick which pages to keep.
+  * Triangle counting / clustering coefficients are the standard local
+  * density diagnostic (boilerplate families and template farms show up as
+  * abnormally dense neighborhoods).
+  *
+  * Everything here works on an EDGE RELATION, never an adjacency matrix:
+  *  - [[coOccurrenceEdges]] derives undirected edges from a (group, item)
+  *    relation with the house stop-key skew cap (a hot group of size g
+  *    fans out g²/2 pairs — the q97a/q61a hazard in graph clothing).
+  *  - [[pageRankMicro]] is rank propagation as a per-iteration
+  *    (join on src → sum by dst) — one key shuffle per round, label
+  *    relation localCheckpoint'd like [[Dedup.connectedComponents]], in
+  *    integer MICRO-rank arithmetic so results are combine-order-free and
+  *    hash-exact cross-engine (floor division only: contributions
+  *    `rank div deg`, update `150000 + (85·Σ) div 100` ≡ the damping-0.85
+  *    update with per-node unit mass 10⁶).
+  *  - [[triangleReport]] uses the degree-ordered orientation (each edge
+  *    directed from its (degree, id)-smaller endpoint), which bounds every
+  *    node's out-degree by O(√m) on any graph — the compact-forward bound
+  *    that keeps the wedge join from exploding on hubs.
+  */
+object Graph {
+
+  /** Undirected co-occurrence edges from a (group, item) relation:
+    * distinct item pairs (a < b) sharing a group, weighted by the number
+    * of shared groups.
+    *
+    * `maxGroupSize` is the stop-key cap: groups with more than `cap`
+    * distinct items are dropped BEFORE pairing (hot-set anti-join, the
+    * jaccardPairs pattern — a 10⁴-item group would contribute 5·10⁷ pair
+    * rows while signalling almost nothing pairwise-specific).
+    */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+      maxGroupSize: Option[Long] = None): DataFrame = {
+    val gi = df.select(col(groupCol).as("g"), col(itemCol).as("it")).distinct()
+    val base = maxGroupSize match {
+      case Some(cap) =>
+        val hot = gi.groupBy("g").agg(count(lit(1)).as("n"))
+          .filter(col("n") > cap).select("g")
+        gi.join(broadcast(hot), Seq("g"), "left_anti")
+      case None => gi
+    }
+    val a = base.select(col("g"), col("it").as("node_a"))
+    val b = base.select(col("g"), col("it").as("node_b"))
+    a.join(b, Seq("g"))
+      .filter(col("node_a") < col("node_b"))
+      .groupBy("node_a", "node_b")
+      .agg(count(lit(1)).as("n_groups"))
+  }
+
+  /** PageRank in integer micro-rank arithmetic over an undirected edge
+    * relation (node_a, node_b), distinct pairs.
+    *
+    * Per-node unit mass is 10⁶; each iteration every node sends
+    * `rank_micro div degree` along each incident edge and updates to
+    * `150000 + (85 · Σ incoming) div 100` — the damping-0.85 update with
+    * (1−d)·10⁶ = 150000. All arithmetic is non-negative integer floor
+    * division, so partial-aggregation order cannot perturb the result
+    * (the q123 micro-integer convention) and a fixed iteration count is
+    * exactly reproducible in unrolled SQL.
+    *
+    * Shape: the degree-annotated directed edge relation is computed once
+    * and cached; each round is ONE join (ranks are node-keyed, edges
+    * src-keyed — co-partitioned after round 1) + ONE dst-keyed sum.
+    * Ranks stay distributed across rounds: localCheckpoint truncates
+    * lineage executor-side (the connectedComponents pattern), so node
+    * count is unbounded by driver memory.
+    */
+  def pageRankMicro(edges: DataFrame, iterations: Int,
+      aCol: String = "node_a", bCol: String = "node_b"): DataFrame = {
+    val directed = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val deg = directed.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    val ed = graft.util.Caches.cached(
+      directed.join(deg.withColumnRenamed("node", "src"), Seq("src")))
+    var ranks = deg.select(col("node"), lit(1000000L).as("rank_micro"))
+      .localCheckpoint()
+    var round = 0
+    while (round < iterations) {
+      val incoming = ed.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst"), expr("rank_micro div degree").as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("c").as("s"))
+      ranks = deg.select("node")
+        .join(incoming, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank_micro"))
+        .localCheckpoint()
+      round += 1
+    }
+    deg.join(ranks, Seq("node"))
+      .select("node", "degree", "rank_micro")
+      .orderBy("node")
+  }
+
+  /** Per-node triangle census + local clustering coefficient over an
+    * undirected edge relation (node_a, node_b), distinct pairs.
+    *
+    * Edges are oriented from their (degree, id)-smaller endpoint before
+    * the wedge join — the compact-forward orientation, which bounds every
+    * out-neighborhood by O(√m) regardless of hub degree, so the wedge
+    * intermediate is Σ outdeg² = O(m^1.5) worst-case instead of Σ deg²
+    * (hub-quadratic). Each triangle materializes exactly once (a→b→c with
+    * a→c), then fans back to its three corners through a 3-row explode of
+    * a triangle-relation-sized input.
+    *
+    * Output: (node, degree, n_triangles, clustering) — clustering =
+    * 2T/(d(d−1)) rounded 6 dp, NULL for degree < 2.
+    */
+  def triangleReport(edges: DataFrame,
+      aCol: String = "node_a", bCol: String = "node_b"): DataFrame = {
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val withDeg = e
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), Seq("b"))
+    val forward = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = graft.util.Caches.cached(
+      withDeg.select(
+        when(forward, col("a")).otherwise(col("b")).as("src"),
+        when(forward, col("b")).otherwise(col("a")).as("dst")))
+    val wedges = oriented.as("x")
+      .join(oriented.as("y"), col("x.dst") === col("y.src"))
+      .select(col("x.src").as("ta"), col("x.dst").as("tb"), col("y.dst").as("tc"))
+    val tris = wedges.join(oriented.as("z"),
+      col("ta") === col("z.src") && col("tc") === col("z.dst"))
+    val perNode = tris
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          round(lit(2.0) * col("n_triangles") /
+            (col("degree").cast("double") * (col("degree") - 1)), 6)))
+      .select("node", "degree", "n_triangles", "clustering")
+      .orderBy("node")
+  }
+}

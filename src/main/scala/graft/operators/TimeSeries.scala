@@ -172,4 +172,56 @@ object TimeSeries {
       .select(col("key"), col("state"), col("ts").as("valid_from"),
         col("valid_to"), col("n_obs"))
   }
+
+  /** Per-key linear trend (OLS slope) of daily metric volume — "is this
+    * source's daily revenue growing or decaying, and how fast?", the
+    * first-derivative companion to [[rollingActivity]] and the drift
+    * family's answer for MONOTONE change (PSI/KL see distribution shape,
+    * not direction).
+    *
+    * Shape: the event log reduces FIRST to the (key, day, Σ value_micro)
+    * daily relation (one scan, map-side partials); the regression is a
+    * closed-form aggregate over those daily STAT rows — no window, no
+    * join except the 1-row broadcast bounds relation that anchors
+    * x = day − min_day (frozen global origin, the PSI bounds move, so
+    * every key's slope shares the same x scale and the integer sums stay
+    * small).
+    *
+    * Determinism: x is an exact small integer, y an exact micro-integer;
+    * n, Σx, Σy, Σx², Σxy accumulate as DECIMAL(38,0) (the pearsonMatrix
+    * convention). slope_num = n·Σxy − Σx·Σy and slope_den = n·Σx² −
+    * (Σx)² are exact integers (reported as the hash-stable core);
+    * `slope_micro_per_day` = num/den in double rounded 6 dp is the
+    * convenience view. den = 0 (single observed day) ⇒ NULL slope.
+    */
+  def trendReport(events: DataFrame, keyCol: String, tsCol: String = "ts",
+      valCol: String = "value"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily0 = events
+      .select(col(keyCol).as("key"), to_date(col(tsCol)).as("day"),
+        round(col(valCol).cast("double") * 1e6).cast("long").as("vm"))
+      .groupBy("key", "day").agg(sum("vm").as("y"))
+    val bounds = daily0.agg(min("day").as("day0"))
+    val daily = daily0.crossJoin(broadcast(bounds))
+      .withColumn("x", datediff(col("day"), col("day0")).cast("long"))
+    val stats = daily.groupBy("key").agg(
+      count(lit(1)).as("n_days"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"))
+    val n = col("n_days").cast(dec)
+    stats
+      .withColumn("slope_num",
+        (n * col("sxy") - col("sx") * col("sy")).cast("long"))
+      .withColumn("slope_den",
+        (n * col("sxx") - col("sx") * col("sx")).cast("long"))
+      .withColumn("slope_micro_per_day",
+        when(col("slope_den") > 0,
+          round(col("slope_num").cast("double") /
+            col("slope_den").cast("double"), 6)))
+      .select(col("key").as(keyCol), col("n_days"), col("slope_num"),
+        col("slope_den"), col("slope_micro_per_day"))
+      .orderBy(keyCol)
+  }
 }
