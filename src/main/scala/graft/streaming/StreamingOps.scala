@@ -480,6 +480,54 @@ object StreamingOps {
       }.toDF()
   }
 
+  final case class TransEvent(key: Long, state: String,
+      ts: java.sql.Timestamp, tie: Long)
+  final case class TransCarry(state: String)
+  final case class TransitionPair(key: Long, from_state: String,
+      to_state: String)
+
+  /** Streaming Markov transitions: the continuous form of
+    * [[graft.operators.Transitions.transitionMatrix]] — per key, each
+    * consecutive (previous state → current state) pair is emitted the
+    * moment the successor arrives. The carried state per key is ONLY the
+    * most recent state (one string), so memory is O(keys); the pair
+    * census / probability rollup is the caller's downstream aggregate,
+    * exactly as the batch operator builds it from its pair relation.
+    *
+    * On a drained stream the emitted pair multiset equals the batch
+    * operator's lag-pair relation: rows are processed in (ts, tie)
+    * order WITHIN a batch (the batch twin's ordering), and the last
+    * state carries across micro-batch boundaries. Emit-once: a row
+    * arriving out of order across batches is history (bound lateness
+    * upstream with the watermark, as [[funnelStream]] documents).
+    */
+  def transitionPairsStream(events: DataFrame, watermarkDelay: String,
+      keyCol: String = "user_id", stateCol: String = "event_type",
+      tsCol: String = "ts", tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).cast("long").as("key"),
+        col(stateCol).cast("string").as("state"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(tieCol).cast("long").as("tie"))
+      .as[TransEvent]
+    typed.groupByKey(_.key)
+      .flatMapGroupsWithState[TransCarry, TransitionPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[TransEvent], st: GroupState[TransCarry]) =>
+          val out = Seq.newBuilder[TransitionPair]
+          var carry = st.getOption
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.tie)).foreach { e =>
+            carry.foreach(c => out += TransitionPair(key, c.state, e.state))
+            carry = Some(TransCarry(e.state))
+          }
+          carry.foreach(st.update)
+          out.result().iterator
+      }.toDF()
+  }
+
   def psiFromCounts(hist: DataFrame, refHist: DataFrame,
       nBins: Int): DataFrame = {
     // replicate the reference histogram across each emitted (window, g)

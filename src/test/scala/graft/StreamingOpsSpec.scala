@@ -525,4 +525,47 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(got == Seq(2L), s"expected exactly [2] (users 1 and 2), got $got")
     } finally q.stop()
   }
+
+  test("streaming transitions: drained pair census == batch matrix counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[RawEv]
+    val out = StreamingOps.transitionPairsStream(
+      input.toDS().toDF(), "1 hour")
+    val name = "trans_stream_" + System.nanoTime()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: user 1 a->b (in-batch disorder: b arrives first in the
+      // data but sorts after by ts); user 2 lone event (no pair yet)
+      input.addData(
+        RawEv(1, ts("2024-01-01 10:30:00"), "b", 2, 0.0),
+        RawEv(1, ts("2024-01-01 10:00:00"), "a", 1, 0.0),
+        RawEv(2, ts("2024-01-01 10:00:00"), "x", 3, 0.0))
+      q.processAllAvailable()
+      // batch 2: carries close across the boundary: b->b for user 1
+      // (same-state pairs COUNT in a transition matrix), x->y for user 2
+      input.addData(
+        RawEv(1, ts("2024-01-01 11:00:00"), "b", 4, 0.0),
+        RawEv(2, ts("2024-01-01 11:00:00"), "y", 5, 0.0))
+      q.processAllAvailable()
+      val census = spark.table(name)
+        .groupBy("from_state", "to_state").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val batch = graft.operators.Transitions.transitionMatrix(
+        Seq((1L, "a", ts("2024-01-01 10:00:00"), 1L),
+          (1L, "b", ts("2024-01-01 10:30:00"), 2L),
+          (1L, "b", ts("2024-01-01 11:00:00"), 4L),
+          (2L, "x", ts("2024-01-01 10:00:00"), 3L),
+          (2L, "y", ts("2024-01-01 11:00:00"), 5L))
+          .toDF("user_id", "event_type", "ts", "event_id"),
+        "user_id", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(census == batch && census.size == 3,
+        s"stream census $census != batch $batch")
+    } finally q.stop()
+  }
 }
