@@ -554,7 +554,7 @@ object SparkEntry {
       Round5eQueries.queries ++ Round5fQueries.queries ++
       Round5gQueries.queries ++ Round5hQueries.queries ++
       Round5iQueries.queries ++ Round6Queries.queries ++
-      Round6bQueries.queries
+      Round6bQueries.queries ++ Round6cQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -566,5 +566,6 @@ object SparkEntry {
       Round5dQueries.oracleSql ++ Round5eQueries.oracleSql ++
       Round5fQueries.oracleSql ++ Round5gQueries.oracleSql ++
       Round5hQueries.oracleSql ++ Round5iQueries.oracleSql ++
-      Round6Queries.oracleSql ++ Round6bQueries.oracleSql
+      Round6Queries.oracleSql ++ Round6bQueries.oracleSql ++
+      Round6cQueries.oracleSql
 }

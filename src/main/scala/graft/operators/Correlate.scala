@@ -107,6 +107,66 @@ object Correlate {
       .orderBy(aCol, bCol)
   }
 
+  /** Pearson chi-square independence test + Cramér's V between two
+    * categorical columns — the significance-flavored sibling of
+    * [[mutualInformation]] (MI measures dependence strength in nats;
+    * chi-square is what a data-quality gate thresholds: "did the
+    * source×language mix shift beyond chance?").
+    *
+    * Unlike MI, chi-square needs the ZERO cells (an absent (a,b) combo
+    * still contributes its expectation E = n_a·n_b/n), so the full grid
+    * is reconstituted by crossing the two marginal relations — stat-grain
+    * |A|×|B| rows off ONE corpus scan (the contingency census is cached;
+    * marginals derive from it, never from the data).
+    *
+    * Integer core: per cell `chi_num = n·n_ab − n_a·n_b` (exact BIGINT;
+    * |chi_num| ≤ n², inside long through n ≈ 3·10⁹ — beyond that pass a
+    * pre-aggregated census and widen to decimal) and
+    * `contrib_nano = round(chi_num²/(n·n_a·n_b)·10⁹)` — the cell value
+    * (O−E)²/E cleared of denominators, both factors converted once to
+    * double (deterministic IEEE on both engines). The total rides a
+    * window over the grid's stat rows; |A|/|B| fall out of the SAME
+    * windows (the grid is a full cross, so a per-`b` row count IS |A|).
+    *
+    * Output: one row per grid cell — (a, b, n_ab, n_a, n_b, chi_num,
+    * contrib_nano) plus the shared chi2_nano total, degrees of freedom
+    * (|A|−1)(|B|−1), and Cramér's V = √(χ²/(n·min(|A|−1,|B|−1))) at 6 dp.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = graft.util.Caches.cached(
+      df.select(col(aCol).as("a"), col(bCol).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_ab")))
+    val ma = cells.groupBy("a").agg(sum("n_ab").as("n_a"))
+    val mb = cells.groupBy("b").agg(sum("n_ab").as("n_b"))
+    val grid = ma.crossJoin(broadcast(mb))
+      .join(broadcast(cells), Seq("a", "b"), "left")
+      .na.fill(0L, Seq("n_ab"))
+    val wAll = Window.partitionBy()
+    val chiNum = col("n") * col("n_ab") - col("n_a") * col("n_b")
+    val contrib = round(
+      (chiNum.cast("double") * chiNum.cast("double")) /
+        (col("n").cast("double") * col("n_a") * col("n_b")) * lit(1e9))
+      .cast("long")
+    grid
+      .withColumn("n", sum("n_ab").over(wAll))
+      .withColumn("n_levels_a", count(lit(1)).over(Window.partitionBy("b")))
+      .withColumn("n_levels_b", count(lit(1)).over(Window.partitionBy("a")))
+      .withColumn("chi_num", chiNum)
+      .withColumn("contrib_nano", contrib)
+      .withColumn("chi2_nano", sum("contrib_nano").over(wAll))
+      .withColumn("dof",
+        (col("n_levels_a") - 1) * (col("n_levels_b") - 1))
+      .withColumn("cramers_v",
+        when(col("dof") > 0 && col("n") > 0, round(
+          sqrt((col("chi2_nano").cast("double") / 1e9) /
+            (col("n").cast("double") *
+              least(col("n_levels_a") - 1, col("n_levels_b") - 1))), 6)))
+      .select(col("a").as(aCol), col("b").as(bCol), col("n_ab"),
+        col("n_a"), col("n_b"), col("chi_num"), col("contrib_nano"),
+        col("chi2_nano"), col("dof"), col("cramers_v"))
+      .orderBy(aCol, bCol)
+  }
+
   /** Double-precision fallback on Spark's `corr` — same relation shape,
     * values order-dependent in the last ulps (no oracle; spec-compared
     * to [[pearsonMatrix]] within 1e-9).
