@@ -95,7 +95,7 @@ object Round6bQueries {
     * [[Graph.coOccurrenceEdges]]): distinct (order, part), stop-group
     * cap, distinct a<b pairs.
     */
-  private val edgesSql: String =
+  private[graft] val edgesSql: String =
     s"""li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS it FROM lineitem),
        |hot AS (SELECT g FROM li GROUP BY g HAVING count(*) > $CoPurchaseCap),
        |lic AS (SELECT * FROM li WHERE g NOT IN (SELECT g FROM hot)),

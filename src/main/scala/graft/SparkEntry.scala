@@ -554,7 +554,8 @@ object SparkEntry {
       Round5eQueries.queries ++ Round5fQueries.queries ++
       Round5gQueries.queries ++ Round5hQueries.queries ++
       Round5iQueries.queries ++ Round6Queries.queries ++
-      Round6bQueries.queries ++ Round6cQueries.queries
+      Round6bQueries.queries ++ Round6cQueries.queries ++
+      Round6dQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -567,5 +568,5 @@ object SparkEntry {
       Round5fQueries.oracleSql ++ Round5gQueries.oracleSql ++
       Round5hQueries.oracleSql ++ Round5iQueries.oracleSql ++
       Round6Queries.oracleSql ++ Round6bQueries.oracleSql ++
-      Round6cQueries.oracleSql
+      Round6cQueries.oracleSql ++ Round6dQueries.oracleSql
 }

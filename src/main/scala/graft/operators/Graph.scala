@@ -154,4 +154,48 @@ object Graph {
       .select("node", "degree", "n_triangles", "clustering")
       .orderBy("node")
   }
+
+  /** Frontier BFS: minimum hop distance (≤ k) from a seed set over an
+    * undirected edge relation — the reachability primitive behind
+    * "how far does contamination/licensing taint spread through the
+    * dup-cluster graph" audits (k-hop closure of a flagged set).
+    *
+    * Each round expands only the FRONTIER (nodes first reached in the
+    * previous round), not the whole known set: one src-keyed join of the
+    * frontier against the directed edges, a distinct, and an anti-join
+    * against the known relation. Every edge is therefore traversed once
+    * per endpoint over the WHOLE run — O(E) total like textbook BFS, not
+    * O(k·E) as full min-propagation per round would be. Known/frontier
+    * relations localCheckpoint per round (the connectedComponents
+    * pattern): lineage stays flat, nothing is collected.
+    *
+    * Equivalent to k rounds of min-distance propagation (what the
+    * unrolled SQL oracle runs): a node's first-reach round IS its
+    * minimum hop distance. Output: (node, degree, dist) for every graph
+    * node, dist NULL when unreached within k hops.
+    */
+  def khopMinDist(edges: DataFrame, seeds: DataFrame, k: Int,
+      aCol: String = "node_a", bCol: String = "node_b"): DataFrame = {
+    val directed = graft.util.Caches.cached(
+      edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    val deg = directed.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    var known = seeds.select(col("node"), lit(0).as("dist")).localCheckpoint()
+    var frontier = known
+    var round = 1
+    while (round <= k) {
+      val cand = directed
+        .join(frontier.select(col("node").as("src")), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+      frontier = cand.join(known, Seq("node"), "left_anti")
+        .withColumn("dist", lit(round))
+        .localCheckpoint()
+      known = known.unionByName(frontier).localCheckpoint()
+      round += 1
+    }
+    deg.join(known, Seq("node"), "left")
+      .select("node", "degree", "dist")
+      .orderBy("node")
+  }
 }

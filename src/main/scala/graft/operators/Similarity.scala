@@ -411,4 +411,43 @@ object Similarity {
       .filter(col("cluster").isNull || col("cluster") === col(idCol))
       .drop("cluster", "__bucket")
   }
+
+  /** Sample covariance matrix of the embedding space — the sufficient
+    * statistic behind PCA whitening, Mahalanobis outlier scoring, and
+    * drift detection richer than [[EmbeddingDrift]]'s per-dimension
+    * means.
+    *
+    * Shape: ONE scan folding into a single [[graft.functions.Gram]]
+    * buffer (partial aggregation carries one ~17 KB buffer per map
+    * partition — no d² row blow-up ever materializes); the d(d+1)/2
+    * output cells then unfold from the one stat row, with per-dimension
+    * sums looked up from the SAME row's comps array (no join).
+    *
+    * Integer core per cell (i ≤ j, 1-based): `cov_num = n·Σxᵢxⱼ −
+    * Σxᵢ·Σxⱼ` in micro²-units, exact in Long through ~3·10⁹ rows at
+    * unit-norm scale; `cov = cov_num / (n·(n−1)) / 10¹²` at 9 dp is the
+    * only double.
+    */
+  def covarianceMatrix(embeddings: DataFrame, vecCol: String = "embedding",
+      quantScale: Double = 1e6): DataFrame = {
+    val q = transform(col(vecCol).cast("array<double>"),
+      x => round(x * quantScale).cast("long"))
+    embeddings
+      .agg(graft.functions.Gram.gram(q).as("g"))
+      .select(col("g.n").as("n"), col("g.comps").as("comps"),
+        explode(col("g.pairs")).as("p"))
+      .select(col("n"), col("p.i").as("i"), col("p.j").as("j"),
+        col("p.s").as("s_xy"),
+        element_at(col("comps"), col("p.i")).getField("s").as("s_x"),
+        element_at(col("comps"), col("p.j")).getField("s").as("s_y"))
+      .withColumn("cov_num",
+        col("n") * col("s_xy") - col("s_x") * col("s_y"))
+      .withColumn("cov",
+        when(col("n") > 1, round(
+          col("cov_num").cast("double") /
+            (col("n").cast("double") * (col("n") - 1)) / (quantScale * quantScale),
+          9)))
+      .select("i", "j", "n", "s_x", "s_y", "s_xy", "cov_num", "cov")
+      .orderBy("i", "j")
+  }
 }

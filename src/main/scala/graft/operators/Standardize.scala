@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-group z-score standardization — the feature-normalization step
@@ -73,5 +74,52 @@ object Standardize {
           round((col("__sm") - vm).cast("double") / (col("__n") - 1)
             / 1000000.0, 6)))
       .drop("__g", "__sm", "__n")
+  }
+
+  /** Quantile normalization: map each group's values onto the POOLED
+    * distribution by rank, so every group ends up with (a subsample of)
+    * the same marginal distribution — the standard cross-source
+    * harmonization when raw scales differ by group (length/quality
+    * scores across crawl sources, batch effects in omics).
+    *
+    * Semantics, entirely in the VALUE DOMAIN (no corpus-row windows —
+    * group keys are low-cardinality, so a per-row rank window would
+    * funnel the corpus through G partitions): for each distinct value v
+    * in group g with max-rank position `cum_hi` among the group's n_g
+    * rows, the normalized value is the pooled order statistic at
+    * ordinal p = ⌈cum_hi · N / n_g⌉ — tied rows map together (max-rank
+    * convention), and p lands in [1, N], picked from the pooled
+    * cumulative histogram by interval containment (lo < p ≤ hi).
+    *
+    * Shape: ONE scan into the (g, v) census (cached); the group-side
+    * and pooled-side cumulative relations both derive from it, and the
+    * containment join is stat-grain × stat-grain with the pooled side
+    * broadcast. Products cum_hi·N stay in Long through N ≈ 3·10⁹.
+    *
+    * Output: (group, value, n_rows, pooled_rank, v_norm), group/value
+    * ordered — a mapping table; join it back on (group, value) to
+    * rewrite rows.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val census = graft.util.Caches.cached(
+      df.select(col(groupCol).as("g"), col(valCol).cast("long").as("v"))
+        .groupBy("g", "v").agg(count(lit(1)).as("c")))
+    val wg = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val grp = census
+      .withColumn("cum_hi", sum("c").over(wg))
+      .withColumn("n_g", sum("c").over(Window.partitionBy("g")))
+      .withColumn("n_all", sum("c").over(Window.partitionBy()))
+      .withColumn("p", expr("(cum_hi * n_all + n_g - 1) div n_g"))
+    val wp = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val pool = census.groupBy("v").agg(sum("c").as("pc"))
+      .withColumn("hi", sum("pc").over(wp))
+      .withColumn("lo", col("hi") - col("pc"))
+      .select(col("v").as("v_norm"), col("lo"), col("hi"))
+    grp.join(broadcast(pool), col("p") > col("lo") && col("p") <= col("hi"))
+      .select(col("g").as(groupCol), col("v").as("value"),
+        col("c").as("n_rows"), col("p").as("pooled_rank"), col("v_norm"))
+      .orderBy(groupCol, "value")
   }
 }
