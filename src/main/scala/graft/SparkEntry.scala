@@ -555,7 +555,7 @@ object SparkEntry {
       Round5gQueries.queries ++ Round5hQueries.queries ++
       Round5iQueries.queries ++ Round6Queries.queries ++
       Round6bQueries.queries ++ Round6cQueries.queries ++
-      Round6dQueries.queries
+      Round6dQueries.queries ++ Round6eQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -568,5 +568,6 @@ object SparkEntry {
       Round5fQueries.oracleSql ++ Round5gQueries.oracleSql ++
       Round5hQueries.oracleSql ++ Round5iQueries.oracleSql ++
       Round6Queries.oracleSql ++ Round6bQueries.oracleSql ++
-      Round6cQueries.oracleSql ++ Round6dQueries.oracleSql
+      Round6cQueries.oracleSql ++ Round6dQueries.oracleSql ++
+      Round6eQueries.oracleSql
 }

@@ -39,4 +39,34 @@ object Privacy {
       .withColumn("single_id", col("n_ids") === 1L)
       .orderBy(quasiCols.map(col): _*)
   }
+
+  /** Per-class l-diversity census — k-anonymity's complement for the
+    * SENSITIVE attribute: a class can hold plenty of rows (k-safe) while
+    * every row shares one sensitive value, so forming the QI key still
+    * reveals the secret (the homogeneity attack). Distinct-l diversity
+    * asks every class to carry ≥ l distinct sensitive values.
+    *
+    * Shape: the (quasi, sensitive) census first — ONE scan, partial
+    * aggregation — then a stat-grain re-aggregation per class for the
+    * row count, distinct-value count, and the modal value's frequency
+    * (`max_freq`, the homogeneity measure: max_freq = n_rows ⇔ the
+    * class is pure). No corpus-row distinct, no windows.
+    *
+    * Output per class: (quasi..., n_rows, n_sensitive, max_freq,
+    * l_violation, homogeneous).
+    */
+  def lDiversityReport(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    val census = df
+      .groupBy((quasiCols.map(col) :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("__c"))
+    census
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum("__c").as("n_rows"),
+        count(lit(1)).as("n_sensitive"),
+        max("__c").as("max_freq"))
+      .withColumn("l_violation", col("n_sensitive") < l)
+      .withColumn("homogeneous", col("n_sensitive") === 1L)
+      .orderBy(quasiCols.map(col): _*)
+  }
 }

@@ -224,4 +224,54 @@ object TimeSeries {
         col("slope_den"), col("slope_micro_per_day"))
       .orderBy(keyCol)
   }
+
+  /** One-sided (upper) CUSUM changepoint detection per key over the
+    * daily volume series — the classic sequential drift detector for
+    * "when did this source's volume shift upward": S₀ = 0,
+    * Sₜ = max(0, Sₜ₋₁ + yₜ − μ − k), where μ is the key's mean daily
+    * micro-volume (floored) and k = μ·slackPermille/1000 the allowance.
+    * The report carries the peak statistic and the day it was FIRST
+    * reached — the changepoint estimate.
+    *
+    * A recursion can't be a window function, but it doesn't need the
+    * corpus either: the fold runs over the per-key DAILY series —
+    * stat-grain (keys × days), bounded by the calendar, not the data —
+    * as an `aggregate` higher-order fold over the key's sorted
+    * (day, y) array, all integer arithmetic. ONE corpus scan into the
+    * daily aggregate; everything after is per-key array math (a key's
+    * full history rides one row — ~10⁴ days is a few hundred KB, fine;
+    * beyond that, window the input by year first).
+    *
+    * Output: (key, n_days, mu_floor, slack, cusum_max, peak_day) —
+    * peak_day NULL when the statistic never rises above 0.
+    */
+  def cusumReport(events: DataFrame, keyCol: String, tsCol: String = "ts",
+      valCol: String = "value", slackPermille: Long = 50L): DataFrame = {
+    val daily = events
+      .select(col(keyCol).as("key"), to_date(col(tsCol)).as("day"),
+        round(col(valCol).cast("double") * 1e6).cast("long").as("vm"))
+      .groupBy("key", "day").agg(sum("vm").as("y"))
+    daily
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_days"), sum("y").as("sy"),
+        sort_array(collect_list(struct(col("day"), col("y")))).as("arr"))
+      .withColumn("mu_floor", expr("sy div n_days"))
+      .withColumn("slack", expr(s"(mu_floor * $slackPermille) div 1000"))
+      .withColumn("fold", expr(
+        """aggregate(arr,
+          |  named_struct('s', 0L, 'smax', 0L, 'peak', CAST(NULL AS DATE)),
+          |  (acc, x) -> named_struct(
+          |    's', greatest(0L, acc.s + x.y - mu_floor - slack),
+          |    'smax', CASE
+          |      WHEN greatest(0L, acc.s + x.y - mu_floor - slack) > acc.smax
+          |      THEN greatest(0L, acc.s + x.y - mu_floor - slack)
+          |      ELSE acc.smax END,
+          |    'peak', CASE
+          |      WHEN greatest(0L, acc.s + x.y - mu_floor - slack) > acc.smax
+          |      THEN x.day ELSE acc.peak END))""".stripMargin))
+      .select(col("key").as(keyCol), col("n_days"), col("mu_floor"),
+        col("slack"), col("fold.smax").as("cusum_max"),
+        col("fold.peak").as("peak_day"))
+      .orderBy(keyCol)
+  }
 }
