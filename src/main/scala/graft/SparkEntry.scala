@@ -555,7 +555,8 @@ object SparkEntry {
       Round5gQueries.queries ++ Round5hQueries.queries ++
       Round5iQueries.queries ++ Round6Queries.queries ++
       Round6bQueries.queries ++ Round6cQueries.queries ++
-      Round6dQueries.queries ++ Round6eQueries.queries
+      Round6dQueries.queries ++ Round6eQueries.queries ++
+      Round6fQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -569,5 +570,5 @@ object SparkEntry {
       Round5hQueries.oracleSql ++ Round5iQueries.oracleSql ++
       Round6Queries.oracleSql ++ Round6bQueries.oracleSql ++
       Round6cQueries.oracleSql ++ Round6dQueries.oracleSql ++
-      Round6eQueries.oracleSql
+      Round6eQueries.oracleSql ++ Round6fQueries.oracleSql
 }

@@ -167,6 +167,64 @@ object Correlate {
       .orderBy(aCol, bCol)
   }
 
+  /** One-way ANOVA F — the numeric×categorical dependence test closing
+    * the family: [[pearsonMatrix]] (numeric×numeric),
+    * [[mutualInformation]]/[[chiSquare]] (categorical×categorical), and
+    * this (does the group mean of a numeric signal differ across
+    * sources/labels beyond chance?).
+    *
+    * ONE scan into per-group integer sufficient statistics (n_g, Σy,
+    * Σy² with y in MILLI units — the square needs the headroom: milli
+    * keeps n·Σy² inside DECIMAL(38,0) to 10¹² rows of values ≤ 10⁴);
+    * everything after is windows over the G stat rows. Per-group
+    * within/between contributions are cleared of denominators as exact
+    * decimals, rounded to integer milli² BEFORE totalling (the MI/chi²
+    * convention — integer sums are combine-order-free, so the report is
+    * hash-exact even though group count and aggregation order vary):
+    * `ssw_g = round((n_g·Σy² − (Σy)²)/n_g)`,
+    * `ssb_g = round((Σy·N − S·n_g)²/(n_g·N²))`.
+    *
+    * Output per group: (g, n_g, s_milli, ssw_milli2, ssb_milli2) plus
+    * the shared totals, degrees of freedom (k−1, N−k) and
+    * F = (ssb/df1)/(ssw/df2) at 6 dp.
+    */
+  def anovaF(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val vm = round(col(valCol).cast("double") * 1e3).cast("long")
+    val g = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n_g"), sum(vm).as("s_g"),
+        sum((vm.cast(dec)) * vm.cast(dec)).as("ssq_g"))
+    val wAll = Window.partitionBy()
+    val withTot = g
+      .withColumn("n_all", sum("n_g").over(wAll))
+      .withColumn("s_all", sum("s_g").over(wAll))
+      .withColumn("k", count(lit(1)).over(wAll))
+    val wNum = col("n_g").cast(dec) * col("ssq_g") -
+      col("s_g").cast(dec) * col("s_g").cast(dec)
+    val bNum = (col("s_g").cast(dec) * col("n_all") -
+      col("s_all").cast(dec) * col("n_g"))
+    val withContrib = withTot
+      .withColumn("ssw_milli2",
+        round(wNum.cast("double") / col("n_g")).cast("long"))
+      .withColumn("ssb_milli2",
+        round((bNum * bNum).cast("double") /
+          (col("n_g").cast("double") * col("n_all") * col("n_all")))
+          .cast("long"))
+    withContrib
+      .withColumn("ssw_total", sum("ssw_milli2").over(wAll))
+      .withColumn("ssb_total", sum("ssb_milli2").over(wAll))
+      .withColumn("df1", col("k") - 1)
+      .withColumn("df2", col("n_all") - col("k"))
+      .withColumn("f_stat",
+        when(col("df1") > 0 && col("df2") > 0 && col("ssw_total") > 0,
+          round((col("ssb_total").cast("double") / col("df1")) /
+            (col("ssw_total").cast("double") / col("df2")), 6)))
+      .select(col("g").as(groupCol), col("n_g"), col("s_g").as("s_milli"),
+        col("ssw_milli2"), col("ssb_milli2"), col("ssw_total"),
+        col("ssb_total"), col("df1"), col("df2"), col("f_stat"))
+      .orderBy(groupCol)
+  }
+
   /** Double-precision fallback on Spark's `corr` — same relation shape,
     * values order-dependent in the last ulps (no oracle; spec-compared
     * to [[pearsonMatrix]] within 1e-9).

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Rolling calendar-window aggregates over an event log — the
@@ -273,5 +274,78 @@ object TimeSeries {
         col("slack"), col("fold.smax").as("cusum_max"),
         col("fold.peak").as("peak_day"))
       .orderBy(keyCol)
+  }
+
+  /** Theil–Sen robust slope per key over the daily series — the
+    * median-of-pairwise-slopes estimator, immune to the outlier days
+    * that drag [[trendReport]]'s OLS around (a crawler outage or a
+    * backfill spike is one point to Theil–Sen, not a lever arm).
+    *
+    * The pair stage is CALENDAR-grain, not corpus-grain: the self-join
+    * runs on the per-key daily aggregate (cached census — ONE corpus
+    * scan), so a year of days is ~6.6·10⁴ pairs per key regardless of
+    * row count. Each pair's slope rounds HALF_UP to integer
+    * micro-per-day; the median is the house doubled-integer convention
+    * (`med2` = lower + upper middle of the sorted slopes — exact, no
+    * float averaging), with `slope_micro_per_day` = med2/2 at 1 dp.
+    */
+  def theilSen(events: DataFrame, keyCol: String, tsCol: String = "ts",
+      valCol: String = "value"): DataFrame = {
+    val daily0 = events
+      .select(col(keyCol).as("key"), to_date(col(tsCol)).as("day"),
+        round(col(valCol).cast("double") * 1e6).cast("long").as("vm"))
+      .groupBy("key", "day").agg(sum("vm").as("y"))
+    val bounds = daily0.agg(min("day").as("day0"))
+    val daily = graft.util.Caches.cached(
+      daily0.crossJoin(broadcast(bounds))
+        .withColumn("x", datediff(col("day"), col("day0")).cast("long")))
+    val slopes = daily.as("a").join(daily.as("b"),
+        col("a.key") === col("b.key") && col("b.x") > col("a.x"))
+      .select(col("a.key").as("key"),
+        round((col("b.y") - col("a.y")).cast("double") /
+          (col("b.x") - col("a.x"))).cast("long").as("slope"))
+    slopes
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_pairs"),
+        sort_array(collect_list(col("slope"))).as("arr"))
+      .withColumn("med2",
+        element_at(col("arr"), expr("CAST((n_pairs + 1) div 2 AS INT)")) +
+          element_at(col("arr"), expr("CAST(n_pairs div 2 + 1 AS INT)")))
+      .select(col("key").as(keyCol), col("n_pairs"), col("med2"),
+        round(col("med2").cast("double") / 2, 1).as("slope_micro_per_day"))
+      .orderBy(keyCol)
+  }
+
+  /** Day-of-week seasonal indices per key: each weekday's mean daily
+    * volume relative to the key's overall mean, in exact integer PPM —
+    * `idx_ppm = (s_dow·n_days·10⁶) div (n_dow·s_total)` (≈10⁶ = flat).
+    * The standard "is Sunday volume structurally low or is today an
+    * incident" baseline behind [[rollingActivity]]-style monitors.
+    *
+    * ONE scan into the daily aggregate (MILLI units — the triple
+    * product s_dow·n_days·10⁶ must hold in Long; milli keeps it exact
+    * through ~10¹⁵ milli-units of daily volume); the dow rollup and
+    * per-key totals are windows over ≤ 7·keys stat rows.
+    */
+  def seasonalityReport(events: DataFrame, keyCol: String,
+      tsCol: String = "ts", valCol: String = "value"): DataFrame = {
+    val daily = events
+      .select(col(keyCol).as("key"), to_date(col(tsCol)).as("day"),
+        round(col(valCol).cast("double") * 1e3).cast("long").as("vm"))
+      .groupBy("key", "day").agg(sum("vm").as("y"))
+    val byDow = daily
+      .withColumn("dow", dayofweek(col("day")))
+      .groupBy("key", "dow")
+      .agg(count(lit(1)).as("n_days_dow"), sum("y").as("s_dow"))
+    val wk = Window.partitionBy("key")
+    byDow
+      .withColumn("n_days", sum("n_days_dow").over(wk))
+      .withColumn("s_total", sum("s_dow").over(wk))
+      .withColumn("idx_ppm",
+        expr("(s_dow * n_days * 1000000) div (n_days_dow * s_total)"))
+      .select(col("key").as(keyCol), col("dow"), col("n_days_dow"),
+        col("s_dow").as("s_dow_milli"), col("n_days"),
+        col("s_total").as("s_total_milli"), col("idx_ppm"))
+      .orderBy(keyCol, "dow")
   }
 }

@@ -565,4 +565,54 @@ object StreamingOps {
       .groupBy("window_start", "window_end", "g", "n_ref", "n_cur")
       .agg(round(sum("nano") / lit(1000000000.0), 6).as("psi"))
   }
+
+  /** One change of [[latestChangeStream]]. */
+  final case class CdcChange(key: Long, seq: Long, op: String,
+    payload: String)
+
+  /** Per-key carried latest change. */
+  final case class CdcCarry(seq: Long, op: String, payload: String)
+
+  /** Streaming CDC tail: the continuous form of
+    * [[graft.operators.Cdc.applyChanges]]'s latest-wins window — per
+    * key, carry the highest-`seq` change ever seen and emit a row each
+    * time the latest ADVANCES (changes arriving with a lower seq than
+    * the carried one are late by definition and ignored, which is
+    * precisely latest-wins). The per-key state is one (seq, op,
+    * payload) — O(keys), independent of changelog length.
+    *
+    * On a drained stream, the LAST row emitted per key equals the batch
+    * operator's latest-change relation, so folding those rows onto a
+    * base snapshot with `Cdc.applyChanges` semantics reproduces the
+    * batch snapshot exactly (spec-pinned across multi-batch feeds with
+    * out-of-order seqs).
+    */
+  def latestChangeStream(changes: DataFrame,
+      keyCol: String = "key", seqCol: String = "seq",
+      opCol: String = "op", payloadCol: String = "payload"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = changes.sparkSession
+    import spark.implicits._
+    val typed = changes
+      .select(col(keyCol).cast("long").as("key"),
+        col(seqCol).cast("long").as("seq"),
+        col(opCol).cast("string").as("op"),
+        col(payloadCol).cast("string").as("payload"))
+      .as[CdcChange]
+    typed.groupByKey(_.key)
+      .flatMapGroupsWithState[CdcCarry, CdcChange](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[CdcChange], st: GroupState[CdcCarry]) =>
+          val out = Seq.newBuilder[CdcChange]
+          var carry = st.getOption
+          rows.toSeq.sortBy(_.seq).foreach { c =>
+            if (carry.forall(_.seq < c.seq)) {
+              carry = Some(CdcCarry(c.seq, c.op, c.payload))
+              out += c
+            }
+          }
+          carry.foreach(st.update)
+          out.result().iterator
+      }.toDF()
+  }
 }
