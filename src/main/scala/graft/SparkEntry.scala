@@ -556,7 +556,7 @@ object SparkEntry {
       Round5iQueries.queries ++ Round6Queries.queries ++
       Round6bQueries.queries ++ Round6cQueries.queries ++
       Round6dQueries.queries ++ Round6eQueries.queries ++
-      Round6fQueries.queries
+      Round6fQueries.queries ++ Round6gQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -570,5 +570,6 @@ object SparkEntry {
       Round5hQueries.oracleSql ++ Round5iQueries.oracleSql ++
       Round6Queries.oracleSql ++ Round6bQueries.oracleSql ++
       Round6cQueries.oracleSql ++ Round6dQueries.oracleSql ++
-      Round6eQueries.oracleSql ++ Round6fQueries.oracleSql
+      Round6eQueries.oracleSql ++ Round6fQueries.oracleSql ++
+      Round6gQueries.oracleSql
 }

@@ -450,4 +450,47 @@ object Similarity {
       .select("i", "j", "n", "s_x", "s_y", "s_xy", "cov_num", "cov")
       .orderBy("i", "j")
   }
+
+  /** Sign threshold for [[randomProjection]]'s ±1 matrix: hashes below
+    * it map to +1 (≈ half of [[Sampling.HashMod]]).
+    */
+  val RpSignThreshold = 500000003L
+
+  /** Deterministic ±1 random projection (Johnson–Lindenstrauss sketch):
+    * reduce each embedding to `k` dimensions via a FIXED sign matrix —
+    * R(i,j) = ±1 from the house Knuth hash of i·k+j — so the projection
+    * is reproducible run-to-run and cross-engine (the [[lshBucket]]
+    * hyperplanes' dense cousin; this keeps magnitudes for downstream
+    * distance work rather than collapsing to a bucket id).
+    *
+    * Scale shape: pure scan-stage arithmetic — per row, k
+    * `aggregate(zip_with(...))` integer folds over the quantized
+    * vector; no shuffle, no state, output is (id, j, component). The
+    * sign matrix materializes as k LITERAL arrays (d·k ints in the
+    * plan), never a relation — nothing joins.
+    *
+    * Components are exact integer micro-units: Σᵢ round(xᵢ·10⁶)·R(i,j).
+    * (The conventional 1/√k scale is a presentation constant — left to
+    * callers so the stored component stays integer.)
+    */
+  def randomProjection(embeddings: DataFrame, k: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val p = Sampling.HashMod
+    def sign(i: Int, j: Int): Long = {
+      val h = (((i.toLong * k + j) % p) * 2654435761L) % p
+      if (h < RpSignThreshold) 1L else -1L
+    }
+    val q = transform(col(vecCol).cast("array<double>"),
+      x => round(x * 1e6).cast("long"))
+    val comps = (0 until k).map { j =>
+      val signs = array((0 until dim).map(i => lit(sign(i, j))): _*)
+      aggregate(zip_with(q, signs, (x, s) => x * s), lit(0L),
+        (acc, v) => acc + v)
+    }
+    embeddings
+      .select(col(idCol).as("vec_id"),
+        posexplode(array(comps: _*)).as(Seq("j0", "comp_micro")))
+      .select(col("vec_id"), (col("j0") + 1).as("j"), col("comp_micro"))
+      .orderBy("vec_id", "j")
+  }
 }

@@ -348,4 +348,147 @@ object TimeSeries {
         col("s_total").as("s_total_milli"), col("idx_ppm"))
       .orderBy(keyCol, "dow")
   }
+
+  /** Lag-1 autocorrelation of the daily series per key — the "is
+    * today's volume predicted by yesterday's" diagnostic separating
+    * trending/sticky series from white noise (high ACF₁ means
+    * [[cusumReport]]-style drift detectors need wider slack).
+    *
+    * Sample ACF with the overall mean, denominators cleared:
+    * r₁ = Σ(n·yₜ−S)(n·yₜ₊₁−S) / Σ(n·yₜ−S)² over consecutive-day pairs
+    * (gaps excluded by the x+1 equi-join). Each product term is exact
+    * DECIMAL(38,0), rounded to integer MILLI² after dividing by n²
+    * (the ANOVA convention — integer totals are combine-order-free).
+    * Daily values quantize at MILLI for the same headroom reason.
+    *
+    * ONE corpus scan into the cached daily census; the lag pairing is a
+    * calendar-grain self-join. Output: (key, n_days, n_pairs,
+    * num_milli2, den_milli2, acf1).
+    */
+  def autocorrReport(events: DataFrame, keyCol: String,
+      tsCol: String = "ts", valCol: String = "value"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily0 = events
+      .select(col(keyCol).as("key"), to_date(col(tsCol)).as("day"),
+        round(col(valCol).cast("double") * 1e3).cast("long").as("vm"))
+      .groupBy("key", "day").agg(sum("vm").as("y"))
+    val bounds = daily0.agg(min("day").as("day0"))
+    val daily = graft.util.Caches.cached(
+      daily0.crossJoin(broadcast(bounds))
+        .withColumn("x", datediff(col("day"), col("day0")).cast("long")))
+    val stats = daily.groupBy("key")
+      .agg(count(lit(1)).as("n_days"), sum("y").as("s_all"))
+    val withStats = daily.join(broadcast(stats), Seq("key"))
+    val centeredSq = {
+      val d = col("y").cast(dec) * col("n_days") - col("s_all").cast(dec)
+      round((d * d).cast("double") /
+        (col("n_days").cast("double") * col("n_days"))).cast("long")
+    }
+    val den = withStats
+      .groupBy("key").agg(sum(centeredSq).as("den_milli2"),
+        max("n_days").as("n_days"))
+    val lagged = withStats.as("a").join(
+        withStats.as("b").select(col("key").as("bk"), col("x").as("bx"),
+          col("y").as("by")),
+        col("a.key") === col("bk") && col("a.x") + 1 === col("bx"))
+    val crossTerm = {
+      val da = col("a.y").cast(dec) * col("a.n_days") - col("a.s_all").cast(dec)
+      val db = col("by").cast(dec) * col("a.n_days") - col("a.s_all").cast(dec)
+      round((da * db).cast("double") /
+        (col("a.n_days").cast("double") * col("a.n_days"))).cast("long")
+    }
+    val num = lagged.groupBy(col("a.key").as("key"))
+      .agg(count(lit(1)).as("n_pairs"), sum(crossTerm).as("num_milli2"))
+    den.join(num, Seq("key"), "left")
+      .na.fill(0L, Seq("n_pairs"))
+      .withColumn("acf1",
+        when(col("den_milli2") > 0 && col("n_pairs") > 0,
+          round(col("num_milli2").cast("double") / col("den_milli2"), 6)))
+      .select(col("key").as(keyCol), col("n_days"), col("n_pairs"),
+        col("num_milli2"), col("den_milli2"), col("acf1"))
+      .orderBy(keyCol)
+  }
+
+  /** Mann–Kendall trend test per key — the nonparametric companion of
+    * [[theilSen]]: S = Σᵢ<ⱼ sign(yⱼ−yᵢ) over the daily series, with the
+    * tie-corrected variance 18·Var(S) = n(n−1)(2n+5) − Σₜ t(t−1)(2t+5)
+    * (t = tied-value run lengths from the value census). Both cores are
+    * exact integers; the z statistic applies the standard ±1 continuity
+    * correction at 6 dp.
+    *
+    * Same calendar-grain pair join as [[theilSen]] (cached census, ONE
+    * corpus scan); the tie census is value-domain.
+    */
+  def mannKendall(events: DataFrame, keyCol: String,
+      tsCol: String = "ts", valCol: String = "value"): DataFrame = {
+    val daily = graft.util.Caches.cached(events
+      .select(col(keyCol).as("key"), to_date(col(tsCol)).as("day"),
+        round(col(valCol).cast("double") * 1e6).cast("long").as("vm"))
+      .groupBy("key", "day").agg(sum("vm").as("y")))
+    val pairs = daily.as("a").join(
+        daily.as("b").select(col("key").as("bk"), col("day").as("bd"),
+          col("y").as("by")),
+        col("a.key") === col("bk") && col("a.day") < col("bd"))
+      .select(col("a.key").as("key"),
+        signum(col("by") - col("a.y")).cast("long").as("sgn"))
+    val sStat = pairs.groupBy("key")
+      .agg(count(lit(1)).as("n_pairs"), sum("sgn").as("s_stat"))
+    val ties = daily.groupBy("key", "y").agg(count(lit(1)).as("t"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_distinct"), sum("t").as("n_days"),
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .as("tie_term"))
+    ties.join(sStat, Seq("key"), "left")
+      .na.fill(0L, Seq("n_pairs", "s_stat"))
+      .withColumn("var18",
+        col("n_days") * (col("n_days") - 1) *
+          (lit(2) * col("n_days") + 5) - col("tie_term"))
+      .withColumn("z_stat",
+        when(col("var18") > 0,
+          round(
+            when(col("s_stat") > 0, col("s_stat") - 1)
+              .when(col("s_stat") < 0, col("s_stat") + 1)
+              .otherwise(lit(0L)).cast("double") /
+              sqrt(col("var18").cast("double") / 18.0), 6)))
+      .select(col("key").as(keyCol), col("n_days"), col("n_distinct"),
+        col("n_pairs"), col("s_stat"), col("var18"), col("z_stat"))
+      .orderBy(keyCol)
+  }
+
+  /** Trailing-window exact P95 of the event value per day — the rolling
+    * order statistic behind latency/volume SLO dashboards ("p95 over
+    * the last 7 days, daily"). Entirely VALUE-DOMAIN: one scan to the
+    * (day, value) census, a ≤window-fold fan of census STAT rows onto
+    * their target days (banded range join), then the house
+    * conditional-min window picks the smallest value whose cumulative
+    * count reaches ⌈q·n⌉. No per-row windows, no re-scans.
+    *
+    * Output: (day, n_window, rank_q, p95_micro) — `n_window` counts the
+    * trailing-window rows, `rank_q` = ⌈0.95·n⌉.
+    */
+  def rollingP95(events: DataFrame, windowDays: Int = 7,
+      tsCol: String = "ts", valCol: String = "value"): DataFrame = {
+    val census = graft.util.Caches.cached(events
+      .select(to_date(col(tsCol)).as("day"),
+        round(col(valCol).cast("double") * 1e6).cast("long").as("vm"))
+      .groupBy("day", "vm").agg(count(lit(1)).as("c")))
+    val days = census.select("day").distinct()
+    val fan = days.as("d").join(census.as("h"),
+        col("h.day") <= col("d.day") &&
+          col("h.day") > date_sub(col("d.day"), windowDays))
+      .groupBy(col("d.day").as("day"), col("h.vm").as("vm"))
+      .agg(sum("h.c").as("c"))
+    val wDay = Window.partitionBy("day")
+    val wCum = wDay.orderBy("vm")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    fan
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n_window", sum("c").over(wDay))
+      .withColumn("rank_q", expr("(19 * n_window + 19) div 20"))
+      .groupBy("day", "n_window", "rank_q")
+      .agg(min(when(col("cum") >= col("rank_q"), col("vm")))
+        .as("p95_micro"))
+      .select("day", "n_window", "rank_q", "p95_micro")
+      .orderBy("day")
+  }
 }
