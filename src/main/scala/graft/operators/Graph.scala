@@ -84,10 +84,20 @@ object Graph {
       aCol: String = "node_a", bCol: String = "node_b"): DataFrame = {
     val directed = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-    val deg = directed.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("degree"))
+    // deg is node-hash-partitioned by its groupBy and CACHED: the rank
+    // update and the final report re-enter it without re-aggregating
+    // the edge relation
+    val deg = graft.util.Caches.cached(
+      directed.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("degree")))
+    // the degree-annotated edges cache SRC-HASH-PARTITIONED: each
+    // round's rank join then reuses this layout (ranks arrive node-
+    // partitioned from their own aggregate), so the per-round shuffle
+    // is ONLY the dst-keyed message aggregation — the edge relation
+    // crosses the wire once at cache fill, not once per round
     val ed = graft.util.Caches.cached(
-      directed.join(deg.withColumnRenamed("node", "src"), Seq("src")))
+      directed.join(deg.withColumnRenamed("node", "src"), Seq("src"))
+        .repartition(col("src")))
     var ranks = deg.select(col("node"), lit(1000000L).as("rank_micro"))
       .localCheckpoint()
     var round = 0
@@ -176,9 +186,12 @@ object Graph {
     */
   def khopMinDist(edges: DataFrame, seeds: DataFrame, k: Int,
       aCol: String = "node_a", bCol: String = "node_b"): DataFrame = {
+    // src-hash-partitioned cache: each round's frontier join reuses the
+    // layout (the pageRankMicro trick) — edges shuffle once, not per hop
     val directed = graft.util.Caches.cached(
       edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst"))))
+        .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .repartition(col("src")))
     val deg = directed.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("degree"))
     var known = seeds.select(col("node"), lit(0).as("dist")).localCheckpoint()
