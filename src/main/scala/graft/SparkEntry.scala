@@ -556,7 +556,8 @@ object SparkEntry {
       Round5iQueries.queries ++ Round6Queries.queries ++
       Round6bQueries.queries ++ Round6cQueries.queries ++
       Round6dQueries.queries ++ Round6eQueries.queries ++
-      Round6fQueries.queries ++ Round6gQueries.queries
+      Round6fQueries.queries ++ Round6gQueries.queries ++
+      Round6hQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -571,5 +572,5 @@ object SparkEntry {
       Round6Queries.oracleSql ++ Round6bQueries.oracleSql ++
       Round6cQueries.oracleSql ++ Round6dQueries.oracleSql ++
       Round6eQueries.oracleSql ++ Round6fQueries.oracleSql ++
-      Round6gQueries.oracleSql
+      Round6gQueries.oracleSql ++ Round6hQueries.oracleSql
 }

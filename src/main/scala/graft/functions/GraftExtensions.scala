@@ -67,7 +67,10 @@ object GraftExtensions {
     ("graft_topk_by",
       info("graft_topk_by", "graft_topk_by(struct, k) - exact per-group top-k structs, descending, bounded-heap aggregate"),
       (args: Seq[Expression]) =>
-        TopKBy(args.head, long(args(1), "k").toInt)))
+        TopKBy(args.head, long(args(1), "k").toInt)),
+    ("graft_gram",
+      info("graft_gram", "graft_gram(array<bigint>) - one-pass Gram/covariance sufficient statistics: struct<n, comps: array<struct<i, s>>, pairs: array<struct<i, j, s>>>"),
+      (args: Seq[Expression]) => Gram(args.head)))
 
   /** Register the function set on a live session (temp functions). */
   def register(spark: SparkSession): Unit =

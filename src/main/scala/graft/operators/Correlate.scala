@@ -225,6 +225,59 @@ object Correlate {
       .orderBy(groupCol)
   }
 
+  /** Information gain of each candidate feature w.r.t. a label —
+    * feature selection's workhorse ranking: IG(X) = H(Y) − H(Y|X),
+    * computed for MANY features in ONE corpus scan (features melt into
+    * (feature, x, y) rows at scan stage — an F× row fan that partial
+    * aggregation collapses to the census before any exchange).
+    *
+    * Entropies follow the nano-nat convention: each census cell's
+    * contribution — (n_xy/N)·ln(n_x/n_xy) for the conditional,
+    * (n_y/N)·ln(N/n_y) for the label marginal — rounds to integer
+    * nano-nats BEFORE its sum, so totals are combine-order-free and
+    * hash-exact. H(Y) is recomputed per feature from that feature's own
+    * census marginal (identical value; keeps each output row
+    * self-contained).
+    *
+    * Output per feature: (feature, n_levels, n, h_label_nano,
+    * h_cond_nano, ig_nano), feature-ordered.
+    */
+  def informationGain(df: DataFrame, featureCols: Seq[String],
+      label: Column): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature")
+    val stacked = df.select(explode(array(featureCols.map(f =>
+      struct(lit(f).as("feature"), col(f).cast("string").as("x"))): _*))
+      .as("fx"), label.as("y"))
+      .select(col("fx.feature").as("feature"), col("fx.x"), col("y"))
+    val census = graft.util.Caches.cached(
+      stacked.groupBy("feature", "x", "y").agg(count(lit(1)).as("n_xy")))
+    val wf = Window.partitionBy("feature")
+    val condCells = census
+      .withColumn("n_x", sum("n_xy").over(Window.partitionBy("feature", "x")))
+      .withColumn("n", sum("n_xy").over(wf))
+      .withColumn("cell_nano", round(
+        (col("n_xy").cast("double") / col("n")) *
+          log(col("n_x").cast("double") / col("n_xy")) * lit(1e9))
+        .cast("long"))
+    val cond = condCells.groupBy("feature")
+      .agg(count_distinct(col("x")).as("n_levels"), max("n").as("n"),
+        sum("cell_nano").as("h_cond_nano"))
+    val labelCells = census.groupBy("feature", "y")
+      .agg(sum("n_xy").as("n_y"))
+      .withColumn("n", sum("n_y").over(wf))
+      .withColumn("cell_nano", round(
+        (col("n_y").cast("double") / col("n")) *
+          log(col("n").cast("double") / col("n_y")) * lit(1e9))
+        .cast("long"))
+    val hl = labelCells.groupBy("feature")
+      .agg(sum("cell_nano").as("h_label_nano"))
+    cond.join(hl, Seq("feature"))
+      .withColumn("ig_nano", col("h_label_nano") - col("h_cond_nano"))
+      .select("feature", "n_levels", "n", "h_label_nano", "h_cond_nano",
+        "ig_nano")
+      .orderBy("feature")
+  }
+
   /** Double-precision fallback on Spark's `corr` — same relation shape,
     * values order-dependent in the last ulps (no oracle; spec-compared
     * to [[pearsonMatrix]] within 1e-9).

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch rollups: distinct counts that AGGREGATE ACROSS
+  * pre-aggregated slices — the property exact distinct counts lack
+  * (daily exact distincts cannot sum to a weekly distinct) and the
+  * reason warehouse rollup tables store sketches, not counts.
+  *
+  * Built on Spark's native Apache DataSketches HLL functions
+  * (`hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`), so the
+  * daily relation here stands in for a PERSISTED sketch table: at 100 TB
+  * you materialize `dailySketches` once per day (cost: the day's
+  * events, never history) and every wider window — week, month, ad-hoc
+  * ranges — derives from unioning the stored sketches, touching the raw
+  * log zero times. The union estimate is IDENTICAL to sketching the raw
+  * window directly (same insertions → same registers; spec-pinned), and
+  * within the usual ~2% HLL band of the exact distinct.
+  *
+  * No SQL oracle (DuckDB's approx_count_distinct is a different
+  * sketch) — the q43 rows-only class; equality and accuracy laws are
+  * spec-pinned instead.
+  */
+object SketchRollup {
+
+  /** Per-day HLL sketch of `idCol` — the persistable rollup grain. */
+  def dailySketches(events: DataFrame, tsCol: String = "ts",
+      idCol: String = "user_id"): DataFrame =
+    events
+      .select(to_date(col(tsCol)).as("day"), col(idCol).as("id"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_rows"), hll_sketch_agg(col("id")).as("sk"))
+
+  /** Weekly distinct estimates from unioning the daily sketches —
+    * (week_start, n_days, n_rows, distinct_est).
+    */
+  def weeklyDistinct(events: DataFrame, tsCol: String = "ts",
+      idCol: String = "user_id"): DataFrame =
+    dailySketches(events, tsCol, idCol)
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week_start"))
+      .agg(count(lit(1)).as("n_days"), sum("n_rows").as("n_rows"),
+        hll_union_agg(col("sk")).as("sk"))
+      .select(col("week_start"), col("n_days"), col("n_rows"),
+        hll_sketch_estimate(col("sk")).as("distinct_est"))
+      .orderBy("week_start")
+}
