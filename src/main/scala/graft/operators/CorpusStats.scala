@@ -278,4 +278,55 @@ object CorpusStats {
         round(col("n_oov") * lit(10000) / col("n_tokens"), 4).as("oov_bp"))
       .orderBy(groupCol)
   }
+
+  /** Zipf-law fit of the token frequency distribution: OLS slope of
+    * ln(frequency) against ln(rank) over the top-`vocabSize` tokens —
+    * the one-number "is this corpus natural language or templated
+    * noise" diagnostic (natural text sits near −1; machine-generated /
+    * boilerplate-heavy corpora flatten or steepen it).
+    *
+    * Shape: ONE token-census aggregate, TakeOrdered to the top V under
+    * (count DESC, token ASC) — never a global sort or a corpus-scale
+    * window; ranks are a row_number over those V STAT rows. Each row's
+    * (x, y, xx, xy) log products round to integer NANO before the sums
+    * (the house order-free convention), and the slope derives from the
+    * five exact integer sums in a fixed operation order at 6 dp.
+    *
+    * Output: ONE row — (n_tokens, total_count, sx_nano, sy_nano,
+    * sxx_nano, sxy_nano, zipf_slope).
+    */
+  def zipfFit(docs: DataFrame, vocabSize: Int = 200,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(vocabSize)
+    val ranked = top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("c").desc, col("w").asc)))
+    def nano(e: org.apache.spark.sql.Column) =
+      round(e * lit(1e9)).cast("long")
+    val cells = ranked
+      .withColumn("x_nano", nano(log(col("rank").cast("double"))))
+      .withColumn("y_nano", nano(log(col("c").cast("double"))))
+      .withColumn("xx_nano", nano(
+        log(col("rank").cast("double")) * log(col("rank").cast("double"))))
+      .withColumn("xy_nano", nano(
+        log(col("rank").cast("double")) * log(col("c").cast("double"))))
+    val s = cells.agg(
+      count(lit(1)).as("n_tokens"), sum("c").as("total_count"),
+      sum("x_nano").as("sx_nano"), sum("y_nano").as("sy_nano"),
+      sum("xx_nano").as("sxx_nano"), sum("xy_nano").as("sxy_nano"))
+    s.withColumn("zipf_slope", round(
+        (col("n_tokens").cast("double") * col("sxy_nano") / 1e9 -
+          (col("sx_nano").cast("double") / 1e9) *
+            (col("sy_nano").cast("double") / 1e9)) /
+        (col("n_tokens").cast("double") * col("sxx_nano") / 1e9 -
+          (col("sx_nano").cast("double") / 1e9) *
+            (col("sx_nano").cast("double") / 1e9)), 6))
+      .select("n_tokens", "total_count", "sx_nano", "sy_nano",
+        "sxx_nano", "sxy_nano", "zipf_slope")
+  }
 }

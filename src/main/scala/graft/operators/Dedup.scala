@@ -625,4 +625,46 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** Sub-document (passage-level) duplication census — the C4/CCNet
+    * granularity between exact whole-doc dedup and shingle near-dup:
+    * split each document into consecutive `passageWords`-word passages
+    * and measure, per document, how much of it also appears verbatim in
+    * OTHER documents (boilerplate headers, license blocks, templated
+    * sections — removable spans even when the documents as wholes are
+    * unique).
+    *
+    * Passages derive scan-stage (space-split → fixed slices →
+    * posexplode — no collect_list ordering hazard); the cross-document
+    * census is one passage-keyed aggregate (distinct doc count per
+    * passage), re-entering the passage relation through a co-keyed
+    * join. Both relations are passage-grain; the text itself is the
+    * join key — at 100 TB swap in `TextOps.fingerprint(passage)` for
+    * 32-byte keys, same plan.
+    *
+    * Output per doc: (doc_id, n_passages, n_shared_passages, shared_bp)
+    * — a passage is SHARED when it occurs in ≥ 2 distinct documents.
+    */
+  def passageDupStats(docs: DataFrame, passageWords: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nChunks = ceil(size(toks).cast("double") / passageWords).cast("int")
+    val passages = graft.util.Caches.cached(docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1), i =>
+          array_join(slice(toks, i * passageWords + 1, lit(passageWords)), " ")))
+          .as(Seq("cidx", "passage"))))
+    val census = passages
+      .groupBy("passage")
+      .agg(count_distinct(col("doc_id")).as("n_docs_with"))
+    passages
+      .join(census, Seq("passage"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("n_docs_with") >= 2, 1L).otherwise(0L))
+          .as("n_shared_passages"))
+      .withColumn("shared_bp",
+        expr("(n_shared_passages * 10000) div n_passages"))
+      .orderBy("doc_id")
+  }
 }

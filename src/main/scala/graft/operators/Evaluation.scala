@@ -81,4 +81,34 @@ object Evaluation {
         expr("(sum(y) * 1000000) div count(1)").as("pos_rate_ppm"))
       .orderBy("bin")
   }
+
+  /** Precision/recall sweep — one (precision, recall) point per
+    * DISTINCT score threshold, for the "pick the quality-filter cutoff"
+    * decision [[aucReport]]'s single number can't make. Classifying
+    * positive at score ≥ t: TP/FP accumulate down the score-DESC
+    * histogram (value-domain windows over distinct scores, never rows);
+    * precision/recall land as exact integer ppm floor divisions.
+    *
+    * Output per threshold (score DESC): (threshold, tp, fp, fn,
+    * precision_ppm, recall_ppm).
+    */
+  def prCurve(df: DataFrame, scoreCol: String, label: Column): DataFrame = {
+    val h = df
+      .select(col(scoreCol).cast("long").as("s"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .groupBy("s")
+      .agg(sum("y").as("pos"), sum(lit(1L) - col("y")).as("neg"))
+    val wDesc = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    h
+      .withColumn("tp", sum("pos").over(wDesc))
+      .withColumn("fp", sum("neg").over(wDesc))
+      .withColumn("p_all", sum("pos").over(wAll))
+      .select(col("s").as("threshold"), col("tp"), col("fp"),
+        (col("p_all") - col("tp")).as("fn"),
+        expr("(tp * 1000000) div (tp + fp)").as("precision_ppm"),
+        expr("(tp * 1000000) div p_all").as("recall_ppm"))
+      .orderBy(col("threshold").desc)
+  }
 }
