@@ -557,7 +557,8 @@ object SparkEntry {
       Round6bQueries.queries ++ Round6cQueries.queries ++
       Round6dQueries.queries ++ Round6eQueries.queries ++
       Round6fQueries.queries ++ Round6gQueries.queries ++
-      Round6hQueries.queries ++ Round6iQueries.queries
+      Round6hQueries.queries ++ Round6iQueries.queries ++
+      Round6jQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -573,5 +574,5 @@ object SparkEntry {
       Round6cQueries.oracleSql ++ Round6dQueries.oracleSql ++
       Round6eQueries.oracleSql ++ Round6fQueries.oracleSql ++
       Round6gQueries.oracleSql ++ Round6hQueries.oracleSql ++
-      Round6iQueries.oracleSql
+      Round6iQueries.oracleSql ++ Round6jQueries.oracleSql
 }

@@ -278,6 +278,52 @@ object Correlate {
       .orderBy("feature")
   }
 
+  /** Kendall's τ-b rank correlation between two integer-valued columns —
+    * the tie-corrected, outlier-immune dependence measure completing
+    * the numeric axis (Pearson sees linearity; τ sees any monotone
+    * relation, and document metrics are full of ties).
+    *
+    * Entirely VALUE-DOMAIN: the (x, y) cell census collapses the corpus
+    * (cells ≤ distinct value combinations), then the concordance sum
+    * runs over CELL pairs — `cd2 = Σ_{a≠b} sign(xₐ−x_b)·sign(yₐ−y_b)·
+    * cₐ·c_b = 2(C−D)`, an exact integer in the house doubled
+    * convention (each unordered pair counted twice — no halving, no
+    * fractions). Tie terms n1₂ = Σₓ tₓ(tₓ−1), n2₂ likewise come from
+    * the marginal censuses; τ-b = cd2 / √((n0₂−n1₂)·(n0₂−n2₂)) at 6 dp
+    * with n0₂ = n(n−1).
+    *
+    * The cell self-join broadcasts one side — fine while distinct
+    * combinations stay in the 10⁵ range (true for bounded metrics like
+    * lengths/counts; re-bucket wider domains first).
+    */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = graft.util.Caches.cached(
+      df.select(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("c")))
+    val cd = cells.as("a").crossJoin(broadcast(cells.as("b")))
+      .filter(col("a.x") =!= col("b.x") || col("a.y") =!= col("b.y"))
+      .agg(sum(
+        signum(col("a.x") - col("b.x")).cast("long") *
+          signum(col("a.y") - col("b.y")).cast("long") *
+          col("a.c") * col("b.c")).as("cd2"))
+    val stats = cells.agg(
+      sum("c").as("n"), count(lit(1)).as("n_cells"))
+    val tx = cells.groupBy("x").agg(sum("c").as("t"))
+      .agg(sum(col("t") * (col("t") - 1)).as("n1_2"))
+    val ty = cells.groupBy("y").agg(sum("c").as("t"))
+      .agg(sum(col("t") * (col("t") - 1)).as("n2_2"))
+    stats.crossJoin(cd).crossJoin(tx).crossJoin(ty)
+      .withColumn("n0_2", col("n") * (col("n") - 1))
+      .na.fill(0L, Seq("cd2"))
+      .withColumn("tau_b",
+        when(col("n0_2") > col("n1_2") && col("n0_2") > col("n2_2"),
+          round(col("cd2").cast("double") /
+            sqrt((col("n0_2") - col("n1_2")).cast("double") *
+              (col("n0_2") - col("n2_2")).cast("double")), 6)))
+      .select("n", "n_cells", "cd2", "n0_2", "n1_2", "n2_2", "tau_b")
+  }
+
   /** Double-precision fallback on Spark's `corr` — same relation shape,
     * values order-dependent in the last ulps (no oracle; spec-compared
     * to [[pearsonMatrix]] within 1e-9).

@@ -118,4 +118,54 @@ object ProfileDrift {
     val q = (cCur + 0.5) / (nCur + lit(nBins / 2.0))
     round(((p - q) * log(p / q)) * lit(1000000000.0)).cast("long")
   }
+
+  /** Two-sample Kolmogorov–Smirnov distance per group — [[psiReport]]'s
+    * bin-free sibling: D = max over the merged VALUE domain of
+    * |F_ref(v) − F_cur(v)|, sensitive to any distributional shift
+    * (location, scale, shape) with no binning decision to defend.
+    *
+    * Exact integer core: D's numerator cross-multiplies the CDFs —
+    * `d_num = max |cum_ref·n_cur − cum_cur·n_ref|` over distinct values
+    * (inside Long through ~3·10⁹ rows per side), so the report carries
+    * no rounded intermediate; D = d_num/(n_ref·n_cur) at 6 dp is the
+    * only double. ONE scan per side into the merged (group, value)
+    * census (full-outer at the value grain), cumulative windows over
+    * DISTINCT values only.
+    *
+    * Output: (group, n_ref, n_cur, d_num, ks) — plus the value at which
+    * the max is FIRST attained (`argmax_micro`), the natural "where did
+    * the distributions split" diagnostic.
+    */
+  def ksReport(ref: DataFrame, cur: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def census(df: DataFrame, cName: String) = df
+      .select(col(groupCol).as("g"),
+        round(col(valCol).cast("double") * 1e6).cast("long").as("vm"))
+      .groupBy("g", "vm").agg(count(lit(1)).as(cName))
+    val h = census(ref, "c_ref")
+      .join(census(cur, "c_cur"), Seq("g", "vm"), "full_outer")
+      .na.fill(0L, Seq("c_ref", "c_cur"))
+    val wg = Window.partitionBy("g")
+    val wCum = wg.orderBy("vm").rowsBetween(Window.unboundedPreceding, 0)
+    val diff = abs(
+      col("cum_ref") * col("n_cur") - col("cum_cur") * col("n_ref"))
+    h
+      .withColumn("cum_ref", sum("c_ref").over(wCum))
+      .withColumn("cum_cur", sum("c_cur").over(wCum))
+      .withColumn("n_ref", sum("c_ref").over(wg))
+      .withColumn("n_cur", sum("c_cur").over(wg))
+      .withColumn("d", diff)
+      .withColumn("d_max", max("d").over(wg))
+      .groupBy("g", "n_ref", "n_cur")
+      .agg(max("d").as("d_num"),
+        min(when(col("d") === col("d_max"), col("vm")))
+          .as("argmax_micro"))
+      .select(col("g").as(groupCol), col("n_ref"), col("n_cur"),
+        col("d_num"), col("argmax_micro"),
+        when(col("n_ref") > 0 && col("n_cur") > 0, round(
+          col("d_num").cast("double") /
+            (col("n_ref").cast("double") * col("n_cur")), 6)).as("ks"))
+      .orderBy(groupCol)
+  }
 }
