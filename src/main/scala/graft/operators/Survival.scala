@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Kaplan–Meier time-to-event estimation over an event log — "how long
+  * until a user first hits X" (first error, first churn signal, first
+  * conversion), with censoring done right: users who never hit X by the
+  * observation horizon aren't failures at their last day, they're
+  * CENSORED there, and treating them as events biases every naive
+  * time-to-X histogram downward.
+  *
+  * Model: per user, entry = first event day; if any row satisfies
+  * `eventPred`, the user is OBSERVED at t = first such day − entry;
+  * otherwise censored at t = horizon − entry (horizon = corpus max
+  * day). Standard right-censoring.
+  *
+  * Shape: ONE scan to the per-user (entry, first-event-day) aggregate
+  * (the event day rides the same aggregate as a conditional min);
+  * lifetimes collapse to the (t, events, censored) census — stat-grain,
+  * calendar-bounded; at-risk counts and the survival product are
+  * windows over those rows. The product Π(1 − dᵢ/nᵢ) follows the house
+  * log-domain convention: each factor's ln rounds to integer NANO, the
+  * cumulative sum is exact, and survival_ppm = round(exp(cum/10⁹)·10⁶).
+  *
+  * Output per distinct t: (t, n_at_risk, n_events, n_censored,
+  * cum_ln_nano, survival_ppm); after extinction (a level where every
+  * at-risk subject events) survival reports 0 with NULL cum_ln_nano.
+  */
+object Survival {
+
+  def kaplanMeier(events: DataFrame, eventPred: Column,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val users = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"),
+        eventPred.as("hit"))
+      .groupBy("u")
+      .agg(min("day").as("entry"),
+        min(when(col("hit"), col("day"))).as("event_day"))
+    // horizon = max day over the LOG, not over entries (a user's last
+    // event can postdate every other user's first)
+    val horizon = events
+      .agg(max(to_date(col(tsCol))).as("horizon"))
+    val lt = users.crossJoin(broadcast(horizon))
+      .select(
+        when(col("event_day").isNotNull,
+          datediff(col("event_day"), col("entry")))
+          .otherwise(datediff(col("horizon"), col("entry")))
+          .cast("long").as("t"),
+        col("event_day").isNotNull.as("observed"))
+    val census = lt.groupBy("t")
+      .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("observed"), 0L).otherwise(1L)).as("c"))
+    val wAll = Window.partitionBy()
+    val wBefore = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    census
+      .withColumn("n_total", sum(col("d") + col("c")).over(wAll))
+      .withColumn("n_at_risk",
+        col("n_total") - coalesce(sum(col("d") + col("c")).over(wBefore),
+          lit(0L)))
+      .withColumn("cell_nano",
+        when(col("d") > 0 && col("n_at_risk") > col("d"),
+          round(log((col("n_at_risk") - col("d")).cast("double") /
+            col("n_at_risk")) * lit(1e9)).cast("long"))
+          .when(col("d") === col("n_at_risk"), lit(null).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("cum_ln_nano", sum("cell_nano").over(wCum))
+      .withColumn("extinct",
+        max((col("d") === col("n_at_risk")).cast("int")).over(wCum))
+      .select(col("t"), col("n_at_risk"), col("d").as("n_events"),
+        col("c").as("n_censored"),
+        when(col("extinct") === 0, col("cum_ln_nano")).as("cum_ln_nano"),
+        when(col("extinct") === 1, lit(0L)).otherwise(
+          round(exp(col("cum_ln_nano").cast("double") / 1e9) * lit(1e6))
+            .cast("long")).as("survival_ppm"))
+      .orderBy("t")
+  }
+}

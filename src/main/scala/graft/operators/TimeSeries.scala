@@ -491,4 +491,42 @@ object TimeSeries {
       .select("day", "n_window", "rank_q", "p95_micro")
       .orderBy("day")
   }
+
+  /** Integer EWMA one-step forecaster per key: s₁ = y₁,
+    * sₜ = (3·sₜ₋₁ + yₜ) div 4 (α = ¼ in exact integer arithmetic — no
+    * float drift, replayable in a recursive CTE), with the mean
+    * absolute one-step prediction error |yₜ − sₜ₋₁| as the
+    * forecastability score (a key whose EWMA tracks poorly is the one
+    * whose volume alerts deserve wide bands — the [[cusumReport]] /
+    * [[autocorrReport]] operating companion).
+    *
+    * Same shape as [[cusumReport]]: ONE scan to the daily aggregate,
+    * then an integer `aggregate` fold over each key's sorted calendar
+    * array. Output: (key, n_days, ewma_final, mae_micro) — mae NULL
+    * for single-day keys.
+    */
+  def ewmaForecast(events: DataFrame, keyCol: String,
+      tsCol: String = "ts", valCol: String = "value"): DataFrame = {
+    val daily = events
+      .select(col(keyCol).as("key"), to_date(col(tsCol)).as("day"),
+        round(col(valCol).cast("double") * 1e6).cast("long").as("vm"))
+      .groupBy("key", "day").agg(sum("vm").as("y"))
+    daily
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("day"), col("y")))).as("arr"))
+      .withColumn("fold", expr(
+        """aggregate(arr,
+          |  named_struct('s', CAST(NULL AS BIGINT), 'ae', 0L),
+          |  (acc, x) -> CASE WHEN acc.s IS NULL
+          |    THEN named_struct('s', x.y, 'ae', 0L)
+          |    ELSE named_struct(
+          |      's', (3 * acc.s + x.y) div 4,
+          |      'ae', acc.ae + abs(x.y - acc.s)) END)""".stripMargin))
+      .select(col("key").as(keyCol), col("n_days"),
+        col("fold.s").as("ewma_final"),
+        when(col("n_days") > 1,
+          expr("fold.ae div (n_days - 1)")).as("mae_micro"))
+      .orderBy(keyCol)
+  }
 }
