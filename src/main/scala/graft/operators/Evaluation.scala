@@ -111,4 +111,63 @@ object Evaluation {
         expr("(tp * 1000000) div p_all").as("recall_ppm"))
       .orderBy(col("threshold").desc)
   }
+
+  /** Ranking-quality report per group: nDCG@k and MRR@k of a score
+    * ranking against a binary relevance label — the retrieval-eval
+    * completion of the q85 RRF ranker (a fused ranking is only as good
+    * as its measured nDCG).
+    *
+    * Per group, items rank by (score DESC, id ASC) — a total order, so
+    * both engines agree on every rank. The per-group top-k is a window
+    * over group partitions (groups are the HIGH-cardinality axis —
+    * the q07 shape, partitions balance); each kept row contributes
+    * rel/log2(rank+1) in integer NANO, and the ideal DCG renormalizes
+    * by ranking the group's relevant count first. MRR is the first
+    * relevant rank's reciprocal in nano.
+    *
+    * Output per group: (group, n_items, n_relevant, dcg_nano,
+    * idcg_nano, ndcg, mrr_nano).
+    */
+  /** Frozen nano discount table: round(10⁹/log₂(rank+1)), rank 1..k. */
+  def discountNano(k: Int): Seq[Long] =
+    (1 to k).map(i =>
+      math.round(1e9 / (math.log(i + 1.0) / math.log(2.0))))
+
+  def ndcgReport(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, label: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy("g")
+      .orderBy(col("s").desc, col("id").asc)
+    val ranked = df
+      .select(col(groupCol).as("g"), col(scoreCol).cast("long").as("s"),
+        col(idCol).as("id"), when(label, 1L).otherwise(0L).as("rel"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    // the 1/log2(rank+1) discounts are FROZEN nano literals shared with
+    // the oracle (Benford-style): runtime log2 could differ in the last
+    // ulp across engines and flip a rounding boundary
+    val discounts = discountNano(k)
+    val gainTable = array(discounts.map(lit): _*)
+    val perGroup = ranked
+      .withColumn("gain_nano",
+        col("rel") * element_at(gainTable, col("rank")))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_items"), sum("rel").as("n_relevant"),
+        sum("gain_nano").as("dcg_nano"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel_rank"))
+    // ideal DCG: the group's n_relevant items ranked 1..min(n_rel, k)
+    val ideal = (1 to k).map(i =>
+      when(col("n_relevant") >= i, lit(discounts(i - 1))).otherwise(0L))
+      .reduce(_ + _)
+    perGroup
+      .withColumn("idcg_nano", ideal)
+      .withColumn("ndcg",
+        when(col("idcg_nano") > 0, round(
+          col("dcg_nano").cast("double") / col("idcg_nano"), 6)))
+      .withColumn("mrr_nano",
+        coalesce(round(lit(1e9) / col("first_rel_rank")).cast("long"),
+          lit(0L)))
+      .select(col("g").as(groupCol), col("n_items"), col("n_relevant"),
+        col("dcg_nano"), col("idcg_nano"), col("ndcg"), col("mrr_nano"))
+      .orderBy(groupCol)
+  }
 }
