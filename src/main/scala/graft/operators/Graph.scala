@@ -80,16 +80,30 @@ object Graph {
     * lineage executor-side (the connectedComponents pattern), so node
     * count is unbounded by driver memory.
     */
+  /** [[pageRankMicro]] with unit edge weights. */
   def pageRankMicro(edges: DataFrame, iterations: Int,
-      aCol: String = "node_a", bCol: String = "node_b"): DataFrame = {
-    val directed = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      aCol: String = "node_a", bCol: String = "node_b"): DataFrame =
+    pageRankMicro(edges, iterations, aCol, bCol, None)
+
+  /** Weighted variant: each node splits its rank over incident edges
+    * PROPORTIONALLY to `weightCol` (floor division `rank·w div
+    * strength`, strength = Σ incident weights — still all non-negative
+    * integer arithmetic, so unrolled-SQL-exact). With `None`, every
+    * edge weighs 1 and `degree` is the classic degree.
+    */
+  def pageRankMicro(edges: DataFrame, iterations: Int,
+      aCol: String, bCol: String, weightCol: Option[String]): DataFrame = {
+    val w = weightCol.map(col).getOrElse(lit(1L)).cast("long")
+    val directed = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"), w.as("w"))
+      .unionByName(edges
+        .select(col(bCol).as("src"), col(aCol).as("dst"), w.as("w")))
     // deg is node-hash-partitioned by its groupBy and CACHED: the rank
     // update and the final report re-enter it without re-aggregating
     // the edge relation
     val deg = graft.util.Caches.cached(
       directed.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("degree")))
+        .agg(sum("w").as("degree")))
     // the degree-annotated edges cache SRC-HASH-PARTITIONED: each
     // round's rank join then reuses this layout (ranks arrive node-
     // partitioned from their own aggregate), so the per-round shuffle
@@ -103,7 +117,7 @@ object Graph {
     var round = 0
     while (round < iterations) {
       val incoming = ed.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst"), expr("rank_micro div degree").as("c"))
+        .select(col("dst"), expr("(rank_micro * w) div degree").as("c"))
         .groupBy(col("dst").as("node"))
         .agg(sum("c").as("s"))
       ranks = deg.select("node")

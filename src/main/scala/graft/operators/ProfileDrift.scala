@@ -168,4 +168,56 @@ object ProfileDrift {
             (col("n_ref").cast("double") * col("n_cur")), 6)).as("ks"))
       .orderBy(groupCol)
   }
+
+  /** KS distance per emitted WINDOW against a static reference census —
+    * the stateless half of the streaming KS twin (the PSI
+    * `psiFromCounts` pattern): `counts` is a drained/emitted windowed
+    * value census (window_start, window_end, vm, c_cur); `reference` a
+    * static (vm, c_ref) census, replicated per window so never-seen
+    * values on either side enter the merged domain with count 0. Same
+    * exact cross-multiplied integer numerator as [[ksReport]].
+    */
+  def ksFromCounts(counts: DataFrame, reference: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // re-aliased projection: the window list derives from `counts`
+    // itself, so fresh attribute ids keep the self-join resolvable
+    val wins = counts
+      .select(col("window_start").as("__ws"), col("window_end").as("__we"))
+      .distinct()
+    val refRep = wins.crossJoin(broadcast(
+      reference.select(col("vm").as("__vm"), col("c_ref"))))
+    val h = refRep.join(counts,
+        col("__ws") === col("window_start") &&
+          col("__we") === col("window_end") && col("__vm") === col("vm"),
+        "full_outer")
+      .select(
+        coalesce(col("__ws"), col("window_start")).as("window_start"),
+        coalesce(col("__we"), col("window_end")).as("window_end"),
+        coalesce(col("__vm"), col("vm")).as("vm"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val wg = Window.partitionBy("window_start", "window_end")
+    val wCum = wg.orderBy("vm").rowsBetween(Window.unboundedPreceding, 0)
+    h
+      .withColumn("cum_ref", sum("c_ref").over(wCum))
+      .withColumn("cum_cur", sum("c_cur").over(wCum))
+      .withColumn("n_ref", sum("c_ref").over(wg))
+      .withColumn("n_cur", sum("c_cur").over(wg))
+      .withColumn("d", abs(
+        col("cum_ref") * col("n_cur") - col("cum_cur") * col("n_ref")))
+      .groupBy("window_start", "window_end", "n_ref", "n_cur")
+      .agg(max("d").as("d_num"))
+      .select(col("window_start"), col("window_end"), col("n_ref"),
+        col("n_cur"), col("d_num"),
+        when(col("n_ref") > 0 && col("n_cur") > 0, round(
+          col("d_num").cast("double") /
+            (col("n_ref").cast("double") * col("n_cur")), 6)).as("ks"))
+      .orderBy("window_start")
+  }
+
+  /** Static-side (vm, c_ref) census for [[ksFromCounts]]. */
+  def referenceCensus(ref: DataFrame, valCol: String): DataFrame =
+    ref.select(round(col(valCol).cast("double") * 1e6).cast("long")
+        .as("vm"))
+      .groupBy("vm").agg(count(lit(1)).as("c_ref"))
 }

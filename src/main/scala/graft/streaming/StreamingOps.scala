@@ -566,6 +566,25 @@ object StreamingOps {
       .agg(round(sum("nano") / lit(1000000000.0), 6).as("psi"))
   }
 
+  /** Windowed value CENSUS stream — the streaming-side half of the KS
+    * drift twin: exact (window, value, count) rows emitted as windows
+    * close, which [[graft.operators.ProfileDrift.ksFromCounts]] turns
+    * into per-window KS distances against a static reference census.
+    * Unlike the PSI twin's binned histogram, KS needs the raw value
+    * domain — state is bounded by distinct values per open window
+    * (micro-quantized), the same cardinality the batch census carries.
+    */
+  def valueCensusStream(events: DataFrame, windowLen: String,
+      watermarkDelay: String, tsCol: String = "ts",
+      valCol: String = "value"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol),
+        round(col(valCol).cast("double") * 1e6).cast("long").as("vm"))
+      .groupBy(window(col(tsCol), windowLen), col("vm"))
+      .agg(count(lit(1)).as("c_cur"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("vm"), col("c_cur"))
+
   /** One change of [[latestChangeStream]]. */
   final case class CdcChange(key: Long, seq: Long, op: String,
     payload: String)
