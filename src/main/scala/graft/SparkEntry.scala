@@ -558,7 +558,8 @@ object SparkEntry {
       Round6dQueries.queries ++ Round6eQueries.queries ++
       Round6fQueries.queries ++ Round6gQueries.queries ++
       Round6hQueries.queries ++ Round6iQueries.queries ++
-      Round6jQueries.queries ++ Round6kQueries.queries ++ Round6lQueries.queries ++ Round6mQueries.queries
+      Round6jQueries.queries ++ Round6kQueries.queries ++ Round6lQueries.queries ++ Round6mQueries.queries ++
+      Round6nQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -575,5 +576,6 @@ object SparkEntry {
       Round6eQueries.oracleSql ++ Round6fQueries.oracleSql ++
       Round6gQueries.oracleSql ++ Round6hQueries.oracleSql ++
       Round6iQueries.oracleSql ++ Round6jQueries.oracleSql ++
-      Round6kQueries.oracleSql ++ Round6lQueries.oracleSql ++ Round6mQueries.oracleSql
+      Round6kQueries.oracleSql ++ Round6lQueries.oracleSql ++ Round6mQueries.oracleSql ++
+      Round6nQueries.oracleSql
 }

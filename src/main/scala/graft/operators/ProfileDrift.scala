@@ -220,4 +220,131 @@ object ProfileDrift {
     ref.select(round(col(valCol).cast("double") * 1e6).cast("long")
         .as("vm"))
       .groupBy("vm").agg(count(lit(1)).as("c_ref"))
+
+  /** Two-sample Mann–Whitney rank-sum test per group — [[ksReport]]'s
+    * location-shift sibling: KS asks "did the distribution move at
+    * all?", the rank-sum asks "did one snapshot stochastically dominate
+    * the other?" and quantifies it with the rank-biserial effect size
+    * (≡ Cliff's delta for two samples).
+    *
+    * Exact integer core over the same merged value census as KS: with
+    * ties counted half, the DOUBLED U statistic is an integer —
+    * `u2 = Σ_v c_ref(v)·(2·cum_cur<(v) + c_cur(v))
+    *     = Σ_v c_ref(v)·(2·cum_cur(v) − c_cur(v))`
+    * (cum inclusive) — each cell's contribution is a product of exact
+    * counts, so the Σ is combine-order-free. The tie correction carries
+    * `tie3 = Σ_v t·(t²−1)` with t = c_ref+c_cur. Both stay in Long
+    * through ~2·10⁹ rows per side (u2 ≤ 2·n_ref·n_cur); beyond that the
+    * census cells are what you shard, not this aggregate.
+    *
+    * Doubles are derived only from those integers, identically in the
+    * SQL oracle: rank-biserial r = u2/(n₁n₂) − 1 ∈ [−1, 1] (positive =
+    * ref values tend LARGER), and the normal-approximation z with tie
+    * correction, NULL when every value is tied (variance 0). Same scan
+    * shape as [[ksReport]]: one census per side, full-outer merge,
+    * windows over DISTINCT values only.
+    *
+    * Output: (group, n_ref, n_cur, u2, tie3, r_rb, z).
+    */
+  def rankSumReport(ref: DataFrame, cur: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def census(df: DataFrame, cName: String) = df
+      .select(col(groupCol).as("g"),
+        round(col(valCol).cast("double") * 1e6).cast("long").as("vm"))
+      .groupBy("g", "vm").agg(count(lit(1)).as(cName))
+    val h = census(ref, "c_ref")
+      .join(census(cur, "c_cur"), Seq("g", "vm"), "full_outer")
+      .na.fill(0L, Seq("c_ref", "c_cur"))
+    val wg = Window.partitionBy("g")
+    val wCum = wg.orderBy("vm").rowsBetween(Window.unboundedPreceding, 0)
+    val t = col("c_ref") + col("c_cur")
+    val s = h
+      .withColumn("cum_cur", sum("c_cur").over(wCum))
+      .withColumn("n_ref", sum("c_ref").over(wg))
+      .withColumn("n_cur", sum("c_cur").over(wg))
+      .groupBy("g", "n_ref", "n_cur")
+      .agg(
+        sum(col("c_ref") * (lit(2) * col("cum_cur") - col("c_cur")))
+          .as("u2"),
+        sum(t * t * t - t).as("tie3"))
+    val n1 = col("n_ref").cast("double")
+    val n2 = col("n_cur").cast("double")
+    val nAll = col("n_ref") + col("n_cur")
+    // Var(U) = (n₁n₂/12)·((n+1) − tie3/(n(n−1))); z = (2U − n₁n₂)/(2σ)
+    val variance = (n1 * col("n_cur") / lit(12.0)) *
+      ((nAll + lit(1)) -
+        col("tie3").cast("double") / (nAll.cast("double") * (nAll - lit(1))))
+    s
+      .withColumn("r_rb",
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          round(col("u2").cast("double") / (n1 * col("n_cur")) - lit(1), 6)))
+      .withColumn("z",
+        when(col("n_ref") > 0 && col("n_cur") > 0 && variance > 0,
+          round((col("u2") - col("n_ref") * col("n_cur")) /
+            (lit(2.0) * sqrt(variance)), 6)))
+      .select(col("g").as(groupCol), col("n_ref"), col("n_cur"),
+        col("u2"), col("tie3"), col("r_rb"), col("z"))
+      .orderBy(groupCol)
+  }
+
+  /** Welch's unequal-variance t-test per group — the parametric
+    * mean-shift companion of [[rankSumReport]] and the two-sample
+    * sibling of [[Correlate.anovaF]] (whose milli-integer sufficient-
+    * statistic convention it shares): quantifies whether the snapshot
+    * MEANS differ, with no equal-variance assumption (release-over-
+    * release corpora rarely keep their variance).
+    *
+    * Exact cores: values quantize to milli integers at scan stage; each
+    * side contributes (n, Σx, Σx²) with the square accumulating in
+    * DECIMAL(38,0) (milli² headroom passes a Long around ~10⁶ rows ·
+    * 10⁶ milli — the oracle's HUGEINT matches exactly). The sample
+    * variance `v = (n·Σx² − (Σx)²)/(n(n−1))` rounds to an integer
+    * milli² PER SIDE (the anovaF convention), and t / Welch–
+    * Satterthwaite df derive from those integers alone — identical
+    * doubles in both engines. ONE aggregate per side, stat-row join.
+    *
+    * Output: (group, n_ref, n_cur, s_ref_milli, s_cur_milli,
+    * v_ref_milli2, v_cur_milli2, t_stat, df_w); t/df NULL when either
+    * side has < 2 rows or both variances are 0.
+    */
+  def welchTReport(ref: DataFrame, cur: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val vm = round(col(valCol).cast("double") * 1e3).cast("long")
+    def side(df: DataFrame, suf: String) = df
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as(s"n_$suf"),
+        sum(vm).as(s"s_${suf}_milli"),
+        sum(vm.cast(dec) * vm.cast(dec)).as(s"q_$suf"))
+    def vInt(suf: String) = round(
+      (col(s"n_$suf").cast(dec) * col(s"q_$suf") -
+        col(s"s_${suf}_milli").cast(dec) * col(s"s_${suf}_milli").cast(dec))
+        .cast("double") /
+        (col(s"n_$suf").cast("double") * (col(s"n_$suf") - lit(1))))
+      .cast("long")
+    val joined = side(ref, "ref")
+      .join(side(cur, "cur"), Seq("g"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .withColumn("v_ref_milli2",
+        when(col("n_ref") > 1, vInt("ref")))
+      .withColumn("v_cur_milli2",
+        when(col("n_cur") > 1, vInt("cur")))
+    val se1 = col("v_ref_milli2").cast("double") / col("n_ref")
+    val se2c = col("v_cur_milli2").cast("double") / col("n_cur")
+    val se = se1 + se2c
+    val ok = col("n_ref") > 1 && col("n_cur") > 1 && se > 0
+    joined
+      .withColumn("t_stat", when(ok, round(
+        (col("s_ref_milli").cast("double") / col("n_ref") -
+          col("s_cur_milli").cast("double") / col("n_cur")) / sqrt(se), 6)))
+      .withColumn("df_w", when(ok, round(
+        (se * se) / ((se1 * se1) / (col("n_ref") - lit(1)) +
+          (se2c * se2c) / (col("n_cur") - lit(1))), 3)))
+      .select(col("g").as(groupCol), col("n_ref"), col("n_cur"),
+        col("s_ref_milli"), col("s_cur_milli"),
+        col("v_ref_milli2"), col("v_cur_milli2"),
+        col("t_stat"), col("df_w"))
+      .orderBy(groupCol)
+  }
 }

@@ -515,4 +515,20 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(u#".r.findAllIn(p).size == 1,
       s"expected exactly one user shuffle:\n$p")
   }
+
+  test("q167: every rule-stage consumer reads the basket cache; no product join") {
+    // the distinct (group, item) relation is cached once (its fill is the
+    // only lineitem lineage); the hot-group census, item census, pair
+    // self-join and rule joins all read it back. The 1-row n_baskets
+    // relation broadcasts.
+    val p = plan("q167_assoc_rules")
+    val ls = leafCounts("q167_assoc_rules")
+    assert(parquetLeaves(ls) == 0,
+      s"a rule stage re-scanned lineitem past the basket cache: $ls\n$p")
+    assert(ls.getOrElse("InMemoryTableScan", 0) >= 3,
+      s"expected the basket/item caches to feed every stage: $ls\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row basket count may cross-join, broadcast:\n$p")
+    graft.util.Caches.releaseAll()
+  }
 }
