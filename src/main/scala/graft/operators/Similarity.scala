@@ -75,6 +75,55 @@ object Similarity {
     * before the shuffle, so the exchange carries O(|queries|·k) rows and
     * nothing is sorted but the final k-element arrays.
     */
+  /** Hard-negative mining for contrastive training: for each anchor
+    * (query) vector, the k most-similar corpus vectors with a DIFFERENT
+    * label — exactly the "looks like the anchor but isn't" examples a
+    * retrieval/embedding trainer wants in the denominator of its
+    * InfoNCE loss.
+    *
+    * Composition of the [[bruteForceTopK]] exact tier: broadcast the
+    * tiny anchor set against ONE corpus scan, drop same-label
+    * candidates BEFORE scoring (self-pairs fall out with them — the
+    * anchor shares its own label), then the [[graft.functions.TopKBy]]
+    * bounded-heap per-anchor top-k (map-side partial reduction to ≤k
+    * candidates per anchor; the exchange carries O(anchors·k) rows).
+    * The ordering struct carries the negative's label through the heap —
+    * (cos_sim, −vec_id) is already total, so the extra field never
+    * decides a comparison. At 100 TB swap the corpus side for the
+    * LSH/IVF-restricted candidate relation ([[lshTopK]]/[[ivfTopKWith]])
+    * — the label filter and heap are unchanged.
+    *
+    * Output: (query_id, q_label, vec_id, neg_label, cos_sim, rank),
+    * rank 1-based by (cos_sim desc, vec_id asc).
+    */
+  def hardNegatives(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val corpus = graft.util.Parallelism.ensure(embeddings)
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"),
+        col(labelCol).as("neg_label"))
+      .withColumn("nv", norm(col("v")))
+    val queries = corpus.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nv").as("nqv"), col("neg_label").as("q_label"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("neg_label") =!= col("q_label"))
+      .select(col("query_id"), col("q_label"), col("vec_id"),
+        col("neg_label"),
+        round(dot(col("qv"), col("v")) / (col("nqv") * col("nv")), 4)
+          .as("cos_sim"))
+      .groupBy("query_id", "q_label")
+      .agg(graft.functions.TopKBy.topKBy(
+        struct(col("cos_sim"), (-col("vec_id")).as("nv"),
+          col("neg_label")), k).as("top"))
+      .select(col("query_id"), col("q_label"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("q_label"), (-col("t.nv")).as("vec_id"),
+        col("t.neg_label").as("neg_label"), col("t.cos_sim").as("cos_sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
       .agg(graft.functions.TopKBy.topKBy(

@@ -245,4 +245,57 @@ object TextOps {
     when(winner.getField("hits") === 0, lit("und"))
       .otherwise(winner.getField("code"))
   }
+
+  /** Per-document character Shannon entropy in integer NANO-nats — the
+    * Gopher-style "is this text actually text?" quality signal: natural
+    * prose sits around 2.5–3.5 nats/char, while pad/repeat junk
+    * (`aaaa…`) and base64 blobs fall far outside the band.
+    *
+    * Entirely SCAN-STAGE — no explode, no shuffle: the char array
+    * (substring fan over `sequence(1, length)` — regex-split trailing-
+    * empty quirks avoided by construction) is sorted and folded once,
+    * each equal-char RUN contributing `round(−(c/n)·ln(c/n)·10⁹)` as it
+    * closes. Runs of the sorted array ARE the distinct-char census
+    * cells, so the fold equals the census formulation the SQL oracle
+    * computes via unnest + GROUP BY — cell-rounded integer nano-nats,
+    * combine-order-free on both sides.
+    *
+    * Returns a (n_runs, ent_nano) struct column: n_runs = distinct
+    * characters, ent_nano = Σ cell contributions (0 for empty/constant
+    * text).
+    */
+  def charEntropyNano(text: Column): Column = {
+    val arr = array_sort(transform(
+      sequence(lit(1), length(text)), i => text.substr(i, lit(1))))
+    val n = size(arr)
+    // empty/null text guard BEFORE the fold: sequence(1, 0) would count
+    // down, not produce an empty array
+    when(text.isNull || length(text) === 0,
+      struct(lit(0L).as("n_runs"), lit(0L).as("ent_nano")))
+    .otherwise(aggregate(
+      arr,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("k"), lit(0L).as("ent")),
+      (acc, ch) => {
+        val cell = round(-(acc.getField("run") / n) *
+          log(acc.getField("run") / n) * lit(1e9)).cast("long")
+        when(acc.getField("prev").isNotNull &&
+            ch === acc.getField("prev"),
+          struct(ch.as("prev"), (acc.getField("run") + 1).as("run"),
+            acc.getField("k").as("k"), acc.getField("ent").as("ent")))
+          .otherwise(struct(ch.as("prev"), lit(1L).as("run"),
+            (acc.getField("k") + 1).as("k"),
+            (acc.getField("ent") +
+              when(acc.getField("prev").isNull, lit(0L)).otherwise(cell))
+              .as("ent")))
+      },
+      acc => {
+        val cell = round(-(acc.getField("run") / n) *
+          log(acc.getField("run") / n) * lit(1e9)).cast("long")
+        struct(acc.getField("k").as("n_runs"),
+          (acc.getField("ent") +
+            when(acc.getField("prev").isNull, lit(0L)).otherwise(cell))
+            .as("ent_nano"))
+      }))
+  }
 }

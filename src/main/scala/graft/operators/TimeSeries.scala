@@ -529,4 +529,55 @@ object TimeSeries {
           expr("fold.ae div (n_days - 1)")).as("mae_micro"))
       .orderBy(keyCol)
   }
+
+  /** Inter-arrival (inter-event gap) distribution per key: how often
+    * does each user fire each event type, and what does the cadence
+    * distribution look like — the usage-rhythm report behind session-gap
+    * tuning ([[Sessionize]]'s gapSeconds is exactly a quantile of this
+    * distribution) and ingest-lag monitoring.
+    *
+    * Gaps are consecutive-event deltas per (user, key) in exact
+    * MICROseconds (`unix_micros`, ties broken by the id column so the
+    * lag is deterministic under any row order). The per-user lag window
+    * partitions by the high-cardinality (user, key) pair — millions of
+    * small partitions, never a corpus-wide sort. Gap rows then collapse
+    * to a (key, gap) census, and the quartiles come from the house
+    * value-domain order-statistic pick (conditional min at ⌈q·n⌉ —
+    * windows run over census STAT rows only, the q163 anti-ntile
+    * argument).
+    *
+    * Output: (key, n_gaps, mean_us, p25_us, p50_us, p75_us, p90_us),
+    * key-ordered; mean is the exact floor division Σgap div n.
+    */
+  def interArrivalReport(events: DataFrame, keyCol: String,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col(userCol), col(keyCol))
+      .orderBy(unix_micros(col(tsCol)), col(idCol))
+    val gaps = events
+      .withColumn("__t", unix_micros(col(tsCol)))
+      .withColumn("dt", col("__t") - lag("__t", 1).over(byUser))
+      .filter(col("dt").isNotNull)
+    val census = gaps.groupBy(col(keyCol).as("key"), col("dt"))
+      .agg(count(lit(1)).as("c"))
+    val wk = Window.partitionBy("key")
+    val wCum = wk.orderBy("dt").rowsBetween(Window.unboundedPreceding, 0)
+    def pick(rankExpr: String, name: String) =
+      min(when(col("cum") >= expr(rankExpr), col("dt"))).as(name)
+    census
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wk))
+      .withColumn("s", sum(col("dt") * col("c")).over(wk))
+      .groupBy("key", "n", "s")
+      .agg(
+        pick("(n + 3) div 4", "p25_us"),
+        pick("(n + 1) div 2", "p50_us"),
+        pick("(3 * n + 3) div 4", "p75_us"),
+        pick("(9 * n + 9) div 10", "p90_us"))
+      .select(col("key").as(keyCol), col("n").as("n_gaps"),
+        expr("s div n").as("mean_us"),
+        col("p25_us"), col("p50_us"), col("p75_us"), col("p90_us"))
+      .orderBy(keyCol)
+  }
 }
