@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -70,5 +70,66 @@ object EventFunnel {
         when(col("__u0") > 0,
           round(col("__r.users") * 10000.0 / col("__u0"), 4)).as("conv_bp"))
       .orderBy("step_idx")
+  }
+
+  /** Time-to-convert distribution by start cohort day: for users whose
+    * first `fromPred` event lands on day D, how long until their first
+    * `toPred` event at-or-after it — conversion share plus exact
+    * latency quartiles, the "how fast does the funnel actually flow"
+    * companion of [[sequenceFunnel]]'s how-many counts.
+    *
+    * Latencies are exact µs (`unix_micros` deltas — any cross-engine
+    * epoch offset cancels in the subtraction). Shape: ONE type-pruned
+    * scan cached, first-A per user and first-B-after-A reuse the SAME
+    * user-keyed shuffle (high-cardinality key), then everything is
+    * cohort-day stat grain: a (day, dt) census with the house
+    * conditional-min order-statistic picks — the per-day window runs
+    * over census stat rows, never a single global partition (cohort
+    * day is the partition key precisely so the quartile windows scale).
+    *
+    * Output per cohort day: (day, n_started, n_converted, conv_ppm,
+    * mean_us, p25_us, p50_us, p75_us, p90_us), day-ordered; quartiles
+    * NULL on days with zero conversions.
+    */
+  def conversionLatency(events: DataFrame, fromPred: Column,
+      toPred: Column, tsCol: String = "ts",
+      userCol: String = "user_id"): DataFrame = {
+    val typed = graft.util.Caches.cached(events
+      .filter(fromPred || toPred)
+      .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("t"),
+        fromPred.as("isA"), toPred.as("isB")))
+    val firstA = typed.filter(col("isA"))
+      .groupBy("u").agg(min("t").as("ta"))
+    val convs = typed.filter(col("isB"))
+      .join(firstA, Seq("u"))
+      .filter(col("t") >= col("ta"))
+      .groupBy("u", "ta").agg(min("t").as("tb"))
+    val day = to_date(timestamp_micros(col("ta"))).as("day")
+    val started = firstA.groupBy(day).agg(count(lit(1)).as("n_started"))
+    val census = convs
+      .select(day, (col("tb") - col("ta")).as("dt"))
+      .groupBy("day", "dt").agg(count(lit(1)).as("c"))
+    val wd = Window.partitionBy("day")
+    val wCum = wd.orderBy("dt").rowsBetween(Window.unboundedPreceding, 0)
+    def pick(rankExpr: String, name: String) =
+      min(when(col("cum") >= expr(rankExpr), col("dt"))).as(name)
+    val quart = census
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wd))
+      .withColumn("s", sum(col("dt") * col("c")).over(wd))
+      .groupBy("day", "n", "s")
+      .agg(
+        pick("(n + 3) div 4", "p25_us"),
+        pick("(n + 1) div 2", "p50_us"),
+        pick("(3 * n + 3) div 4", "p75_us"),
+        pick("(9 * n + 9) div 10", "p90_us"))
+    started.join(quart, Seq("day"), "left")
+      .na.fill(0L, Seq("n"))
+      .select(col("day"), col("n_started"),
+        col("n").as("n_converted"),
+        expr("(n * 1000000L) div n_started").as("conv_ppm"),
+        when(col("n") > 0, expr("s div n")).as("mean_us"),
+        col("p25_us"), col("p50_us"), col("p75_us"), col("p90_us"))
+      .orderBy("day")
   }
 }

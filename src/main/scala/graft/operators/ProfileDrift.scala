@@ -221,6 +221,62 @@ object ProfileDrift {
         .as("vm"))
       .groupBy("vm").agg(count(lit(1)).as("c_ref"))
 
+  /** Rank-sum statistics per emitted WINDOW against a static reference
+    * census — the stateless half of the streaming rank-sum twin (the
+    * [[ksFromCounts]] pattern, same merge): per window the doubled-U
+    * integer, tie term, rank-biserial effect size and tie-corrected z
+    * of [[rankSumReport]], computed from the drained windowed value
+    * census. Batch and stream classify identically because both derive
+    * the doubles from the same integer cores.
+    */
+  def rankSumFromCounts(counts: DataFrame,
+      reference: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = counts
+      .select(col("window_start").as("__ws"), col("window_end").as("__we"))
+      .distinct()
+    val refRep = wins.crossJoin(broadcast(
+      reference.select(col("vm").as("__vm"), col("c_ref"))))
+    val h = refRep.join(counts,
+        col("__ws") === col("window_start") &&
+          col("__we") === col("window_end") && col("__vm") === col("vm"),
+        "full_outer")
+      .select(
+        coalesce(col("__ws"), col("window_start")).as("window_start"),
+        coalesce(col("__we"), col("window_end")).as("window_end"),
+        coalesce(col("__vm"), col("vm")).as("vm"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val wg = Window.partitionBy("window_start", "window_end")
+    val wCum = wg.orderBy("vm").rowsBetween(Window.unboundedPreceding, 0)
+    val t = col("c_ref") + col("c_cur")
+    val s = h
+      .withColumn("cum_cur", sum("c_cur").over(wCum))
+      .withColumn("n_ref", sum("c_ref").over(wg))
+      .withColumn("n_cur", sum("c_cur").over(wg))
+      .groupBy("window_start", "window_end", "n_ref", "n_cur")
+      .agg(
+        sum(col("c_ref") * (lit(2) * col("cum_cur") - col("c_cur")))
+          .as("u2"),
+        sum(t * t * t - t).as("tie3"))
+    val n1 = col("n_ref").cast("double")
+    val nAll = col("n_ref") + col("n_cur")
+    val variance = (n1 * col("n_cur") / lit(12.0)) *
+      ((nAll + lit(1)) -
+        col("tie3").cast("double") / (nAll.cast("double") * (nAll - lit(1))))
+    s
+      .withColumn("r_rb",
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          round(col("u2").cast("double") / (n1 * col("n_cur")) - lit(1), 6)))
+      .withColumn("z",
+        when(col("n_ref") > 0 && col("n_cur") > 0 && variance > 0,
+          round((col("u2") - col("n_ref") * col("n_cur")) /
+            (lit(2.0) * sqrt(variance)), 6)))
+      .select(col("window_start"), col("window_end"), col("n_ref"),
+        col("n_cur"), col("u2"), col("tie3"), col("r_rb"), col("z"))
+      .orderBy("window_start")
+  }
+
   /** Two-sample Mann–Whitney rank-sum test per group — [[ksReport]]'s
     * location-shift sibling: KS asks "did the distribution move at
     * all?", the rank-sum asks "did one snapshot stochastically dominate
