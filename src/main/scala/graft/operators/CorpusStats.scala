@@ -330,6 +330,107 @@ object CorpusStats {
         "sxx_nano", "sxy_nano", "zipf_slope")
   }
 
+  /** Per-document interpolated BIGRAM negative log-likelihood — the
+    * stronger gibberish filter over [[unigramNll]]: word salad whose
+    * unigrams are all common still scores badly when its transitions
+    * are rare. Jelinek–Mercer interpolation,
+    * `P(w|p) = λ·f_pw/f_p + (1−λ)·f_w/N` with λ = `lambdaPct`/100, so
+    * unseen-in-context bigrams back off to the unigram rate instead of
+    * −∞.
+    *
+    * Exactness: every count is an integer; each bigram INSTANCE
+    * contributes `round(−ln(P)·10⁹)` nano-nats (identical instances →
+    * identical integers, so the per-doc Σ is order-free), and the doc
+    * mean is the exact floor `Σ div n`. Scale shape: one token scan
+    * explodes bigram instances scan-stage (zip-with-next over the token
+    * array — no self-join); the (p, w) census re-aggregates from the
+    * instances; f_p / f_w attach to the CENSUS (census-grain joins),
+    * and the one instance-grain join is the (p, w) equi-join back —
+    * the stats ride one relation, so instances shuffle once.
+    *
+    * Output: (idCol, carryCols..., n_bigrams, nll_nano) — nll_nano NULL
+    * for docs with < 2 tokens (kept via left join, n_bigrams 0).
+    */
+  def bigramNll(docs: DataFrame, lambdaPct: Int = 75,
+      idCol: String = "doc_id", textCol: String = "text",
+      carryCols: Seq[String] = Seq("source")): DataFrame = {
+    require(lambdaPct > 0 && lambdaPct < 100, "lambdaPct in (0, 100)")
+    val carry = carryCols.map(col)
+    val lam = lambdaPct / 100.0
+    val toks = graft.util.Parallelism.ensure(docs)
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("ws"))
+    val inst = graft.util.Caches.cached(toks
+      .filter(size(col("ws")) >= 2) // slice length must stay >= 0
+      .select(col(idCol), explode(expr(
+        "transform(slice(ws, 1, size(ws) - 1)," +
+          " (x, i) -> struct(x AS p, ws[i + 1] AS w))")).as("b"))
+      .select(col(idCol), col("b.p").as("p"), col("b.w").as("w")))
+    val bi = inst.groupBy("p", "w").agg(count(lit(1)).as("f_pw"))
+    val uniP = inst.groupBy("p").agg(count(lit(1)).as("f_p"))
+    // unigram backoff uses the bigram-position census (token starts):
+    // the same N normalizes both terms, keeping P a true mixture
+    val uniW = inst.groupBy("w").agg(count(lit(1)).as("f_w"))
+    val nAll = inst.agg(count(lit(1)).as("n_all"))
+    val stats = bi.join(uniP, Seq("p")).join(uniW, Seq("w"))
+      .crossJoin(broadcast(nAll))
+    val cell = round(-log(lit(lam) * (col("f_pw") / col("f_p")) +
+      lit(1.0 - lam) * (col("f_w") / col("n_all"))) * lit(1e9))
+      .cast("long")
+    val perDoc = inst.join(stats, Seq("p", "w"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(cell).as("s"))
+    docs.select(col(idCol) +: carry: _*)
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_bigrams"))
+      .select(col(idCol) +: carry :+ col("n_bigrams") :+
+        when(col("n_bigrams") > 0, expr("s div n_bigrams"))
+          .as("nll_nano"): _*)
+      .orderBy(idCol)
+  }
+
+  /** Vocabulary coverage curve: what share of all token INSTANCES do
+    * the top-V vocabulary entries cover, for each candidate budget —
+    * the tokenizer/vocab sizing signal (diminishing coverage returns
+    * tell you where to stop).
+    *
+    * One token scan to the census; the top-maxV cut is TakeOrdered
+    * under the (count desc, token asc) total order (never a global
+    * sort); the cumulative window runs over ≤ maxV STAT rows; each
+    * requested budget reads its cumulative row. Exact ppm via `div`.
+    *
+    * Output: (vocab_size, n_vocab_total, covered, total_tokens,
+    * coverage_ppm), budget-ordered; budgets above the distinct-token
+    * count report full-vocabulary coverage of their available rows.
+    */
+  def vocabCoverageCurve(docs: DataFrame, budgets: Seq[Int],
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    val maxV = budgets.max
+    val census = graft.util.Caches.cached(docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c")))
+    val totals = census.agg(sum("c").as("total_tokens"),
+      count(lit(1)).as("n_vocab_total"))
+    val top = census.orderBy(col("c").desc, col("w").asc).limit(maxV)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("c").desc, col("w").asc)))
+      .withColumn("cum", sum("c").over(
+        Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)))
+    val budgetRows = budgets.sorted.map(v =>
+      struct(lit(v).as("vocab_size")))
+    val wanted = top.select(col("rank"), col("cum"))
+      .join(broadcast(totals.select(
+        explode(array(budgetRows: _*)).as("b"),
+        col("total_tokens"), col("n_vocab_total"))),
+        col("rank") === least(col("b.vocab_size"), col("n_vocab_total")))
+    wanted.select(col("b.vocab_size").as("vocab_size"),
+        col("n_vocab_total"), col("cum").as("covered"),
+        col("total_tokens"),
+        expr("(cum * 1000000L) div total_tokens").as("coverage_ppm"))
+      .orderBy("vocab_size")
+  }
+
   /** Class-discriminative vocabulary per corpus slice — Monroe/Colaresi/
     * Quinn "Fightin' Words" log-odds with an informative Dirichlet
     * prior: for each group g and token w, how much more than the REST

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Hashed-feature linear quality model — the sandbox-honest stand-in for
@@ -48,4 +48,39 @@ object QualityModel {
   /** Mean hashed-bucket weight over the doc's tokens, in [-1, 1]. */
   def score(text: Column, dim: Long = Dim): Column =
     scoreBp(text, dim).cast("double") / 10000.0
+
+  /** Flesch reading-ease per document — the classic readability quality
+    * filter (C4's terminal-punctuation rule's quantitative cousin):
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`.
+    *
+    * Sandbox-honest approximations, identical in the SQL oracle:
+    * syllables = vowel-group runs (`[aeiouy]+`) over the lowercased
+    * text (runs cannot span whitespace, so per-word and global counts
+    * agree; zero-vowel tokens contribute 0 rather than the classic
+    * min-1 — documented deviation, keeps the count one regexp);
+    * sentences = terminal-punctuation runs (`[.!?]+`) floored at 1 so
+    * unpunctuated text reads as one long sentence instead of dividing
+    * by zero. All three counts are exact integers; the score is the
+    * one double, 4 dp. Pure scan-stage — no shuffle, no join.
+    */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+      carryCols: Seq[String] = Seq("source"),
+      textCol: String = "text"): DataFrame = {
+    val nWords = size(TextOps.tokens(col(textCol))).cast("long")
+    val nSyl = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    val nSentRaw = size(regexp_extract_all(col(textCol),
+      lit("[.!?]+"), lit(0))).cast("long")
+    docs.select(
+        col(idCol) +: carryCols.map(col) :+
+          nWords.as("n_words") :+
+          greatest(lit(1L), nSentRaw).as("n_sentences") :+
+          nSyl.as("n_syllables"): _*)
+      .withColumn("flesch",
+        when(col("n_words") > 0, round(
+          lit(206.835) -
+            lit(1.015) * (col("n_words") / col("n_sentences")) -
+            lit(84.6) * (col("n_syllables") / col("n_words")), 4)))
+      .orderBy(idCol)
+  }
 }
