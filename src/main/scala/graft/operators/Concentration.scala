@@ -54,4 +54,42 @@ object Concentration {
         col("gini_num"), col("gini"))
       .orderBy(groupCol)
   }
+
+  /** Shannon diversity of a categorical composition per group — the
+    * mixture-balance audit ([[giniReport]] grades a numeric measure's
+    * inequality; this grades a CATEGORY mix): per group the entropy H
+    * over category shares, its exponential (the "effective number of
+    * categories" — 10 languages at 1% ≠ 10 languages balanced), and
+    * Pielou evenness H/ln(k) ∈ [0, 1].
+    *
+    * House nano-nat convention: each census cell contributes
+    * `round(−(c/n)·ln(c/n)·10⁹)` BEFORE the per-group Σ, so H is a
+    * combine-order-free integer and eff/evenness derive from it with
+    * the identical expression in the oracle. ONE scan to the (group,
+    * category) census; re-aggregation at stat grain; no windows.
+    *
+    * Output: (group, n_rows, n_cats, h_nano, eff_cats, evenness) —
+    * evenness NULL for single-category groups.
+    */
+  def diversityReport(df: DataFrame, groupCol: String,
+      catCol: String): DataFrame = {
+    val census = df
+      .select(col(groupCol).as("g"), col(catCol).as("cat"))
+      .groupBy("g", "cat").agg(count(lit(1)).as("c"))
+    val wg = Window.partitionBy("g")
+    val cell = round(-(col("c") / col("n")) *
+      log(col("c") / col("n")) * lit(1e9)).cast("long")
+    census
+      .withColumn("n", sum("c").over(wg))
+      .withColumn("k", count(lit(1)).over(wg))
+      .groupBy("g", "n", "k")
+      .agg(sum(cell).as("h_nano"))
+      .select(col("g").as(groupCol), col("n").as("n_rows"),
+        col("k").as("n_cats"), col("h_nano"),
+        round(exp(col("h_nano") / lit(1e9)), 6).as("eff_cats"),
+        when(col("k") > 1, round(
+          (col("h_nano") / lit(1e9)) / log(col("k").cast("double")), 6))
+          .as("evenness"))
+      .orderBy(groupCol)
+  }
 }

@@ -225,4 +225,51 @@ object Graph {
       .select("node", "degree", "dist")
       .orderBy("node")
   }
+
+  /** Degree assortativity coefficient — the one-number "do hubs link to
+    * hubs?" structure summary completing the degree/triangle/component/
+    * rank family: Pearson correlation of the degrees at either end of
+    * every edge (both directions, so the statistic is symmetric). Near
+    * +1 = assortative (social-graph-like), near −1 = disassortative
+    * (hub-and-spoke), ~0 = neutral.
+    *
+    * Integer cores: m and the degree sums stay in Long; the product
+    * sums accumulate in DECIMAL(38,0) (deg²·E headroom — the oracle's
+    * HUGEINT matches exactly); r derives from the exact cores with the
+    * identical expression both engines. Shape: degree census keyed by
+    * node, two node-keyed joins to decorate each directed edge, ONE
+    * stat aggregate. NULL on degree-regular graphs (variance 0).
+    *
+    * Output (one row): (m_directed, sum_dx, sum_dy, assortativity).
+    */
+  def assortativityReport(edges: DataFrame, aCol: String = "node_a",
+      bCol: String = "node_b"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val directed = graft.util.Caches.cached(
+      edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    val deg = directed.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val pairs = directed
+      .join(deg.select(col("node").as("src"), col("deg").as("dx")),
+        Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")),
+        Seq("dst"))
+    val s = pairs.agg(count(lit(1)).as("m"),
+      sum("dx").as("sx"), sum("dy").as("sy"),
+      sum(col("dx").cast(dec) * col("dy").cast(dec)).as("sxy"),
+      sum(col("dx").cast(dec) * col("dx").cast(dec)).as("sxx"),
+      sum(col("dy").cast(dec) * col("dy").cast(dec)).as("syy"))
+    val varX = col("m").cast(dec) * col("sxx") -
+      col("sx").cast(dec) * col("sx").cast(dec)
+    val varY = col("m").cast(dec) * col("syy") -
+      col("sy").cast(dec) * col("sy").cast(dec)
+    s.select(col("m").as("m_directed"),
+      col("sx").as("sum_dx"), col("sy").as("sum_dy"),
+      when(varX > 0 && varY > 0, round(
+        (col("m").cast(dec) * col("sxy") -
+          col("sx").cast(dec) * col("sy").cast(dec)).cast("double") /
+          sqrt(varX.cast("double") * varY.cast("double")), 6))
+        .as("assortativity"))
+  }
 }
