@@ -124,6 +124,53 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Label-noise audit by neighborhood vote: for each anchor, how many
+    * of its k nearest neighbors (ANY label, self excluded) share the
+    * anchor's label — anchors out-voted by their own neighborhood are
+    * the mislabeling suspects a labeled-set cleaning pass reviews
+    * first (Confident-Learning-style signal from pure geometry).
+    *
+    * Same exact-tier shape as [[hardNegatives]] (broadcast anchors ×
+    * ONE corpus scan, TopKBy bounded heap carrying the neighbor label;
+    * the (cos_sim, −vec_id) order is total so the k-boundary is
+    * deterministic), then a stat-grain vote per anchor. 100 TB path:
+    * swap in the LSH/IVF candidate relation, vote unchanged.
+    *
+    * Output: (query_id, q_label, k_used, n_agree, agree_ppm, suspect) —
+    * suspect = strict minority (2·n_agree < k_used).
+    */
+  def labelAgreement(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val corpus = graft.util.Parallelism.ensure(embeddings)
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"),
+        col(labelCol).as("nb_label"))
+      .withColumn("nv", norm(col("v")))
+    val queries = corpus.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nv").as("nqv"), col("nb_label").as("q_label"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_label"), col("vec_id"),
+        col("nb_label"),
+        round(dot(col("qv"), col("v")) / (col("nqv") * col("nv")), 4)
+          .as("cos_sim"))
+      .groupBy("query_id", "q_label")
+      .agg(graft.functions.TopKBy.topKBy(
+        struct(col("cos_sim"), (-col("vec_id")).as("nv"),
+          col("nb_label")), k).as("top"))
+      .select(col("query_id"), col("q_label"), explode(col("top")).as("t"))
+      .groupBy("query_id", "q_label")
+      .agg(count(lit(1)).as("k_used"),
+        sum(when(col("t.nb_label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .select(col("query_id"), col("q_label"), col("k_used"),
+        col("n_agree"),
+        expr("(n_agree * 1000000L) div k_used").as("agree_ppm"),
+        (col("n_agree") * 2 < col("k_used")).as("suspect"))
+      .orderBy("query_id")
+  }
+
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
       .agg(graft.functions.TopKBy.topKBy(
