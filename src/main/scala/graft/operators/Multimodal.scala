@@ -245,6 +245,86 @@ object Multimodal {
       out.put(data, 0, dl)
       out.array()
     }
+
+    // ----------------------------------------------------------------
+    // MP3 (MPEG-1 Layer III) frame headers — pure JDK bit math
+    // ----------------------------------------------------------------
+
+    final case class Mp3Info(bitrateKbps: Int, sampleRate: Int,
+        nFrames: Long, durationMs: Long)
+
+    /** ISO/IEC 11172-3 Layer III tables: bitrate index → kbps (0 =
+      * free/bad, unsupported), sample-rate index → Hz.
+      */
+    private val Mp3Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96,
+      112, 128, 160, 192, 224, 256, 320, 0)
+    private val Mp3Rates = Array(44100, 48000, 32000, 0)
+
+    /** First-frame-sync predicate: 11-bit sync + MPEG-1 (version bits
+      * 11) + Layer III (01); CRC-protected and unprotected both match.
+      */
+    private def mp3Sync(b: Array[Byte], o: Int): Boolean =
+      (b(o) & 0xff) == 0xff && (b(o + 1) & 0xfe) == 0xfa
+
+    /** Parse an MPEG-1 Layer III stream: scan to the first frame sync
+      * (ID3v2 prefixes and junk are skipped byte-wise), then walk
+      * frames by their computed length `⌊144000·kbps/Hz⌋ + padding`.
+      * A truncated final frame is NOT counted (the physical-bytes
+      * honesty rule [[parseWav]] follows). Reported bitrate is the
+      * FIRST frame's (VBR streams exist; the first-frame figure is the
+      * documented convention here). Duration = frames·1152 samples at
+      * the stream rate, floored to ms. MPEG-2/2.5 and Layers I/II
+      * return None — documented scope, not silent wrongness.
+      */
+    def parseMp3(bytes: Array[Byte]): Option[Mp3Info] = {
+      var off = 0
+      while (off + 4 <= bytes.length && !mp3Sync(bytes, off)) off += 1
+      var frames = 0L
+      var kbps0 = -1
+      var rate0 = -1
+      var pos = off
+      var ok = true
+      while (ok && pos + 4 <= bytes.length && mp3Sync(bytes, pos)) {
+        val bIdx = (bytes(pos + 2) & 0xf0) >>> 4
+        val rIdx = (bytes(pos + 2) & 0x0c) >>> 2
+        val pad = (bytes(pos + 2) & 0x02) >>> 1
+        val kbps = Mp3Bitrates(bIdx)
+        val hz = Mp3Rates(rIdx)
+        if (kbps == 0 || hz == 0) ok = false // free-format unsupported
+        else {
+          if (kbps0 == -1) { kbps0 = kbps; rate0 = hz }
+          val flen = 144000 * kbps / hz + pad
+          if (pos + flen > bytes.length) pos = bytes.length // truncated
+          else { frames += 1; pos += flen }
+        }
+      }
+      if (frames == 0 || !ok) None
+      else Some(Mp3Info(kbps0, rate0, frames,
+        frames * 1152L * 1000L / rate0))
+    }
+
+    /** Serialize `nFrames` unpadded MPEG-1 Layer III frames (header +
+      * zero payload) — the synthesis half of the round-trip contract.
+      */
+    def buildMp3(bitrateKbps: Int, sampleRate: Int,
+        nFrames: Int): Array[Byte] = {
+      val bIdx = Mp3Bitrates.indexOf(bitrateKbps)
+      val rIdx = Mp3Rates.indexOf(sampleRate)
+      require(bIdx > 0 && rIdx >= 0 && rIdx < 3 && nFrames > 0,
+        s"unsupported MP3 parameters: $bitrateKbps kbps @ $sampleRate Hz")
+      val flen = 144000 * bitrateKbps / sampleRate
+      val out = new Array[Byte](flen * nFrames)
+      var f = 0
+      while (f < nFrames) {
+        val o = f * flen
+        out(o) = 0xff.toByte
+        out(o + 1) = 0xfb.toByte // MPEG-1, Layer III, no CRC
+        out(o + 2) = ((bIdx << 4) | (rIdx << 2)).toByte
+        out(o + 3) = 0
+        f += 1
+      }
+      out
+    }
   }
 
   /** Real-WAV payload table from the documents fixture: each doc's text
@@ -296,6 +376,54 @@ object Multimodal {
       StructField("channels", IntegerType),
       StructField("sample_rate", IntegerType),
       StructField("bits_per_sample", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("duration_ms", LongType))))
+  }
+
+  /** Real-MP3 payload table: each doc becomes a genuine MPEG-1 Layer
+    * III frame stream with bitrate / sample rate / frame count varied
+    * deterministically by doc_id, so [[mp3Metadata]]'s walker is
+    * checked against closed-form parameters the oracle recomputes from
+    * doc_id alone (the [[synthesizeWavPayloads]] contract).
+    */
+  def synthesizeMp3Payloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = graft.util.Parallelism.ensure(docs)
+      .select("doc_id").rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val kbps = Array(64, 128, 192, 320)((id % 4).toInt)
+          val rate = Array(44100, 48000, 32000)((id % 3).toInt)
+          val frames = 1 + (id % 5).toInt
+          Row(id, AudioCodec.buildMp3(kbps, rate, frames))
+        }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType))))
+  }
+
+  /** Per-payload MP3 metadata via the REAL frame walk: (doc_id,
+    * bitrate_kbps, sample_rate, n_frames, duration_ms); non-MP3 or
+    * unsupported streams yield null metadata. Same scan-stage
+    * mapPartitions shape as [[audioMetadata]].
+    */
+  def mp3Metadata(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    val rdd = graft.util.Parallelism.ensure(payloads)
+      .select("doc_id", "payload").rdd.mapPartitions { rows =>
+        rows.map { r =>
+          AudioCodec.parseMp3(r.getAs[Array[Byte]](1)) match {
+            case Some(i) => Row(r.getLong(0), i.bitrateKbps, i.sampleRate,
+              i.nFrames, i.durationMs)
+            case None => Row(r.getLong(0), null, null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("bitrate_kbps", IntegerType),
+      StructField("sample_rate", IntegerType),
       StructField("n_frames", LongType),
       StructField("duration_ms", LongType))))
   }

@@ -3,11 +3,38 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.Similarity
+import graft.operators.{Multimodal, Similarity}
 
-/** Round-6 part twenty: nearest-neighbor label-noise audit. */
+/** Round-6 part twenty: nearest-neighbor label-noise audit + MP3
+  * frame-header parsing.
+  */
 class Round6sSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+
+  import Multimodal.AudioCodec
+
+  test("parseMp3: round-trips buildMp3 parameters exactly") {
+    for (kbps <- Seq(64, 128, 320); rate <- Seq(44100, 48000, 32000)) {
+      val b = AudioCodec.buildMp3(kbps, rate, 4)
+      val i = AudioCodec.parseMp3(b).get
+      assert(i.bitrateKbps == kbps && i.sampleRate == rate)
+      assert(i.nFrames == 4L)
+      assert(i.durationMs == 4L * 1152 * 1000 / rate)
+    }
+  }
+
+  test("parseMp3: junk prefix skipped, truncated final frame uncounted") {
+    val clean = AudioCodec.buildMp3(128, 44100, 3)
+    val prefixed = Array[Byte](1, 2, 3, 0x49, 0x44, 0x33) ++ clean
+    assert(AudioCodec.parseMp3(prefixed).get.nFrames == 3L)
+    val truncated = clean.dropRight(10) // cuts into frame 3
+    assert(AudioCodec.parseMp3(truncated).get.nFrames == 2L)
+    assert(AudioCodec.parseMp3("not audio".getBytes).isEmpty)
+    // a WAV is not an MP3 and vice versa
+    val wav = AudioCodec.buildWav(1, 8000, new Array[Byte](64))
+    assert(AudioCodec.parseMp3(wav).isEmpty)
+    assert(AudioCodec.parseWav(clean).isEmpty)
+  }
 
   test("labelAgreement: out-voted anchor flags suspect, clustered doesn't") {
     import spark.implicits._
