@@ -561,7 +561,8 @@ object SparkEntry {
       Round6jQueries.queries ++ Round6kQueries.queries ++ Round6lQueries.queries ++ Round6mQueries.queries ++
       Round6nQueries.queries ++ Round6oQueries.queries ++
       Round6pQueries.queries ++ Round6qQueries.queries ++
-      Round6rQueries.queries ++ Round6sQueries.queries
+      Round6rQueries.queries ++ Round6sQueries.queries ++
+      Round6tQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -581,5 +582,6 @@ object SparkEntry {
       Round6kQueries.oracleSql ++ Round6lQueries.oracleSql ++ Round6mQueries.oracleSql ++
       Round6nQueries.oracleSql ++ Round6oQueries.oracleSql ++
       Round6pQueries.oracleSql ++ Round6qQueries.oracleSql ++
-      Round6rQueries.oracleSql ++ Round6sQueries.oracleSql
+      Round6rQueries.oracleSql ++ Round6sQueries.oracleSql ++
+      Round6tQueries.oracleSql
 }

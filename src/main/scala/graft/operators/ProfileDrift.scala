@@ -221,6 +221,56 @@ object ProfileDrift {
         .as("vm"))
       .groupBy("vm").agg(count(lit(1)).as("c_ref"))
 
+  /** Quantile–quantile drift table per group — the "WHERE did the
+    * distribution move" companion of [[ksReport]] (which says how much,
+    * at one split point): for each interior decile, the reference and
+    * current order statistics side by side with their shift. The table
+    * a release review actually reads — "p90 latency moved +40 ms, the
+    * median didn't".
+    *
+    * Exact: both sides share one merged-convention census (µ-quantized
+    * values); each decile is the house conditional-min order-statistic
+    * pick at rank ⌈q·n/10⌉, so every reported value is a real data
+    * value and the shift is an exact integer difference. Windows run
+    * per (side, group) over census STAT rows; the decile fan is a
+    * 9-row broadcast.
+    *
+    * Output: (group, q_decile, n_ref, n_cur, ref_micro, cur_micro,
+    * shift_micro), (group, decile)-ordered.
+    */
+  def qqReport(ref: DataFrame, cur: DataFrame, groupCol: String,
+      valCol: String, nQ: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nQ >= 2, s"nQ must be >= 2, got $nQ")
+    def side(df: DataFrame, name: String) = df
+      .select(lit(name).as("side"), col(groupCol).as("g"),
+        round(col(valCol).cast("double") * 1e6).cast("long").as("vm"))
+    val h = side(ref, "ref").unionByName(side(cur, "cur"))
+      .groupBy("side", "g", "vm").agg(count(lit(1)).as("c"))
+    val wsg = Window.partitionBy("side", "g")
+    val wCum = wsg.orderBy("vm").rowsBetween(Window.unboundedPreceding, 0)
+    val qs = broadcast(
+      ref.sparkSession.range(1, nQ).select(col("id").cast("int").as("q")))
+    val picks = h
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wsg))
+      .crossJoin(qs)
+      .groupBy("side", "g", "q", "n")
+      .agg(min(when(col("cum") >=
+        expr(s"(q * n + ${nQ - 1}) div $nQ"), col("vm"))).as("pick"))
+    val refP = picks.filter(col("side") === "ref")
+      .select(col("g"), col("q"), col("n").as("n_ref"),
+        col("pick").as("ref_micro"))
+    val curP = picks.filter(col("side") === "cur")
+      .select(col("g"), col("q"), col("n").as("n_cur"),
+        col("pick").as("cur_micro"))
+    refP.join(curP, Seq("g", "q"), "full_outer")
+      .select(col("g").as(groupCol), col("q").as("q_decile"),
+        col("n_ref"), col("n_cur"), col("ref_micro"), col("cur_micro"),
+        (col("cur_micro") - col("ref_micro")).as("shift_micro"))
+      .orderBy(groupCol, "q_decile")
+  }
+
   /** Rank-sum statistics per emitted WINDOW against a static reference
     * census — the stateless half of the streaming rank-sum twin (the
     * [[ksFromCounts]] pattern, same merge): per window the doubled-U

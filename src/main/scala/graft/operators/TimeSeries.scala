@@ -530,6 +530,41 @@ object TimeSeries {
       .orderBy(keyCol)
   }
 
+  /** Fano-factor overdispersion check per key: the variance-to-mean
+    * ratio of DAILY event counts — Poisson-like steady traffic reads
+    * ~1, bursty/clumped traffic reads > 1 — the one-number "does this
+    * key need burst-tolerant alert bands" gate feeding
+    * [[cusumReport]]/[[ewmaForecast]] band widths.
+    *
+    * Fully integer: with daily counts c over n days,
+    * `var/mean = var_num / ((n−1)·Σc)` where
+    * `var_num = n·Σc² − (Σc)²` — an exact rational, reported as ppm
+    * floor division. No doubles anywhere. One scan to the daily
+    * aggregate, one stat-grain re-aggregate.
+    *
+    * Output: (key, n_days, sum_events, var_num, fano_ppm,
+    * overdispersed) — ratio columns NULL for single-day keys.
+    */
+  def fanoReport(events: DataFrame, keyCol: String,
+      tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .select(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .groupBy("key", "day").agg(count(lit(1)).as("c"))
+    daily
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_days"), sum("c").as("sum_events"),
+        sum(col("c") * col("c")).as("scc"))
+      .select(col("key").as(keyCol), col("n_days"), col("sum_events"),
+        (col("n_days") * col("scc") -
+          col("sum_events") * col("sum_events")).as("var_num"))
+      .withColumn("fano_ppm",
+        when(col("n_days") > 1 && col("sum_events") > 0,
+          expr("(var_num * 1000000L) div ((n_days - 1) * sum_events)")))
+      .withColumn("overdispersed",
+        when(col("fano_ppm").isNotNull, col("fano_ppm") > 1000000L))
+      .orderBy(keyCol)
+  }
+
   /** Inter-arrival (inter-event gap) distribution per key: how often
     * does each user fire each event type, and what does the cadence
     * distribution look like — the usage-rhythm report behind session-gap
