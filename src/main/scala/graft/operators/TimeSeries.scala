@@ -530,6 +530,56 @@ object TimeSeries {
       .orderBy(keyCol)
   }
 
+  /** Holt linear-trend forecaster per key (double exponential
+    * smoothing, α = β = ¼) — [[ewmaForecast]]'s sibling for series with
+    * drift: EWMA lags a trending series by construction; Holt carries
+    * an explicit trend term, so its one-step error on drifting volume
+    * is the honest forecastability score.
+    *
+    * Exact integer recurrences over each key's SORTED daily array:
+    * `l₁ = y₁, b₁ = 0`, prediction `p = l + b`,
+    * `lₜ = (3p + yₜ) div 4`, `bₜ = (3b + (lₜ − lₜ₋₁)) div 4` — the
+    * trend goes NEGATIVE on falling series, and BOTH engines truncate
+    * integer division toward zero (Spark `div` ≡ DuckDB `//`,
+    * verified on negatives), so the recursive-CTE oracle replays the
+    * recurrence bit-for-bit. Same shape as
+    * [[cusumReport]]/[[ewmaForecast]]: ONE scan to the daily
+    * aggregate, one integer fold.
+    *
+    * Output: (key, n_days, level_final, trend_final, forecast_next,
+    * mae_micro) — mae NULL for single-day keys.
+    */
+  def holtForecast(events: DataFrame, keyCol: String,
+      tsCol: String = "ts", valCol: String = "value"): DataFrame = {
+    val daily = events
+      .select(col(keyCol).as("key"), to_date(col(tsCol)).as("day"),
+        round(col(valCol).cast("double") * 1e6).cast("long").as("vm"))
+      .groupBy("key", "day").agg(sum("vm").as("y"))
+    val pred = "(acc.l + acc.b)"
+    val lt = s"((3 * $pred + x.y) div 4)"
+    val bt = s"((3 * acc.b + ($lt - acc.l)) div 4)"
+    daily
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("day"), col("y")))).as("arr"))
+      .withColumn("fold", expr(
+        s"""aggregate(arr,
+           |  named_struct('l', CAST(NULL AS BIGINT), 'b', 0L, 'ae', 0L),
+           |  (acc, x) -> CASE WHEN acc.l IS NULL
+           |    THEN named_struct('l', x.y, 'b', 0L, 'ae', 0L)
+           |    ELSE named_struct(
+           |      'l', $lt,
+           |      'b', $bt,
+           |      'ae', acc.ae + abs(x.y - $pred)) END)""".stripMargin))
+      .select(col("key").as(keyCol), col("n_days"),
+        col("fold.l").as("level_final"),
+        col("fold.b").as("trend_final"),
+        (col("fold.l") + col("fold.b")).as("forecast_next"),
+        when(col("n_days") > 1,
+          expr("fold.ae div (n_days - 1)")).as("mae_micro"))
+      .orderBy(keyCol)
+  }
+
   /** Fano-factor overdispersion check per key: the variance-to-mean
     * ratio of DAILY event counts — Poisson-like steady traffic reads
     * ~1, bursty/clumped traffic reads > 1 — the one-number "does this
