@@ -562,7 +562,8 @@ object SparkEntry {
       Round6nQueries.queries ++ Round6oQueries.queries ++
       Round6pQueries.queries ++ Round6qQueries.queries ++
       Round6rQueries.queries ++ Round6sQueries.queries ++
-      Round6tQueries.queries ++ Round6uQueries.queries
+      Round6tQueries.queries ++ Round6uQueries.queries ++
+      Round6vQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -583,5 +584,6 @@ object SparkEntry {
       Round6nQueries.oracleSql ++ Round6oQueries.oracleSql ++
       Round6pQueries.oracleSql ++ Round6qQueries.oracleSql ++
       Round6rQueries.oracleSql ++ Round6sQueries.oracleSql ++
-      Round6tQueries.oracleSql ++ Round6uQueries.oracleSql
+      Round6tQueries.oracleSql ++ Round6uQueries.oracleSql ++
+      Round6vQueries.oracleSql
 }

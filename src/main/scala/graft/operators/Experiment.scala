@@ -62,4 +62,63 @@ object Experiment {
         round(col("theta"), 6).as("theta"))
       .orderBy("arm")
   }
+
+  /** Covariate-balance audit between two experiment arms — the
+    * pre-readout sanity check [[cupedReport]] assumes: per feature,
+    * the standardized mean difference
+    * `SMD = (m̄_treat − m̄_ctrl)/√((v_ctrl + v_treat)/2)`; |SMD| ≥ 0.1
+    * is the conventional imbalance flag (a randomization bug, not a
+    * treatment effect).
+    *
+    * Per-(unit, feature) milli sums off ONE scan; absent combinations
+    * count as ZERO (a user who never purchased has zero purchase
+    * spend — the full unit×feature grid is reconstituted from the
+    * broadcast feature list, the chiSquare zero-cell move). Per-arm
+    * sufficient statistics are exact integers (Σx² in DECIMAL ≡ oracle
+    * HUGEINT); SMD and the flag derive identically in SQL.
+    *
+    * Output per feature: (feature, n_ctrl, n_treat, mean_ctrl_milli,
+    * mean_treat_milli, smd, balanced); smd NULL when both variances
+    * are 0.
+    */
+  def covariateBalance(events: DataFrame, armExpr: Column,
+      featureCol: String = "event_type", valCol: String = "value",
+      userCol: String = "user_id"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val vm = round(col(valCol).cast("double") * 1e3).cast("long")
+    val sums = events
+      .groupBy(col(userCol).as("u"), col(featureCol).as("ft"))
+      .agg(sum(vm).as("v"))
+    val units = sums.select("u").distinct()
+    val features = sums.select("ft").distinct()
+    val grid = units.crossJoin(broadcast(features))
+      .join(sums, Seq("u", "ft"), "left")
+      .na.fill(0L, Seq("v"))
+      .withColumn("arm", armExpr)
+    val byArm = grid.groupBy("ft", "arm")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"),
+        sum(col("v").cast(dec) * col("v").cast(dec)).as("q"))
+    def pick(a: Int, c: String) = max(when(col("arm") === a, col(c))).as(s"${c}$a")
+    val p = byArm.groupBy("ft")
+      .agg(pick(0, "n"), pick(0, "s"), pick(0, "q"),
+        pick(1, "n"), pick(1, "s"), pick(1, "q"))
+    def v(i: Int) = (col(s"n$i").cast(dec) * col(s"q$i") -
+      col(s"s$i").cast(dec) * col(s"s$i").cast(dec)).cast("double") /
+      (col(s"n$i").cast("double") * (col(s"n$i") - lit(1)))
+    val pooled = (v(0) + v(1)) / lit(2.0)
+    val smd = round((col("s1").cast("double") / col("n1") -
+      col("s0").cast("double") / col("n0")) / sqrt(pooled), 6)
+    p
+      .withColumn("smd",
+        when(col("n0") > 1 && col("n1") > 1 && pooled > 0, smd))
+      .select(col("ft").as("feature"),
+        col("n0").as("n_ctrl"), col("n1").as("n_treat"),
+        round(col("s0").cast("double") / col("n0"), 6)
+          .as("mean_ctrl_milli"),
+        round(col("s1").cast("double") / col("n1"), 6)
+          .as("mean_treat_milli"),
+        col("smd"),
+        when(col("smd").isNotNull, abs(col("smd")) < 0.1).as("balanced"))
+      .orderBy("feature")
+  }
 }

@@ -221,6 +221,28 @@ object ProfileDrift {
         .as("vm"))
       .groupBy("vm").agg(count(lit(1)).as("c_ref"))
 
+  /** Multi-column KS drift suite: [[ksReport]] over MANY numeric
+    * columns in ONE scan per side — the "monitor every column of the
+    * release" form a production drift job actually runs. Columns melt
+    * to (feature, value) rows at scan stage (the informationGain
+    * move: the F× row fan collapses to the census in the map-side
+    * partial aggregate before any exchange), and the per-feature KS
+    * machinery IS ksReport with the feature name as the group key —
+    * identical integer cores, identical oracle mirror.
+    *
+    * Output: (feature, n_ref, n_cur, d_num, argmax_micro, ks),
+    * feature-ordered.
+    */
+  def ksSuite(ref: DataFrame, cur: DataFrame,
+      featureCols: Seq[String]): DataFrame = {
+    require(featureCols.nonEmpty, "featureCols must be non-empty")
+    def melt(df: DataFrame) = df.select(explode(array(
+        featureCols.map(c => struct(lit(c).as("feature"),
+          col(c).cast("double").as("value"))): _*)).as("m"))
+      .select(col("m.feature").as("feature"), col("m.value").as("value"))
+    ksReport(melt(ref), melt(cur), "feature", "value")
+  }
+
   /** Quantile–quantile drift table per group — the "WHERE did the
     * distribution move" companion of [[ksReport]] (which says how much,
     * at one split point): for each interior decile, the reference and
