@@ -243,6 +243,21 @@ object ProfileDrift {
     ksReport(melt(ref), melt(cur), "feature", "value")
   }
 
+  /** Multi-column PSI drift suite — [[ksSuite]]'s binned sibling: every
+    * monitored column's [[psiReport]] off ONE melted scan per side.
+    * Same melt, same per-feature machinery, same nano-nat integer
+    * cells; the conventional 0.1/0.25 PSI bands then apply per column.
+    */
+  def psiSuite(ref: DataFrame, cur: DataFrame, featureCols: Seq[String],
+      nBins: Int = 10): DataFrame = {
+    require(featureCols.nonEmpty, "featureCols must be non-empty")
+    def melt(df: DataFrame) = df.select(explode(array(
+        featureCols.map(c => struct(lit(c).as("feature"),
+          col(c).cast("double").as("value"))): _*)).as("m"))
+      .select(col("m.feature").as("feature"), col("m.value").as("value"))
+    psiReport(melt(ref), melt(cur), "feature", "value", nBins)
+  }
+
   /** Quantile–quantile drift table per group — the "WHERE did the
     * distribution move" companion of [[ksReport]] (which says how much,
     * at one split point): for each interior decile, the reference and
