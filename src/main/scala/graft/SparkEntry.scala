@@ -563,7 +563,8 @@ object SparkEntry {
       Round6pQueries.queries ++ Round6qQueries.queries ++
       Round6rQueries.queries ++ Round6sQueries.queries ++
       Round6tQueries.queries ++ Round6uQueries.queries ++
-      Round6vQueries.queries ++ Round6wQueries.queries
+      Round6vQueries.queries ++ Round6wQueries.queries ++
+      Round6xQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -585,5 +586,6 @@ object SparkEntry {
       Round6pQueries.oracleSql ++ Round6qQueries.oracleSql ++
       Round6rQueries.oracleSql ++ Round6sQueries.oracleSql ++
       Round6tQueries.oracleSql ++ Round6uQueries.oracleSql ++
-      Round6vQueries.oracleSql ++ Round6wQueries.oracleSql
+      Round6vQueries.oracleSql ++ Round6wQueries.oracleSql ++
+      Round6xQueries.oracleSql
 }

@@ -226,6 +226,66 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Item–item co-occurrence cosine top-k — the classic "customers who
+    * bought X also bought Y" recommender primitive over the SAME capped
+    * basket relation as [[coOccurrenceEdges]]/AssociationRules:
+    * `cos(a, b) = n_both/√(n_a·n_b)` normalizes raw co-counts by item
+    * popularity, so ubiquitous items stop dominating every list.
+    *
+    * The cosine is the one double, ROUNDED to 6 dp BEFORE entering the
+    * per-item TopKBy heap — the heap therefore orders by exactly the
+    * value the SQL oracle ranks by ((cos desc, other asc), total with
+    * the id tiebreak). Bounded-heap partial aggregation keeps the
+    * exchange at O(items·k); the pair stage is the capped basket
+    * self-join.
+    *
+    * Output: (item, other, n_item, n_other, n_both, cos_sim, rank),
+    * (item, rank)-ordered.
+    */
+  def itemSimilarityTopK(baskets: DataFrame, groupCol: String,
+      itemCol: String, k: Int,
+      maxGroupSize: Option[Long] = None): DataFrame = {
+    val base0 = baskets
+      .select(col(groupCol).as("g"), col(itemCol).as("it"))
+      .distinct()
+    val base = graft.util.Caches.cached(maxGroupSize match {
+      case Some(cap) =>
+        val hot = base0.groupBy("g").agg(count(lit(1)).as("sz"))
+          .filter(col("sz") > cap).select("g")
+        base0.join(broadcast(hot), Seq("g"), "left_anti")
+      case None => base0
+    })
+    val itemCounts = graft.util.Caches.cached(
+      base.groupBy("it").agg(count(lit(1)).as("n_it")))
+    val pairs = base.as("a")
+      .join(base.as("b"),
+        col("a.g") === col("b.g") && col("a.it") < col("b.it"))
+      .groupBy(col("a.it").as("it_a"), col("b.it").as("it_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val directed = pairs
+      .select(col("it_a").as("item"), col("it_b").as("other"), col("n_both"))
+      .unionByName(pairs.select(col("it_b").as("item"),
+        col("it_a").as("other"), col("n_both")))
+      .join(itemCounts.select(col("it").as("item"),
+        col("n_it").as("n_item")), Seq("item"))
+      .join(itemCounts.select(col("it").as("other"),
+        col("n_it").as("n_other")), Seq("other"))
+      .withColumn("cos_sim", round(col("n_both") /
+        sqrt(col("n_item").cast("double") * col("n_other")), 6))
+    directed
+      .groupBy("item", "n_item")
+      .agg(graft.functions.TopKBy.topKBy(
+        struct(col("cos_sim"), (-col("other")).as("no"),
+          col("n_other"), col("n_both")), k).as("top"))
+      .select(col("item"), col("n_item"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("item"), (-col("t.no")).as("other"), col("n_item"),
+        col("t.n_other").as("n_other"), col("t.n_both").as("n_both"),
+        col("t.cos_sim").as("cos_sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("item", "rank")
+  }
+
   /** Topic-sensitive (personalized) PageRank: the restart mass lands on
     * a SEED relation instead of uniformly — rank then measures
     * closeness-to-the-seeds under the random-surfer walk, the

@@ -243,6 +243,62 @@ object ProfileDrift {
     ksReport(melt(ref), melt(cur), "feature", "value")
   }
 
+  /** Robust (trimmed-mean) location shift per group — the
+    * outlier-immune companion of [[welchTReport]]: each side's mean is
+    * computed after dropping the lowest and highest `trimPct`% of
+    * observations, so one fat-fingered value can't fake (or mask) a
+    * release-over-release move.
+    *
+    * Entirely exact integers: with t = ⌊n·trimPct/100⌋ dropped per
+    * tail, each census cell (vm, c) contributes
+    * `vm · (min(cum, n−t) − max(cum−c, t))` clamped at 0 — the exact
+    * overlap of the cell's rank interval with the kept window — so the
+    * trimmed sum needs no per-row pass and no boundary special-casing.
+    * The trimmed mean is the floor `sum div (n−2t)`; the shift is an
+    * integer difference. One census per side, windows over distinct
+    * values.
+    *
+    * Output: (group, n_ref, n_cur, trim_ref, trim_cur, mean_ref_micro,
+    * mean_cur_micro, shift_micro); means NULL when trimming empties a
+    * side.
+    */
+  def trimmedMeanShift(ref: DataFrame, cur: DataFrame, groupCol: String,
+      valCol: String, trimPct: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(trimPct >= 0 && trimPct < 50, s"trimPct in [0, 50): $trimPct")
+    def side(df: DataFrame, name: String) = df
+      .select(lit(name).as("side"), col(groupCol).as("g"),
+        round(col(valCol).cast("double") * 1e6).cast("long").as("vm"))
+    val h = side(ref, "ref").unionByName(side(cur, "cur"))
+      .groupBy("side", "g", "vm").agg(count(lit(1)).as("c"))
+    val wsg = Window.partitionBy("side", "g")
+    val wCum = wsg.orderBy("vm").rowsBetween(Window.unboundedPreceding, 0)
+    val stats = h
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wsg))
+      .withColumn("t", expr(s"(n * $trimPct) div 100"))
+      .withColumn("keep", greatest(lit(0L),
+        least(col("cum"), col("n") - col("t")) -
+          greatest(col("cum") - col("c"), col("t"))))
+      .groupBy("side", "g", "n", "t")
+      .agg(sum(col("vm") * col("keep")).as("ts"))
+      .withColumn("mean_micro",
+        when(col("n") - lit(2) * col("t") > 0,
+          expr("ts div (n - 2 * t)")))
+    def pick(s: String, c: String, as: String) =
+      max(when(col("side") === s, col(c))).as(as)
+    stats.groupBy("g")
+      .agg(pick("ref", "n", "n_ref"), pick("cur", "n", "n_cur"),
+        pick("ref", "t", "trim_ref"), pick("cur", "t", "trim_cur"),
+        pick("ref", "mean_micro", "mean_ref_micro"),
+        pick("cur", "mean_micro", "mean_cur_micro"))
+      .select(col("g").as(groupCol), col("n_ref"), col("n_cur"),
+        col("trim_ref"), col("trim_cur"),
+        col("mean_ref_micro"), col("mean_cur_micro"),
+        (col("mean_cur_micro") - col("mean_ref_micro")).as("shift_micro"))
+      .orderBy(groupCol)
+  }
+
   /** Multi-column PSI drift suite — [[ksSuite]]'s binned sibling: every
     * monitored column's [[psiReport]] off ONE melted scan per side.
     * Same melt, same per-feature machinery, same nano-nat integer
