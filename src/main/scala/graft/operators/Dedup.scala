@@ -515,6 +515,37 @@ object Dedup {
         col("n_docs"), col("__score").as("rep_score"))
   }
 
+  /** Dedup survivorship matrix: when near-dup clusters are collapsed to
+    * their min-id representative, WHICH sources keep content and which
+    * lose it — the "is dedup silently draining source X into source Y"
+    * audit a mixture designer runs before trusting post-dedup source
+    * shares.
+    *
+    * Shape: the pair-participant-sized CC relation joins doc metadata
+    * once; winners are a per-cluster min aggregate (the q50 keep-min-id
+    * convention); the matrix is a stat-grain (kept_source,
+    * dropped_source) count. Diagonal rows = within-source dedup,
+    * off-diagonal = cross-source drain.
+    *
+    * Output: (kept_source, dropped_source, n_dropped), ordered.
+    */
+  def survivorshipMatrix(docs: DataFrame, pairs: DataFrame,
+      groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val cc = connectedComponents(pairs)
+    val d = graft.util.Caches.cached(cc.join(
+      docs.select(col(idCol).as("doc_id"), col(groupCol).as("__grp")),
+      Seq("doc_id")))
+    val winners = d.groupBy("cluster").agg(min("doc_id").as("winner"))
+    val keptSrc = winners.join(
+      d.select(col("doc_id").as("winner"), col("__grp").as("kept_source")),
+      Seq("winner"))
+    d.join(keptSrc, Seq("cluster"))
+      .filter(col("doc_id") =!= col("winner"))
+      .groupBy(col("kept_source"), col("__grp").as("dropped_source"))
+      .agg(count(lit(1)).as("n_dropped"))
+      .orderBy("kept_source", "dropped_source")
+  }
+
   // -------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------

@@ -171,6 +171,40 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Deterministic uniform negative sampling — [[hardNegatives]]'
+    * baseline: k different-label examples per anchor chosen by a
+    * reproducible hash order instead of similarity (the default
+    * InfoNCE denominator; hard negatives are the upgrade, uniform ones
+    * the control). Ranking key is `md5(query_id:vec_id)` — uniform,
+    * anchor-specific, and computable verbatim in the SQL oracle, so
+    * the "random" sample is hash-exact cross-engine. No vector math:
+    * the corpus side projects (id, label) only.
+    *
+    * Output: (query_id, q_label, vec_id, neg_label, rank), rank
+    * 1-based in hash order.
+    */
+  def randomNegatives(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      idCol: String = "vec_id", labelCol: String = "label"): DataFrame = {
+    val corpus = graft.util.Parallelism.ensure(embeddings)
+      .select(col(idCol).as("vec_id"), col(labelCol).as("nb_label"))
+    val queries = corpus.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("nb_label").as("q_label"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("nb_label") =!= col("q_label"))
+      .withColumn("h", md5(concat(col("query_id").cast("string"),
+        lit(":"), col("vec_id").cast("string"))))
+      .groupBy("query_id", "q_label")
+      .agg(graft.functions.TopKBy.topKBy(
+        struct(col("h"), (-col("vec_id")).as("nv"),
+          col("nb_label")), k).as("top"))
+      .select(col("query_id"), col("q_label"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("q_label"), (-col("t.nv")).as("vec_id"),
+        col("t.nb_label").as("neg_label"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
       .agg(graft.functions.TopKBy.topKBy(
