@@ -86,9 +86,11 @@ object Experiment {
       userCol: String = "user_id"): DataFrame = {
     val dec = "decimal(38,0)"
     val vm = round(col(valCol).cast("double") * 1e3).cast("long")
-    val sums = events
+    // cached: units, features and the grid all re-enter this relation —
+    // uncached each consumer re-scans the event log
+    val sums = graft.util.Caches.cached(events
       .groupBy(col(userCol).as("u"), col(featureCol).as("ft"))
-      .agg(sum(vm).as("v"))
+      .agg(sum(vm).as("v")))
     val units = sums.select("u").distinct()
     val features = sums.select("ft").distinct()
     val grid = units.crossJoin(broadcast(features))
