@@ -564,7 +564,8 @@ object SparkEntry {
       Round6rQueries.queries ++ Round6sQueries.queries ++
       Round6tQueries.queries ++ Round6uQueries.queries ++
       Round6vQueries.queries ++ Round6wQueries.queries ++
-      Round6xQueries.queries ++ Round6yQueries.queries
+      Round6xQueries.queries ++ Round6yQueries.queries ++
+      Round6zQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -587,5 +588,6 @@ object SparkEntry {
       Round6rQueries.oracleSql ++ Round6sQueries.oracleSql ++
       Round6tQueries.oracleSql ++ Round6uQueries.oracleSql ++
       Round6vQueries.oracleSql ++ Round6wQueries.oracleSql ++
-      Round6xQueries.oracleSql ++ Round6yQueries.oracleSql
+      Round6xQueries.oracleSql ++ Round6yQueries.oracleSql ++
+      Round6zQueries.oracleSql
 }

@@ -278,6 +278,71 @@ object Correlate {
       .orderBy("feature")
   }
 
+  /** Decision-stump threshold search: the best single split `v ≤ t` of
+    * a numeric feature against a binary label, scored by information
+    * gain — [[informationGain]] ranks features as-is; this finds WHERE
+    * a numeric feature separates the classes (the quality-filter
+    * threshold a pipeline then deploys, and the root-node computation
+    * of any tree learner).
+    *
+    * Every distinct feature value is a candidate threshold. From the
+    * per-(value, label) census, cumulative label counts give each
+    * candidate's four split cells in O(1); each cell contributes
+    * `(c/N)·ln(n_side/c)` nano-nats rounded BEFORE the sum (the q152
+    * convention, zero cells contribute 0), so every candidate's
+    * conditional entropy is an exact integer and the argmax is
+    * deterministic (max gain, then SMALLEST threshold — the house
+    * first-argmax rule). Windows run over the distinct-value census
+    * only; one scan.
+    *
+    * Output (one row): (n, n_pos, h_label_nano, best_threshold_micro,
+    * h_cond_nano, ig_nano) — NULL threshold when no candidate splits
+    * both sides non-empty (constant feature).
+    */
+  def bestSplit(df: DataFrame, featureCol: String,
+      label: Column): DataFrame = {
+    val census = df
+      .select(round(col(featureCol).cast("double") * 1e6).cast("long")
+        .as("vm"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .groupBy("vm")
+      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("y") === 0, 1L).otherwise(0L)).as("c0"))
+    val wAll = Window.partitionBy()
+    val wCum = wAll.orderBy("vm").rowsBetween(Window.unboundedPreceding, 0)
+    def cell(c: Column, nSide: Column, n: Column): Column =
+      when(c > 0, round((c.cast("double") / n) *
+        log(nSide.cast("double") / c) * lit(1e9)).cast("long"))
+        .otherwise(lit(0L))
+    val cums = census
+      .withColumn("cum1", sum("c1").over(wCum))
+      .withColumn("cum0", sum("c0").over(wCum))
+      .withColumn("n1", sum("c1").over(wAll))
+      .withColumn("n0", sum("c0").over(wAll))
+      .withColumn("n", col("n1") + col("n0"))
+      .withColumn("nl", col("cum1") + col("cum0"))
+      .withColumn("nr", col("n") - col("nl"))
+      .filter(col("nr") > 0) // the top value splits nothing off
+      .withColumn("h_cond_nano",
+        cell(col("cum1"), col("nl"), col("n")) +
+          cell(col("cum0"), col("nl"), col("n")) +
+          cell(col("n1") - col("cum1"), col("nr"), col("n")) +
+          cell(col("n0") - col("cum0"), col("nr"), col("n")))
+    val hLabel = cell(col("n1"), col("n"), col("n")) +
+      cell(col("n0"), col("n"), col("n"))
+    val best = cums
+      .withColumn("h_label_nano", hLabel)
+      .withColumn("ig_nano", col("h_label_nano") - col("h_cond_nano"))
+      .withColumn("best_ig", max("ig_nano").over(wAll))
+      .filter(col("ig_nano") === col("best_ig"))
+      .groupBy("n", "n1", "h_label_nano", "best_ig")
+      .agg(min("vm").as("best_threshold_micro"))
+    best.select(col("n"), col("n1").as("n_pos"), col("h_label_nano"),
+      col("best_threshold_micro"),
+      (col("h_label_nano") - col("best_ig")).as("h_cond_nano"),
+      col("best_ig").as("ig_nano"))
+  }
+
   /** Kendall's τ-b rank correlation between two integer-valued columns —
     * the tie-corrected, outlier-immune dependence measure completing
     * the numeric axis (Pearson sees linearity; τ sees any monotone

@@ -243,6 +243,56 @@ object ProfileDrift {
     ksReport(melt(ref), melt(cur), "feature", "value")
   }
 
+  /** Q–Q decile table per emitted WINDOW against a static reference
+    * census — the stateless half of the streaming Q–Q twin, completing
+    * the drift-twin family (KS, PSI and rank-sum twins exist): same
+    * merge as [[ksFromCounts]], same conditional-min decile picks as
+    * [[qqReport]], so stream ≡ batch value for value.
+    */
+  def qqFromCounts(counts: DataFrame, reference: DataFrame,
+      nQ: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nQ >= 2, s"nQ must be >= 2, got $nQ")
+    val wins = counts
+      .select(col("window_start").as("__ws"), col("window_end").as("__we"))
+      .distinct()
+    val refRep = wins.crossJoin(broadcast(
+      reference.select(col("vm").as("__vm"), col("c_ref"))))
+    val h = refRep.join(counts,
+        col("__ws") === col("window_start") &&
+          col("__we") === col("window_end") && col("__vm") === col("vm"),
+        "full_outer")
+      .select(
+        coalesce(col("__ws"), col("window_start")).as("window_start"),
+        coalesce(col("__we"), col("window_end")).as("window_end"),
+        coalesce(col("__vm"), col("vm")).as("vm"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val wg = Window.partitionBy("window_start", "window_end")
+    val wCum = wg.orderBy("vm").rowsBetween(Window.unboundedPreceding, 0)
+    val qs = broadcast(counts.sparkSession.range(1, nQ)
+      .select(col("id").cast("int").as("q")))
+    h
+      .withColumn("cum_ref", sum("c_ref").over(wCum))
+      .withColumn("cum_cur", sum("c_cur").over(wCum))
+      .withColumn("n_ref", sum("c_ref").over(wg))
+      .withColumn("n_cur", sum("c_cur").over(wg))
+      .crossJoin(qs)
+      .groupBy("window_start", "window_end", "q", "n_ref", "n_cur")
+      .agg(
+        min(when(col("cum_ref") >=
+          expr(s"(q * n_ref + ${nQ - 1}) div $nQ"), col("vm")))
+          .as("ref_micro"),
+        min(when(col("cum_cur") >=
+          expr(s"(q * n_cur + ${nQ - 1}) div $nQ"), col("vm")))
+          .as("cur_micro"))
+      .select(col("window_start"), col("window_end"),
+        col("q").as("q_decile"), col("n_ref"), col("n_cur"),
+        col("ref_micro"), col("cur_micro"),
+        (col("cur_micro") - col("ref_micro")).as("shift_micro"))
+      .orderBy("window_start", "q_decile")
+  }
+
   /** Robust (trimmed-mean) location shift per group — the
     * outlier-immune companion of [[welchTReport]]: each side's mean is
     * computed after dropping the lowest and highest `trimPct`% of
