@@ -565,7 +565,7 @@ object SparkEntry {
       Round6tQueries.queries ++ Round6uQueries.queries ++
       Round6vQueries.queries ++ Round6wQueries.queries ++
       Round6xQueries.queries ++ Round6yQueries.queries ++
-      Round6zQueries.queries
+      Round6zQueries.queries ++ Round7Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -589,5 +589,5 @@ object SparkEntry {
       Round6tQueries.oracleSql ++ Round6uQueries.oracleSql ++
       Round6vQueries.oracleSql ++ Round6wQueries.oracleSql ++
       Round6xQueries.oracleSql ++ Round6yQueries.oracleSql ++
-      Round6zQueries.oracleSql
+      Round6zQueries.oracleSql ++ Round7Queries.oracleSql
 }

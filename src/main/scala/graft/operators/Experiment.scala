@@ -63,6 +63,59 @@ object Experiment {
       .orderBy("arm")
   }
 
+  /** Two-proportion z-test with per-segment decomposition — the
+    * binary-outcome readout completing the experiment family
+    * ([[cupedReport]] reads means, [[covariateBalance]] gates the
+    * randomization): conversion-rate difference per arm, overall AND
+    * within each segment, so a Simpson's-paradox flip (overall winner
+    * loses inside every segment) is visible in one table.
+    *
+    * Unit grain in, stat grain out: callers pass a per-UNIT relation
+    * (one row per user) with arm / success / segment columns; the
+    * operator emits the '__all' row plus one row per segment. Exact
+    * integer cores (n, conversions per arm per segment); rates are ppm
+    * floor divisions; the pooled-variance z is the one double, derived
+    * identically in SQL: `z = (p₁−p₀)/√(p̂(1−p̂)(1/n₀+1/n₁))` with p̂
+    * the pooled rate. NULL z on empty arms or degenerate pooled rates.
+    *
+    * Output: (segment, n_ctrl, conv_ctrl, n_treat, conv_treat,
+    * rate_ctrl_ppm, rate_treat_ppm, diff_ppm, z), segment-ordered
+    * (the pooled row rides as segment '__all').
+    */
+  def proportionZ(units: DataFrame, armCol: String = "arm",
+      successCol: String = "success",
+      segmentCol: String = "segment"): DataFrame = {
+    val seg = units
+      .select(col(segmentCol).cast("string").as("segment"),
+        col(armCol).as("arm"),
+        when(col(successCol), 1L).otherwise(0L).as("s"))
+    val both = seg.unionByName(
+      seg.withColumn("segment", lit("__all")))
+    def pick(a: Int, c: String, as: String) =
+      max(when(col("arm") === a, col(c))).as(as)
+    val p = both.groupBy("segment", "arm")
+      .agg(count(lit(1)).as("n"), sum("s").as("k"))
+      .groupBy("segment")
+      .agg(pick(0, "n", "n_ctrl"), pick(0, "k", "conv_ctrl"),
+        pick(1, "n", "n_treat"), pick(1, "k", "conv_treat"))
+    val p0 = col("conv_ctrl").cast("double") / col("n_ctrl")
+    val p1 = col("conv_treat").cast("double") / col("n_treat")
+    val pooled = (col("conv_ctrl") + col("conv_treat")).cast("double") /
+      (col("n_ctrl") + col("n_treat"))
+    val se = sqrt(pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / col("n_ctrl") + lit(1.0) / col("n_treat")))
+    p.select(col("segment"), col("n_ctrl"), col("conv_ctrl"),
+        col("n_treat"), col("conv_treat"),
+        expr("(conv_ctrl * 1000000L) div n_ctrl").as("rate_ctrl_ppm"),
+        expr("(conv_treat * 1000000L) div n_treat").as("rate_treat_ppm"),
+        expr("(conv_treat * 1000000L) div n_treat - " +
+          "(conv_ctrl * 1000000L) div n_ctrl").as("diff_ppm"),
+        when(col("n_ctrl") > 0 && col("n_treat") > 0 &&
+            pooled > 0 && pooled < 1,
+          round((p1 - p0) / se, 6)).as("z"))
+      .orderBy("segment")
+  }
+
   /** Covariate-balance audit between two experiment arms — the
     * pre-readout sanity check [[cupedReport]] assumes: per feature,
     * the standardized mean difference
