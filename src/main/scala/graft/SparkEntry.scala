@@ -565,7 +565,8 @@ object SparkEntry {
       Round6tQueries.queries ++ Round6uQueries.queries ++
       Round6vQueries.queries ++ Round6wQueries.queries ++
       Round6xQueries.queries ++ Round6yQueries.queries ++
-      Round6zQueries.queries ++ Round7Queries.queries
+      Round6zQueries.queries ++ Round7Queries.queries ++
+      Round7bQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -589,5 +590,6 @@ object SparkEntry {
       Round6tQueries.oracleSql ++ Round6uQueries.oracleSql ++
       Round6vQueries.oracleSql ++ Round6wQueries.oracleSql ++
       Round6xQueries.oracleSql ++ Round6yQueries.oracleSql ++
-      Round6zQueries.oracleSql ++ Round7Queries.oracleSql
+      Round6zQueries.oracleSql ++ Round7Queries.oracleSql ++
+      Round7bQueries.oracleSql
 }

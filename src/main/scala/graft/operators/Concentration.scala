@@ -92,4 +92,38 @@ object Concentration {
           .as("evenness"))
       .orderBy(groupCol)
   }
+
+  /** Leave-one-group-out influence: how much does EACH slice pull the
+    * corpus-wide mean — `influence_g = mean_all − mean_without_g` —
+    * the jackknife "which source drives this metric" audit run before
+    * blaming a global drift on the whole corpus.
+    *
+    * Pure stat math: per-group exact (n, Σmilli) cores plus the grand
+    * totals as window sums over the G stat rows; the three means and
+    * the influence derive identically in SQL at 6 dp. One scan, no
+    * joins. A positive influence = the group pulls the mean UP.
+    *
+    * Output: (group, n_g, s_g_milli, mean_all_milli, mean_wo_milli,
+    * influence_milli), group-ordered; NULL when the group IS the
+    * corpus.
+    */
+  def influenceReport(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val vm = round(col(valCol).cast("double") * 1e3).cast("long")
+    val wAll = Window.partitionBy()
+    val meanAll = round(col("s_all").cast("double") / col("n_all"), 6)
+    val meanWo = round((col("s_all") - col("s_g")).cast("double") /
+      (col("n_all") - col("n_g")), 6)
+    df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n_g"), sum(vm).as("s_g"))
+      .withColumn("n_all", sum("n_g").over(wAll))
+      .withColumn("s_all", sum("s_g").over(wAll))
+      .select(col("g").as(groupCol), col("n_g"),
+        col("s_g").as("s_g_milli"),
+        meanAll.as("mean_all_milli"),
+        when(col("n_all") > col("n_g"), meanWo).as("mean_wo_milli"),
+        when(col("n_all") > col("n_g"),
+          round(meanAll - meanWo, 6)).as("influence_milli"))
+      .orderBy(groupCol)
+  }
 }

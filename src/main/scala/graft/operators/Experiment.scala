@@ -63,6 +63,48 @@ object Experiment {
       .orderBy("arm")
   }
 
+  /** Difference-in-differences readout: the causal-contrast companion
+    * of [[cupedReport]] for settings where BOTH arms existed before
+    * the change — `DiD = (T_post − T_pre) − (C_post − C_pre)` nets out
+    * arm-level baselines and shared time trends in one number.
+    *
+    * One scan, one conditional aggregate: the four (arm × period)
+    * cells carry exact integer (n, Σmilli) cores, the four means and
+    * the DiD derive identically in SQL at 6 dp. NULL when any cell is
+    * empty.
+    *
+    * Output (one row): n/sum per cell (8 integer columns), the four
+    * means, did_milli.
+    */
+  def didReport(events: DataFrame, armExpr: Column, prePred: Column,
+      valCol: String = "value"): DataFrame = {
+    val vm = round(col(valCol).cast("double") * 1e3).cast("long")
+    def cell(arm: Int, pre: Boolean, suf: String) = {
+      val in = armExpr === arm && (if (pre) prePred else !prePred)
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$suf"),
+        sum(when(in, vm).otherwise(0L)).as(s"s_$suf"))
+    }
+    val agg = cell(0, pre = true, "c_pre") ++ cell(0, pre = false, "c_post") ++
+      cell(1, pre = true, "t_pre") ++ cell(1, pre = false, "t_post")
+    def mean(suf: String) =
+      round(col(s"s_$suf").cast("double") / col(s"n_$suf"), 6)
+    val ok = col("n_c_pre") > 0 && col("n_c_post") > 0 &&
+      col("n_t_pre") > 0 && col("n_t_post") > 0
+    events.agg(agg.head, agg.tail: _*)
+      .select((Seq("c_pre", "c_post", "t_pre", "t_post")
+        .flatMap(s => Seq(col(s"n_$s"), col(s"s_$s"))) ++
+        Seq(when(ok, mean("c_pre")).as("mean_c_pre"),
+          when(ok, mean("c_post")).as("mean_c_post"),
+          when(ok, mean("t_pre")).as("mean_t_pre"),
+          when(ok, mean("t_post")).as("mean_t_post"),
+          when(ok, round(
+            (col("s_t_post").cast("double") / col("n_t_post") -
+              col("s_t_pre").cast("double") / col("n_t_pre")) -
+              (col("s_c_post").cast("double") / col("n_c_post") -
+                col("s_c_pre").cast("double") / col("n_c_pre")), 6))
+            .as("did_milli"))): _*)
+  }
+
   /** Two-proportion z-test with per-segment decomposition — the
     * binary-outcome readout completing the experiment family
     * ([[cupedReport]] reads means, [[covariateBalance]] gates the
