@@ -278,6 +278,51 @@ object Correlate {
       .orderBy("feature")
   }
 
+  /** Pairwise Welch post-hoc matrix — the follow-up [[anovaF]] calls
+    * for: the F test says "SOME group mean differs"; this table says
+    * WHICH pairs, with an unequal-variance t per (g₁ < g₂) pair.
+    * Shares [[graft.operators.ProfileDrift.welchTReport]]'s exact
+    * conventions (milli quantization, DECIMAL Σx² ≡ HUGEINT, per-group
+    * variance rounded to integer milli² BEFORE the t), so the whole
+    * matrix derives from ONE scan's G stat rows — the pair stage is a
+    * G×G stat self-join, never a data join.
+    *
+    * Output: (group_a, group_b, n_a, n_b, v_a_milli2, v_b_milli2,
+    * t_stat, df_w), pair-ordered; t/df NULL under the welch guards.
+    */
+  def pairwiseWelch(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val vm = round(col(valCol).cast("double") * 1e3).cast("long")
+    val g = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"), sum(vm).as("s"),
+        sum(vm.cast(dec) * vm.cast(dec)).as("q"))
+      .withColumn("v", when(col("n") > 1, round(
+        (col("n").cast(dec) * col("q") -
+          col("s").cast(dec) * col("s").cast(dec)).cast("double") /
+          (col("n").cast("double") * (col("n") - lit(1))))
+        .cast("long")))
+    val pairs = g.select(col("g").as("group_a"), col("n").as("n_a"),
+        col("s").as("s_a"), col("v").as("v_a_milli2"))
+      .join(g.select(col("g").as("group_b"), col("n").as("n_b"),
+        col("s").as("s_b"), col("v").as("v_b_milli2")),
+        col("group_a") < col("group_b"))
+    val se1 = col("v_a_milli2").cast("double") / col("n_a")
+    val se2 = col("v_b_milli2").cast("double") / col("n_b")
+    val se = se1 + se2
+    val ok = col("n_a") > 1 && col("n_b") > 1 && se > 0
+    pairs
+      .withColumn("t_stat", when(ok, round(
+        (col("s_a").cast("double") / col("n_a") -
+          col("s_b").cast("double") / col("n_b")) / sqrt(se), 6)))
+      .withColumn("df_w", when(ok, round(
+        (se * se) / ((se1 * se1) / (col("n_a") - lit(1)) +
+          (se2 * se2) / (col("n_b") - lit(1))), 3)))
+      .select("group_a", "group_b", "n_a", "n_b",
+        "v_a_milli2", "v_b_milli2", "t_stat", "df_w")
+      .orderBy("group_a", "group_b")
+  }
+
   /** Decision-stump threshold search: the best single split `v ≤ t` of
     * a numeric feature against a binary label, scored by information
     * gain — [[informationGain]] ranks features as-is; this finds WHERE

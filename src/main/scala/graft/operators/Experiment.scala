@@ -63,6 +63,48 @@ object Experiment {
       .orderBy("arm")
   }
 
+  /** Two-sided α = 0.05 normal quantile, frozen as a shared literal
+    * (the nDCG discount-table convention: no runtime distribution
+    * inverse can flip a rounding boundary between engines).
+    */
+  val ZAlphaMicro = 1959964L
+  /** 80%-power normal quantile, same convention. */
+  val ZPowerMicro = 841621L
+
+  /** Minimum detectable effect for a two-proportion test at the
+    * CURRENT arm sizes — the design-side companion of [[proportionZ]]:
+    * "with this much traffic, what conversion lift could we even
+    * see?" `MDE = (z_{α/2} + z_{power})·√(2·p̂(1−p̂)/n̄_h)` with the
+    * harmonic-mean arm size; z constants are frozen micro literals
+    * shared verbatim with the oracle. Integer cores (arm sizes,
+    * conversions); MDE the one double at 6 dp.
+    *
+    * Output (one row): (n_ctrl, n_treat, conv_ctrl, conv_treat,
+    * baseline_ppm, mde_abs); NULL on empty arms or degenerate rates.
+    */
+  def mdeReport(units: DataFrame, armCol: String = "arm",
+      successCol: String = "success"): DataFrame = {
+    val s = units.agg(
+      sum(when(col(armCol) === 0, 1L).otherwise(0L)).as("n_ctrl"),
+      sum(when(col(armCol) === 0 && col(successCol), 1L).otherwise(0L))
+        .as("conv_ctrl"),
+      sum(when(col(armCol) === 1, 1L).otherwise(0L)).as("n_treat"),
+      sum(when(col(armCol) === 1 && col(successCol), 1L).otherwise(0L))
+        .as("conv_treat"))
+    val pooled = (col("conv_ctrl") + col("conv_treat")).cast("double") /
+      (col("n_ctrl") + col("n_treat"))
+    val z = lit((ZAlphaMicro + ZPowerMicro).toDouble / 1e6)
+    val mde = z * sqrt(pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / col("n_ctrl") + lit(1.0) / col("n_treat")))
+    s.select(col("n_ctrl"), col("n_treat"), col("conv_ctrl"),
+      col("conv_treat"),
+      expr("((conv_ctrl + conv_treat) * 1000000L) div (n_ctrl + n_treat)")
+        .as("baseline_ppm"),
+      when(col("n_ctrl") > 0 && col("n_treat") > 0 &&
+          pooled > 0 && pooled < 1,
+        round(mde, 6)).as("mde_abs"))
+  }
+
   /** Difference-in-differences readout: the causal-contrast companion
     * of [[cupedReport]] for settings where BOTH arms existed before
     * the change — `DiD = (T_post − T_pre) − (C_post − C_pre)` nets out
