@@ -566,7 +566,8 @@ object SparkEntry {
       Round6vQueries.queries ++ Round6wQueries.queries ++
       Round6xQueries.queries ++ Round6yQueries.queries ++
       Round6zQueries.queries ++ Round7Queries.queries ++
-      Round7bQueries.queries ++ Round7cQueries.queries
+      Round7bQueries.queries ++ Round7cQueries.queries ++
+      Round7dQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -591,5 +592,6 @@ object SparkEntry {
       Round6vQueries.oracleSql ++ Round6wQueries.oracleSql ++
       Round6xQueries.oracleSql ++ Round6yQueries.oracleSql ++
       Round6zQueries.oracleSql ++ Round7Queries.oracleSql ++
-      Round7bQueries.oracleSql ++ Round7cQueries.oracleSql
+      Round7bQueries.oracleSql ++ Round7cQueries.oracleSql ++
+      Round7dQueries.oracleSql
 }

@@ -93,6 +93,37 @@ object Concentration {
       .orderBy(groupCol)
   }
 
+  /** Herfindahl–Hirschman concentration of a categorical composition —
+    * the Σshare² sibling of [[diversityReport]] (entropy weights rare
+    * categories; HHI weights DOMINANT ones, which is why market
+    * regulators use it): per group `HHI = Σ (c_i/n)²` and its inverse,
+    * the effective number of equal competitors.
+    *
+    * Integer cores: n and Σc² (DECIMAL(38,0) ≡ oracle HUGEINT); HHI
+    * and eff_n derive identically in SQL at 6 dp. One scan, stat-grain
+    * re-aggregation.
+    *
+    * Output: (group, n_rows, n_cats, sum_sq, hhi, eff_n).
+    */
+  def hhiReport(df: DataFrame, groupCol: String,
+      catCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val hhi = round(col("sum_sq").cast("double") /
+      (col("n").cast("double") * col("n")), 6)
+    val eff = round((col("n").cast("double") * col("n")) /
+      col("sum_sq").cast("double"), 6)
+    df.select(col(groupCol).as("g"), col(catCol).as("cat"))
+      .groupBy("g", "cat").agg(count(lit(1)).as("c"))
+      .groupBy("g")
+      .agg(sum("c").as("n"), count(lit(1)).as("k"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).cast("long")
+          .as("sum_sq"))
+      .select(col("g").as(groupCol), col("n").as("n_rows"),
+        col("k").as("n_cats"), col("sum_sq"), hhi.as("hhi"),
+        eff.as("eff_n"))
+      .orderBy(groupCol)
+  }
+
   /** Leave-one-group-out influence: how much does EACH slice pull the
     * corpus-wide mean — `influence_g = mean_all − mean_without_g` —
     * the jackknife "which source drives this metric" audit run before

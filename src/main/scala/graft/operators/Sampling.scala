@@ -121,4 +121,38 @@ object Sampling {
       .orderBy(col("key_micro"), col(idCol))
       .limit(k)
   }
+
+  /** Effective sample size under importance weights — Kish's
+    * `ESS = (Σw)²/Σw²` per group: how many EQUAL-weight examples the
+    * weighted set is statistically worth. The reweighting-cost
+    * diagnostic a mixture designer reads next to [[weightedSample]]:
+    * an aggressive upweighting that halves ESS bought variance, not
+    * data.
+    *
+    * Integer cores: weights quantize to milli, Σw stays Long, Σw² in
+    * DECIMAL(38,0) ≡ the oracle's HUGEINT; ESS and the ESS/n ratio
+    * derive identically in SQL at 6 dp (the ratio divides the ROUNDED
+    * ess, so both engines round the same boundary once). One scan,
+    * stat grain.
+    *
+    * Output: (group, n_rows, sum_w_milli, ess, ess_ratio); NULL on
+    * all-zero weights.
+    */
+  def essReport(df: DataFrame, groupCol: String,
+      weightCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val wm = round(col(weightCol).cast("double") * 1e3).cast("long")
+    val ess = round((col("sw").cast("double") * col("sw")) /
+      col("sww").cast("double"), 6)
+    df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n_rows"), sum(wm).as("sw"),
+        sum(wm.cast(dec) * wm.cast(dec)).as("sww"))
+      .select(col("g").as(groupCol), col("n_rows"),
+        col("sw").as("sum_w_milli"),
+        when(col("sww") > 0, ess).as("ess"))
+      .withColumn("ess_ratio",
+        when(col("ess").isNotNull,
+          round(col("ess") / col("n_rows"), 6)))
+      .orderBy(groupCol)
+  }
 }
