@@ -206,4 +206,44 @@ object Constraints {
     }.reduce(_.unionByName(_))
       .orderBy("child_table", "fk")
   }
+
+  /** Inferred range contract + validation in one pass — [[check]]'s
+    * rules are hand-written; this INFERS the per-key value envelope
+    * from a trusted reference snapshot (min/max per key) and audits a
+    * new snapshot against it: the "did any key produce values outside
+    * everything we've ever seen" release gate.
+    *
+    * One stat aggregate over the reference (K bound rows, broadcast),
+    * one conditional-count aggregate over the current snapshot — each
+    * side scanned once. Bound comparisons run on the RAW doubles (both
+    * engines hold the identical values; the reported lo/hi quantize to
+    * micro only for the hash). Keys unseen in the reference surface
+    * with NULL bounds and `known_key` false — a new key IS a contract
+    * event, not a silent drop.
+    *
+    * Output: (key, known_key, lo_micro, hi_micro, n_cur, n_below,
+    * n_above, viol_ppm, flagged), key-ordered; flagged = any
+    * out-of-envelope row or an unknown key.
+    */
+  def rangeContractReport(ref: DataFrame, cur: DataFrame,
+      keyCol: String, valCol: String): DataFrame = {
+    val contract = ref
+      .groupBy(col(keyCol).as("k"))
+      .agg(min(col(valCol)).as("lo"), max(col(valCol)).as("hi"))
+    cur.select(col(keyCol).as("k"), col(valCol).as("v"))
+      .join(broadcast(contract), Seq("k"), "left")
+      .groupBy(col("k"), col("lo").isNotNull.as("known_key"),
+        round(col("lo") * 1e6).cast("long").as("lo_micro"),
+        round(col("hi") * 1e6).cast("long").as("hi_micro"))
+      .agg(count(lit(1)).as("n_cur"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_above"))
+      .select(col("k").as(keyCol), col("known_key"),
+        col("lo_micro"), col("hi_micro"), col("n_cur"),
+        col("n_below"), col("n_above"),
+        expr("((n_below + n_above) * 1000000L) div n_cur").as("viol_ppm"),
+        (!col("known_key") ||
+          col("n_below") + col("n_above") > 0).as("flagged"))
+      .orderBy(keyCol)
+  }
 }
