@@ -341,8 +341,10 @@ object Correlate {
     * only; one scan.
     *
     * Output (one row): (n, n_pos, h_label_nano, best_threshold_micro,
-    * h_cond_nano, ig_nano) — NULL threshold when no candidate splits
-    * both sides non-empty (constant feature).
+    * h_cond_nano, ig_nano). A CONSTANT feature has no candidate that
+    * splits both sides non-empty, so the result is EMPTY (zero rows,
+    * matching the SQL oracle) — callers wanting label stats even for a
+    * constant feature should aggregate the label column directly.
     */
   def bestSplit(df: DataFrame, featureCol: String,
       label: Column): DataFrame = {

@@ -175,25 +175,31 @@ object Experiment {
         when(col(successCol), 1L).otherwise(0L).as("s"))
     val both = seg.unionByName(
       seg.withColumn("segment", lit("__all")))
-    def pick(a: Int, c: String, as: String) =
-      max(when(col("arm") === a, col(c))).as(as)
-    val p = both.groupBy("segment", "arm")
-      .agg(count(lit(1)).as("n"), sum("s").as("k"))
-      .groupBy("segment")
-      .agg(pick(0, "n", "n_ctrl"), pick(0, "k", "conv_ctrl"),
-        pick(1, "n", "n_treat"), pick(1, "k", "conv_treat"))
+    // Conditional sums straight off the unit rows (one shuffle, and a
+    // segment missing an arm reports n = conv = 0 rather than NULL —
+    // the max(when(...)) pivot form returned NULL there, diverging from
+    // the oracle's CASE-sum and misreading as "no data at all").
+    val p = both.groupBy("segment")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(col("arm") === 0, col("s")).otherwise(0L)).as("conv_ctrl"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("arm") === 1, col("s")).otherwise(0L)).as("conv_treat"))
     val p0 = col("conv_ctrl").cast("double") / col("n_ctrl")
     val p1 = col("conv_treat").cast("double") / col("n_treat")
     val pooled = (col("conv_ctrl") + col("conv_treat")).cast("double") /
       (col("n_ctrl") + col("n_treat"))
     val se = sqrt(pooled * (lit(1.0) - pooled) *
       (lit(1.0) / col("n_ctrl") + lit(1.0) / col("n_treat")))
+    // NULL rates (not a divide-by-zero error) for a zero-count arm —
+    // possible now that a single-arm segment reports n = 0
+    val rc = when(col("n_ctrl") > 0,
+      expr("(conv_ctrl * 1000000L) div n_ctrl"))
+    val rt = when(col("n_treat") > 0,
+      expr("(conv_treat * 1000000L) div n_treat"))
     p.select(col("segment"), col("n_ctrl"), col("conv_ctrl"),
         col("n_treat"), col("conv_treat"),
-        expr("(conv_ctrl * 1000000L) div n_ctrl").as("rate_ctrl_ppm"),
-        expr("(conv_treat * 1000000L) div n_treat").as("rate_treat_ppm"),
-        expr("(conv_treat * 1000000L) div n_treat - " +
-          "(conv_ctrl * 1000000L) div n_ctrl").as("diff_ppm"),
+        rc.as("rate_ctrl_ppm"), rt.as("rate_treat_ppm"),
+        (rt - rc).as("diff_ppm"),
         when(col("n_ctrl") > 0 && col("n_treat") > 0 &&
             pooled > 0 && pooled < 1,
           round((p1 - p0) / se, 6)).as("z"))

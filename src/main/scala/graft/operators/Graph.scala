@@ -245,6 +245,15 @@ object Graph {
   def itemSimilarityTopK(baskets: DataFrame, groupCol: String,
       itemCol: String, k: Int,
       maxGroupSize: Option[Long] = None): DataFrame = {
+    // The heap tiebreak encodes ascending item id as -id, which only
+    // works for numeric ids — a string id would cast to NULL under
+    // non-ANSI mode and silently collapse the tiebreak (then round-trip
+    // back as NULL item ids). Enforce the contract eagerly.
+    require(baskets.schema(itemCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"itemSimilarityTopK requires a numeric item column; " +
+        s"'$itemCol' is ${baskets.schema(itemCol).dataType.simpleString}" +
+        " — hash or dictionary-encode string ids first (e.g. xxhash64)")
     val base0 = baskets
       .select(col(groupCol).as("g"), col(itemCol).as("it"))
       .distinct()
@@ -302,6 +311,12 @@ object Graph {
     * bit-exactly in SQL. Same cached src-hash-partitioned edge layout
     * and per-round localCheckpoint as the uniform variant.
     *
+    * Seed contract: the set must be non-empty with strictly positive
+    * weights (validated eagerly — a K-row collect, same budget as a
+    * centroid round); a seed absent from the edge relation still
+    * counts in Σw but receives no rank row (it has no edges to walk),
+    * so its share of the restart mass is deliberately unassigned.
+    *
     * Output: (node, degree, restart_micro, rank_micro), node-ordered.
     */
   def pageRankPersonalizedMicro(edges: DataFrame, iterations: Int,
@@ -317,6 +332,18 @@ object Graph {
     val ed = graft.util.Caches.cached(
       directed.join(deg.withColumnRenamed("node", "src"), Seq("src"))
         .repartition(col("src")))
+    // The seed set is K-row driver state (same budget as a centroid
+    // collect): validate it up front — an empty or zero/negative-weight
+    // seed set would otherwise propagate NULL ranks with no error.
+    // Seeds absent from the edge relation carry no restart mass (their
+    // weight still counts in Σw); that is the documented contract.
+    val seedStats = seeds.agg(
+      sum(col(seedWeightCol).cast("long")).as("sw"),
+      min(col(seedWeightCol).cast("long")).as("minw"),
+      count(lit(1)).as("k")).collect()(0)
+    require(seedStats.getLong(2) > 0, "seed set must be non-empty")
+    require(!seedStats.isNullAt(1) && seedStats.getLong(1) > 0,
+      "seed weights must be positive")
     val totals = deg.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(seeds.agg(sum(col(seedWeightCol)).as("sw")))
     val restarts = graft.util.Caches.cached(deg.select("node")
@@ -324,8 +351,12 @@ object Graph {
         col(seedWeightCol).cast("long").as("w")), Seq("node"), "left")
       .na.fill(0L, Seq("w"))
       .crossJoin(broadcast(totals))
+      // accumulate the 150000·N·w product in DECIMAL(38,0): at 1e8
+      // nodes × 1e6 weights it exceeds Long and would silently wrap
+      // under non-ANSI mode; values fit 38 digits with room to spare
       .select(col("node"),
-        expr("(150000L * n_nodes * w) div sw").as("restart_micro")))
+        expr("cast((cast(150000 as decimal(38,0)) * n_nodes * w) " +
+          "div sw as bigint)").as("restart_micro")))
     var ranks = deg.select(col("node"), lit(1000000L).as("rank_micro"))
       .localCheckpoint()
     var round = 0

@@ -275,6 +275,13 @@ object Multimodal {
       * documented convention here). Duration = frames·1152 samples at
       * the stream rate, floored to ms. MPEG-2/2.5 and Layers I/II
       * return None — documented scope, not silent wrongness.
+      *
+      * A mid-stream invalid header (free/bad bitrate, reserved rate
+      * index — or trailing bytes that merely alias a sync pattern)
+      * STOPS the walk but KEEPS the frames already counted, the same
+      * rule a truncated final frame gets: one corrupt tail must not
+      * discard hundreds of valid parsed frames. Only a stream whose
+      * FIRST synced frame is invalid returns None.
       */
     def parseMp3(bytes: Array[Byte]): Option[Mp3Info] = {
       var off = 0
@@ -298,7 +305,7 @@ object Multimodal {
           else { frames += 1; pos += flen }
         }
       }
-      if (frames == 0 || !ok) None
+      if (frames == 0) None
       else Some(Mp3Info(kbps0, rate0, frames,
         frames * 1152L * 1000L / rate0))
     }

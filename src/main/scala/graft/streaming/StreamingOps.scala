@@ -105,7 +105,15 @@ object StreamingOps {
               // the carried purchase
               stateTtlMs.foreach { ttl =>
                 val base = (c.tsMillis +: sorted.map(_.ts.getTime)).max
-                state.setTimeoutTimestamp(base + ttl)
+                // Under EventTimeTimeout Spark filters rows older than
+                // the watermark BEFORE this function (verified by spec:
+                // a late-only batch produces no calls), so base + ttl >
+                // watermark holds whenever data arrives. The clamp is
+                // defense-in-depth against that filter ever changing —
+                // a timeout at-or-before the watermark would throw
+                // IllegalArgumentException. Same rule as funnelStream.
+                state.setTimeoutTimestamp(
+                  math.max(base + ttl, state.getCurrentWatermarkMs() + 1))
               }
             }
             out.result().iterator
@@ -194,9 +202,11 @@ object StreamingOps {
               stateTtlMs.foreach { ttl =>
                 val latest = (anchors.filter(_ != Unset) ++
                   sorted.map(_.ts.getTime)).max
-                // `latest` can come from a late event (flatMapGroupsWithState
-                // does not drop late rows); a timeout at-or-before the
-                // current watermark throws. Clamp to watermark + 1 ms.
+                // Spark filters late rows before this function under
+                // EventTimeTimeout (spec-verified on asofEnrichStream),
+                // so `latest + ttl > watermark` holds when data arrives;
+                // the clamp is defense-in-depth — a timeout at-or-before
+                // the current watermark throws. Clamp to watermark + 1 ms.
                 state.setTimeoutTimestamp(
                   math.max(latest + ttl, state.getCurrentWatermarkMs() + 1))
               }

@@ -36,6 +36,22 @@ class Round6sSpec extends AnyFunSuite {
     assert(AudioCodec.parseWav(clean).isEmpty)
   }
 
+  test("parseMp3: mid-stream invalid header keeps the frames already walked") {
+    val clean = AudioCodec.buildMp3(128, 44100, 3)
+    // append a sync-aliasing header with a FREE bitrate (index 0):
+    // 0xff 0xfb 0x00 — pre-fix this nulled the whole stream
+    val corruptTail = clean ++ Array[Byte](0xff.toByte, 0xfb.toByte, 0, 0)
+    val i = AudioCodec.parseMp3(corruptTail).get
+    assert(i.nFrames == 3L && i.bitrateKbps == 128)
+    // reserved sample-rate index (binary 11) mid-walk: same rule
+    val badRate = clean ++ Array[Byte](0xff.toByte, 0xfb.toByte,
+      ((1 << 4) | (3 << 2)).toByte, 0)
+    assert(AudioCodec.parseMp3(badRate).get.nFrames == 3L)
+    // but a FIRST synced frame that is invalid still returns None
+    val onlyBad = Array[Byte](0xff.toByte, 0xfb.toByte, 0, 0)
+    assert(AudioCodec.parseMp3(onlyBad).isEmpty)
+  }
+
   test("labelAgreement: out-voted anchor flags suspect, clustered doesn't") {
     import spark.implicits._
     // anchor 0 (label 0) sits inside a label-1 cluster → suspect;

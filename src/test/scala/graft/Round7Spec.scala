@@ -44,4 +44,21 @@ class Round7Spec extends AnyFunSuite {
     assert(r("easy") > 0 && r("hard") > 0)   // treat wins inside each
     assert(r("__all") < 0)                   // yet loses pooled
   }
+
+  test("proportionZ: a segment missing one arm reports 0 counts, NULL z") {
+    import spark.implicits._
+    // segment 'solo' has only treatment units — counts must be ZERO
+    // (not NULL, the old max-pivot behavior) and rate/z NULL
+    val units = Seq(
+      (0, true, "both"), (0, false, "both"), (1, true, "both"),
+      (1, true, "solo"), (1, false, "solo"))
+      .toDF("arm", "success", "segment")
+    val r = Experiment.proportionZ(units).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val solo = r("solo")
+    assert(solo.getLong(1) == 0L && solo.getLong(2) == 0L)
+    assert(solo.getLong(3) == 2L && solo.getLong(4) == 1L)
+    assert(solo.isNullAt(5) && solo.isNullAt(8)) // no ctrl rate, no z
+    assert(r("__all").getLong(1) == 2L && r("__all").getLong(3) == 3L)
+  }
 }

@@ -131,6 +131,40 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of TTL: a batch of only-late events must not throw") {
+    // Pins the actual Spark 4 semantics the timeout clamp defends
+    // around: under EventTimeTimeout, rows older than the watermark are
+    // filtered BEFORE flatMapGroupsWithState, so a late-only batch
+    // neither throws (the setTimeoutTimestamp <= watermark hazard) nor
+    // attributes — the late click simply disappears and the idle key
+    // expires by TTL.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[RawEv]
+    val out = StreamingOps.asofEnrichStream(input.toDS().toDF(), "0 seconds",
+      joinType = "left", stateTtlMs = Some(30L * 60 * 1000)) // 30 min TTL
+    val name = "asof_late_" + System.nanoTime()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // b1: user 1 purchase at 10:00; user 2 at 12:00 pushes the
+      // post-batch watermark to 12:00 (delay 0)
+      input.addData(
+        RawEv(1, ts("2024-01-01 10:00:00"), "purchase", 50, 9.99),
+        RawEv(2, ts("2024-01-01 12:00:00"), "click", 60, 0.0))
+      q.processAllAvailable()
+      // b2: user 1's ONLY event is late (10:05 < watermark 12:00);
+      // base = 10:05, base + 30 min = 10:35 <= 12:00 -> pre-fix throw
+      input.addData(RawEv(1, ts("2024-01-01 10:05:00"), "click", 100, 0.0))
+      q.processAllAvailable() // must not throw
+      val ids = spark.table(name).select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(!ids.contains(100L),
+        "rows below the watermark are filtered before the state function" +
+          " under EventTimeTimeout — the late click must not attribute")
+    } finally q.stop()
+  }
+
   test("streaming session windows merge near events and emit closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
