@@ -46,7 +46,18 @@ object Bench {
     // "method" records the timing protocol so cross-round comparisons stay
     // apples-to-apples: min-of-2 since round 4 (rounds 1-3 were single-run,
     // so their numbers include scheduler noise this protocol excludes)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","method":"min_of_2"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","method":"min_of_2"}"""
+    println(line)
+    // The driver's BENCH artifact keeps only the tail of stdout, which
+    // truncates the per-query map once there are 200+ queries — also
+    // persist the full line to a file so every number survives the round
+    // (overridable; default lands next to the repo the driver reads).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_full.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // stdout line remains the contract
     spark.stop()
   }
 }

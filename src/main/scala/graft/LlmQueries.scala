@@ -163,7 +163,7 @@ object LlmQueries {
     s"CASE WHEN len(hs) = 0 THEN 0 ELSE ${terms.mkString(" + ")} END"
   }
 
-  private def planesValuesSql: String = {
+  private[graft] def planesValuesSql: String = {
     val rows = for (p <- 0 until 6; j <- 0 until 64)
       yield s"($p, ${j + 1}, ${Similarity.planeWeight(p, j)}.0)"
     s"(VALUES ${rows.mkString(", ")}) AS planes(p, j, w)"

@@ -567,7 +567,8 @@ object SparkEntry {
       Round6xQueries.queries ++ Round6yQueries.queries ++
       Round6zQueries.queries ++ Round7Queries.queries ++
       Round7bQueries.queries ++ Round7cQueries.queries ++
-      Round7dQueries.queries ++ Round7eQueries.queries
+      Round7dQueries.queries ++ Round7eQueries.queries ++
+      Round7fQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -593,5 +594,6 @@ object SparkEntry {
       Round6xQueries.oracleSql ++ Round6yQueries.oracleSql ++
       Round6zQueries.oracleSql ++ Round7Queries.oracleSql ++
       Round7bQueries.oracleSql ++ Round7cQueries.oracleSql ++
-      Round7dQueries.oracleSql ++ Round7eQueries.oracleSql
+      Round7dQueries.oracleSql ++ Round7eQueries.oracleSql ++
+      Round7fQueries.oracleSql
 }

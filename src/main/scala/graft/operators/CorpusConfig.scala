@@ -26,7 +26,17 @@ final case class CorpusConfig(
     profile: ProfileConfig,
     maxShingleSources: Option[Long],
     exactDeciles: Boolean,
-    decileAccuracy: Int = 10000) {
+    decileAccuracy: Int = 10000,
+    passageFingerprint: Boolean = false) {
+
+  /** Per-doc passage-sharing census at this tier's key width (exact =
+    * raw passage strings; production = 64-bit xxhash fingerprints, the
+    * ~10× lighter shuffle — q155a pins the two tiers equal).
+    */
+  def passageDupStats(docs: DataFrame, passageWords: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    Dedup.passageDupStats(docs, passageWords, idCol, textCol,
+      fingerprint = passageFingerprint)
 
   /** Near-dup pairs by blocked Jaccard under this tier's shingle cap. */
   def jaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
@@ -111,5 +121,5 @@ object CorpusConfig {
     */
   val Production: CorpusConfig = CorpusConfig(DedupConfig.Production,
     ProfileConfig(exact = false), maxShingleSources = Some(1024L),
-    exactDeciles = false)
+    exactDeciles = false, passageFingerprint = true)
 }

@@ -669,27 +669,45 @@ object Dedup {
     * posexplode — no collect_list ordering hazard); the cross-document
     * census is one passage-keyed aggregate (distinct doc count per
     * passage), re-entering the passage relation through a co-keyed
-    * join. Both relations are passage-grain; the text itself is the
-    * join key — at 100 TB swap in `TextOps.fingerprint(passage)` for
-    * 32-byte keys, same plan.
+    * join. Both relations are passage-grain.
+    *
+    * `fingerprint = true` is the 100 TB tier (wired through
+    * [[CorpusConfig.Production]]): passages swap for their `xxhash64`
+    * BEFORE the census and join-back, so the two shuffles carry 8-byte
+    * keys instead of ~10-word strings (~10× lighter), same plan shape.
+    * A 64-bit collision merges two distinct passages and can only
+    * OVER-report sharing — never under — and at corpus scales below
+    * ~2³² passages it is birthday-rare; q155a pins fingerprint ≡ raw
+    * at fixture scale. `fingerprintBuckets > 0` further folds the hash
+    * mod N (spec-only: it forces collisions to demonstrate the
+    * over-report direction; production keeps the full 64 bits).
     *
     * Output per doc: (doc_id, n_passages, n_shared_passages, shared_bp)
     * — a passage is SHARED when it occurs in ≥ 2 distinct documents.
     */
   def passageDupStats(docs: DataFrame, passageWords: Int = 10,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      fingerprint: Boolean = false,
+      fingerprintBuckets: Long = 0L): DataFrame = {
     val toks = split(col(textCol), " ")
     val nChunks = ceil(size(toks).cast("double") / passageWords).cast("int")
-    val passages = graft.util.Caches.cached(docs
+    val raw = docs
       .select(col(idCol).as("doc_id"),
         posexplode(transform(sequence(lit(0), nChunks - 1), i =>
           array_join(slice(toks, i * passageWords + 1, lit(passageWords)), " ")))
-          .as(Seq("cidx", "passage"))))
+          .as(Seq("cidx", "passage")))
+    val keyed = if (fingerprint) {
+      val h = xxhash64(col("passage"))
+      val k = if (fingerprintBuckets > 0) pmod(h, lit(fingerprintBuckets))
+        else h
+      raw.select(col("doc_id"), k.as("pkey"))
+    } else raw.select(col("doc_id"), col("passage").as("pkey"))
+    val passages = graft.util.Caches.cached(keyed)
     val census = passages
-      .groupBy("passage")
+      .groupBy("pkey")
       .agg(count_distinct(col("doc_id")).as("n_docs_with"))
     passages
-      .join(census, Seq("passage"))
+      .join(census, Seq("pkey"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_passages"),
         sum(when(col("n_docs_with") >= 2, 1L).otherwise(0L))

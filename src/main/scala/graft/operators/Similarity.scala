@@ -106,13 +106,22 @@ object Similarity {
     val queries = corpus.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nv").as("nqv"), col("neg_label").as("q_label"))
-    corpus.crossJoin(broadcast(queries))
+    val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("neg_label") =!= col("q_label"))
       .select(col("query_id"), col("q_label"), col("vec_id"),
         col("neg_label"),
         round(dot(col("qv"), col("v")) / (col("nqv") * col("nv")), 4)
           .as("cos_sim"))
-      .groupBy("query_id", "q_label")
+    hardNegTail(scored, k)
+  }
+
+  /** Scored different-label candidates → per-anchor top-k negatives with
+    * 1-based rank. Shared by the exact and LSH tiers — the bounded-heap
+    * [[graft.functions.TopKBy]] partial-reduces each map partition to ≤k
+    * candidates per anchor before the exchange.
+    */
+  private def hardNegTail(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id", "q_label")
       .agg(graft.functions.TopKBy.topKBy(
         struct(col("cos_sim"), (-col("vec_id")).as("nv"),
           col("neg_label")), k).as("top"))
@@ -122,6 +131,46 @@ object Similarity {
         col("t.neg_label").as("neg_label"), col("t.cos_sim").as("cos_sim"),
         (col("pos") + 1).cast("int").as("rank"))
       .orderBy("query_id", "rank")
+
+  /** [[hardNegatives]] under the LSH candidate restriction — the 100 TB
+    * tier: instead of scoring the anchor against the WHOLE corpus, only
+    * vectors sharing one of the anchor's nPlanes+1 multi-probe buckets
+    * ([[lshTopK]]'s probe scheme: own bucket + every Hamming-1 flip)
+    * are candidates, so the join scales with bucket occupancy, not
+    * corpus size. Candidates are a strict subset of the exact tier's —
+    * a returned negative is always a TRUE different-label example with
+    * its TRUE cosine; only completeness (recall of the very hardest
+    * negatives) is approximate, which is acceptable for an InfoNCE
+    * denominator. q169a pins this against a DuckDB oracle that rebuilds
+    * the same bucket predicate; the restriction BINDS at sf0.01.
+    *
+    * Output: (query_id, q_label, vec_id, neg_label, cos_sim, rank) —
+    * an anchor whose probe buckets hold no different-label vector emits
+    * no rows (the exact tier would).
+    */
+  def hardNegativesLsh(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nPlanes: Int = 6, dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    val corpus = graft.util.Parallelism.ensure(embeddings)
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"),
+        col(labelCol).as("neg_label"))
+      .withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
+      .withColumn("nv", norm(col("v")))
+    val probeSet = array(lit(0L) +: (0 until nPlanes).map(p => lit(1L << p)): _*)
+    val queries = corpus.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nv").as("nqv"), col("neg_label").as("q_label"),
+        explode(transform(probeSet, m => col("bucket").bitwiseXOR(m)))
+          .as("bucket"))
+    val scored = corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("neg_label") =!= col("q_label"))
+      // probe buckets are distinct per query, so a (query, vec) pair
+      // matches at most once — no dedup needed (lshTopK's argument)
+      .select(col("query_id"), col("q_label"), col("vec_id"),
+        col("neg_label"),
+        round(dot(col("qv"), col("v")) / (col("nqv") * col("nv")), 4)
+          .as("cos_sim"))
+    hardNegTail(scored, k)
   }
 
   /** Label-noise audit by neighborhood vote: for each anchor, how many
@@ -149,13 +198,20 @@ object Similarity {
     val queries = corpus.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nv").as("nqv"), col("nb_label").as("q_label"))
-    corpus.crossJoin(broadcast(queries))
+    val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("q_label"), col("vec_id"),
         col("nb_label"),
         round(dot(col("qv"), col("v")) / (col("nqv") * col("nv")), 4)
           .as("cos_sim"))
-      .groupBy("query_id", "q_label")
+    agreementTail(scored, k)
+  }
+
+  /** Scored any-label neighbor candidates → per-anchor k-NN vote.
+    * Shared by the exact and LSH tiers.
+    */
+  private def agreementTail(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id", "q_label")
       .agg(graft.functions.TopKBy.topKBy(
         struct(col("cos_sim"), (-col("vec_id")).as("nv"),
           col("nb_label")), k).as("top"))
@@ -169,6 +225,41 @@ object Similarity {
         expr("(n_agree * 1000000L) div k_used").as("agree_ppm"),
         (col("n_agree") * 2 < col("k_used")).as("suspect"))
       .orderBy("query_id")
+
+  /** [[labelAgreement]] under the LSH candidate restriction — the
+    * 100 TB label-noise audit: neighbors come only from the anchor's
+    * nPlanes+1 multi-probe buckets ([[lshTopK]]'s scheme), so the vote
+    * reads bucket-local geometry instead of a full corpus scan per
+    * anchor. The k-NN set can differ from the exact tier's (LSH recall
+    * is approximate), so the vote — and the suspect flag — is an
+    * approximation whose candidates are still true vectors with true
+    * cosines. q179a pins it against a DuckDB oracle rebuilding the same
+    * bucket predicate; the restriction BINDS at sf0.01. An anchor with
+    * no bucket-mates emits no row (exact tier always votes).
+    *
+    * Output: (query_id, q_label, k_used, n_agree, agree_ppm, suspect).
+    */
+  def labelAgreementLsh(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nPlanes: Int = 6, dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    val corpus = graft.util.Parallelism.ensure(embeddings)
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"),
+        col(labelCol).as("nb_label"))
+      .withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
+      .withColumn("nv", norm(col("v")))
+    val probeSet = array(lit(0L) +: (0 until nPlanes).map(p => lit(1L << p)): _*)
+    val queries = corpus.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nv").as("nqv"), col("nb_label").as("q_label"),
+        explode(transform(probeSet, m => col("bucket").bitwiseXOR(m)))
+          .as("bucket"))
+    val scored = corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_label"), col("vec_id"),
+        col("nb_label"),
+        round(dot(col("qv"), col("v")) / (col("nqv") * col("nv")), 4)
+          .as("cos_sim"))
+    agreementTail(scored, k)
   }
 
   /** Deterministic uniform negative sampling — [[hardNegatives]]'
