@@ -51,10 +51,11 @@ object Round5iQueries {
     "q116_bpe_pairs" -> ((s, dir) =>
       Bpe.firstPairCounts(Tables.load(s, dir, "documents"), BpePairsTopN)),
 
-    // q117: the learned merge table itself. Iterative argmax-per-round
-    // is not SQL-expressible (the q43 class: rows-only by construction);
-    // Round5iSpec proves the learner equal to a sequential reference
-    // implementation on this same fixture.
+    // q117: the learned merge table itself. The argmax-per-round loop
+    // IS SQL-expressible without recursion because the merge budget is
+    // a fixed constant: the oracle unrolls BpeMerges CTE stages (see
+    // bpeMergesOracle). Round5iSpec additionally proves the learner
+    // equal to a sequential reference implementation.
     "q117_bpe_merges" -> ((s, dir) =>
       Bpe.learnMerges(Tables.load(s, dir, "documents"), BpeMerges)))
 
@@ -64,7 +65,52 @@ object Round5iQueries {
   /** q117 merge budget. */
   val BpeMerges = 8
 
+  /** q117 oracle: the merge loop UNROLLED into [[BpeMerges]] plain CTE
+    * stages (no recursion — recursive CTEs cannot aggregate over the
+    * recursive relation, but a FIXED merge budget needs no recursion).
+    *
+    * Representation: each word's symbol sequence is the string
+    * `' s1  s2  ...  sk '` — every symbol owns a leading and trailing
+    * space, so adjacent symbols are separated by exactly two spaces and
+    * a substring match of `' l  r '` can only align with a
+    * token-adjacent (l, r) pair (symbols never contain spaces). SQL
+    * `replace()`'s left-to-right non-overlapping input scan is then
+    * EXACTLY the leftmost-greedy merge fold the Scala side runs
+    * ("a a a a" under (a,a) → [aa, aa], "a a a" → [aa, a]). Each stage:
+    * pair census off the split strings → 1-row argmax under the same
+    * (count DESC, left, right) total order → replace-rewrite.
+    */
+  private def bpeMergesOracle: String = {
+    val stages = (1 to BpeMerges).map { k =>
+      val prev = s"v${k - 1}"
+      s"""p$k AS (SELECT t[i] AS l, t[i + 1] AS r,
+         |    CAST(sum(n) AS BIGINT) AS c
+         |  FROM (SELECT string_split(substr(s, 2, length(s) - 2), '  ')
+         |      AS t, n FROM $prev),
+         |    unnest(range(1, len(t))) AS u(i)
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+         |v$k AS (SELECT replace(s, ' ' || l || '  ' || r || ' ',
+         |    ' ' || l || r || ' ') AS s, n FROM $prev, m$k)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to BpeMerges).map { k =>
+      if (k == 1)
+        """SELECT CAST(1 AS INTEGER) AS "rank", l AS "left",
+          |  r AS "right", c AS n_pair FROM m1""".stripMargin
+      else s"UNION ALL SELECT $k, l, r, c FROM m$k"
+    }.mkString("\n")
+    s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(${LlmQueries.tokSql}) AS w FROM documents)
+       |  GROUP BY 1),
+       |v0 AS (SELECT ' ' || array_to_string(list_append(
+       |      cs[1:len(cs) - 1], cs[-1] || '</w>'), '  ') || ' ' AS s, n
+       |  FROM (SELECT string_split(w, '') AS cs, n FROM wc)),
+       |$stages
+       |SELECT * FROM ($finals) ORDER BY "rank"""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q117_bpe_merges" -> bpeMergesOracle,
     "q114_typo_variants" ->
       s"""WITH tk AS (SELECT
          |    unnest(regexp_extract_all(lower(c_name), '[a-z0-9]+')) AS w

@@ -28,6 +28,13 @@ object Round6hQueries {
     "q153_sketch_rollup" -> ((s, dir) =>
       SketchRollup.weeklyDistinct(Tables.load(s, dir, "events"))),
 
+    // q153a: the exact twin of the sketch rollup — same week buckets
+    // and row accounting with count_distinct, so the bucketing and
+    // accounting of q153 are oracle-pinned even though its HLL estimate
+    // cannot be (DuckDB sketches differently).
+    "q153a_weekly_distinct_exact" -> ((s, dir) =>
+      SketchRollup.weeklyDistinctExact(Tables.load(s, dir, "events"))),
+
     // Region → nation revenue rollup with exact share-of-parent /
     // share-of-grand basis points (cents-integer revenue).
     "q154_share_of_parent" -> ((s, dir) => {
@@ -55,6 +62,12 @@ object Round6hQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q153a_weekly_distinct_exact" ->
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_exact
+        |FROM events GROUP BY 1 ORDER BY week_start""".stripMargin,
     "q152_info_gain" ->
       """WITH m AS (
         |  SELECT 'source' AS feature, source AS x, lang = 'en' AS y

@@ -246,4 +246,46 @@ object Constraints {
           col("n_below") + col("n_above") > 0).as("flagged"))
       .orderBy(keyCol)
   }
+
+  /** Streaming twin of [[rangeContractReport]] (the psiFromCounts
+    * pattern — the release gate most natural to run continuously):
+    * `counts` is the drained/emitted output of
+    * [[graft.streaming.StreamingOps.keyedValueCensusStream]] —
+    * (window_start, window_end, k, vm, c_cur) micro-quantized census
+    * rows — audited per window against the envelope inferred from the
+    * trusted `ref` snapshot. Comparisons run in the MICRO domain on
+    * both sides (bounds round to micro first); values with ≤6 decimal
+    * digits quantize exactly, so the verdict matches the batch
+    * operator's raw-double comparison there (Round7gSpec pins drained
+    * ≡ batch on the q200 fixture split). Like the batch report, an
+    * unknown key flags with NULL bounds and a ref key absent from the
+    * window emits nothing.
+    *
+    * Output: the batch columns behind leading (window_start,
+    * window_end), (window, key)-ordered.
+    */
+  def rangeContractFromCounts(counts: DataFrame, ref: DataFrame,
+      keyCol: String, valCol: String): DataFrame = {
+    val contract = ref.groupBy(col(keyCol).as("k"))
+      .agg(round(min(col(valCol)) * 1e6).cast("long").as("lo_micro"),
+        round(max(col(valCol)) * 1e6).cast("long").as("hi_micro"))
+    counts
+      .join(broadcast(contract), Seq("k"), "left")
+      .groupBy(col("window_start"), col("window_end"), col("k"),
+        col("lo_micro").isNotNull.as("known_key"),
+        col("lo_micro"), col("hi_micro"))
+      .agg(sum("c_cur").as("n_cur"),
+        sum(when(col("vm") < col("lo_micro"), col("c_cur"))
+          .otherwise(0L)).as("n_below"),
+        sum(when(col("vm") > col("hi_micro"), col("c_cur"))
+          .otherwise(0L)).as("n_above"))
+      .select(col("window_start"), col("window_end"),
+        col("k").as(keyCol), col("known_key"),
+        col("lo_micro"), col("hi_micro"), col("n_cur"),
+        col("n_below"), col("n_above"),
+        expr("((n_below + n_above) * 1000000L) div n_cur").as("viol_ppm"),
+        (!col("known_key") ||
+          col("n_below") + col("n_above") > 0).as("flagged"))
+      .orderBy("window_start", keyCol)
+  }
 }

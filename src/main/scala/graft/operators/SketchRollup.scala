@@ -32,6 +32,27 @@ object SketchRollup {
       .groupBy("day")
       .agg(count(lit(1)).as("n_rows"), hll_sketch_agg(col("id")).as("sk"))
 
+  /** Exact twin of [[weeklyDistinct]]: same week buckets and row
+    * accounting, `count_distinct` instead of the HLL estimate. NOT the
+    * 100 TB path — exact weekly distincts must touch every event and
+    * do not roll up from stored daily state; this is the
+    * oracle-checkable reference (q153a) that pins the rollup's
+    * bucketing/accounting exactly and that SketchRollupSpec's accuracy
+    * band compares the estimate against.
+    *
+    * Output: (week_start, n_days, n_rows, distinct_exact).
+    */
+  def weeklyDistinctExact(events: DataFrame, tsCol: String = "ts",
+      idCol: String = "user_id"): DataFrame =
+    events
+      .select(date_trunc("week", col(tsCol)).cast("date").as("week_start"),
+        to_date(col(tsCol)).as("day"), col(idCol).as("id"))
+      .groupBy("week_start")
+      .agg(count_distinct(col("day")).as("n_days"),
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("id")).as("distinct_exact"))
+      .orderBy("week_start")
+
   /** Weekly distinct estimates from unioning the daily sketches —
     * (week_start, n_days, n_rows, distinct_est).
     */

@@ -595,6 +595,27 @@ object StreamingOps {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("vm"), col("c_cur"))
 
+  /** Windowed per-KEY value census — the streaming half of the
+    * range-contract twin
+    * ([[graft.operators.Constraints.rangeContractFromCounts]]): exact
+    * (window, key, micro-value, count) rows emitted as windows close.
+    * State is bounded by distinct (key, micro-value) pairs per open
+    * window. The contract comparison happens batch-side, so the stream
+    * stays contract-agnostic: one running census serves any number of
+    * audits, including re-audits against a refreshed trusted snapshot.
+    */
+  def keyedValueCensusStream(events: DataFrame, windowLen: String,
+      watermarkDelay: String, keyCol: String = "event_type",
+      tsCol: String = "ts", valCol: String = "value"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), col(keyCol).as("k"),
+        round(col(valCol).cast("double") * 1e6).cast("long").as("vm"))
+      .groupBy(window(col(tsCol), windowLen), col("k"), col("vm"))
+      .agg(count(lit(1)).as("c_cur"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("k"), col("vm"),
+        col("c_cur"))
+
   /** One change of [[latestChangeStream]]. */
   final case class CdcChange(key: Long, seq: Long, op: String,
     payload: String)

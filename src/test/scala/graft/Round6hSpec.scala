@@ -75,6 +75,20 @@ class Round6hSpec extends AnyFunSuite {
     }
   }
 
+  test("weeklyDistinctExact: buckets/accounting match the sketch path") {
+    val ev = Tables.load(spark, sf, "events")
+    // (week, n_days, n_rows) must agree between the sketch rollup and
+    // the exact twin — only the distinct column differs in method
+    val sketch = SketchRollup.weeklyDistinct(ev).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = SketchRollup.weeklyDistinctExact(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(exact.nonEmpty &&
+      exact.map(e => e._1 -> (e._2, e._3)).toMap == sketch)
+    exact.foreach(e => assert(e._4 >= 1L && e._4 <= e._3))
+  }
+
   // ------------------------------------------------------ gram in SQL
 
   test("graft_gram registered: SQL ≡ Column API covariance core") {
