@@ -568,7 +568,7 @@ object SparkEntry {
       Round6zQueries.queries ++ Round7Queries.queries ++
       Round7bQueries.queries ++ Round7cQueries.queries ++
       Round7dQueries.queries ++ Round7eQueries.queries ++
-      Round7fQueries.queries
+      Round7fQueries.queries ++ Round7iQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -595,5 +595,5 @@ object SparkEntry {
       Round6zQueries.oracleSql ++ Round7Queries.oracleSql ++
       Round7bQueries.oracleSql ++ Round7cQueries.oracleSql ++
       Round7dQueries.oracleSql ++ Round7eQueries.oracleSql ++
-      Round7fQueries.oracleSql
+      Round7fQueries.oracleSql ++ Round7iQueries.oracleSql
 }

@@ -266,4 +266,69 @@ object Experiment {
         when(col("smd").isNotNull, abs(col("smd")) < 0.1).as("balanced"))
       .orderBy("feature")
   }
+
+  /** O'Brien–Fleming two-sided boundaries for 4 equally-spaced peeks at
+    * overall α = 0.05, as micro literals FROZEN on both engines (the
+    * MDE z-quantile convention): z_k = 2.024·√(4/k).
+    */
+  val ObfBoundaryMicro: Seq[Long] = Seq(4048000L, 2862368L, 2337114L, 2024000L)
+
+  /** Group-sequential monitoring — "when could this test have stopped":
+    * the peeking-correct companion of [[proportionZ]] (whose single z is
+    * only valid if you look once). Units carry a peek index 1..4 (which
+    * interim look they arrived before); at each look the CUMULATIVE
+    * two-proportion z compares against the [[ObfBoundaryMicro]]
+    * O'Brien–Fleming boundary — early looks demand ~4σ, the final look
+    * ~2σ, holding overall α at 5% despite 4 looks.
+    *
+    * Scale shape: ONE conditional aggregate to 4 peek stat rows (map-
+    * side partials); cumulative sums and the first-crossing argmin are
+    * windows over those 4 rows, never over units. Integer cores; z is
+    * the one rounded double, derived identically in SQL.
+    *
+    * Output per peek: (peek, n_ctrl, conv_ctrl, n_treat, conv_treat, z,
+    * boundary_micro, crossed, first_cross_peek) — first_cross_peek is
+    * the earliest crossed look (NULL if none), repeated on every row.
+    */
+  def groupSequentialZ(units: DataFrame, peekCol: String,
+      armCol: String = "arm", successCol: String = "success"): DataFrame = {
+    val perPeek = units
+      .select(col(peekCol).cast("int").as("peek"), col(armCol).as("arm"),
+        when(col(successCol), 1L).otherwise(0L).as("s"))
+      .groupBy("peek")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("dn0"),
+        sum(when(col("arm") === 0, col("s")).otherwise(0L)).as("dk0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("dn1"),
+        sum(when(col("arm") === 1, col("s")).otherwise(0L)).as("dk1"))
+    import org.apache.spark.sql.expressions.Window
+    // 4 stat rows: every window below is bounded by the peek count
+    val cum = Window.partitionBy().orderBy("peek")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val boundary = ObfBoundaryMicro.zipWithIndex.foldLeft(lit(null): Column) {
+      case (acc, (bm, i)) => when(col("peek") === i + 1, lit(bm)).otherwise(acc)
+    }
+    val p0 = col("conv_ctrl").cast("double") / col("n_ctrl")
+    val p1 = col("conv_treat").cast("double") / col("n_treat")
+    val pooled = (col("conv_ctrl") + col("conv_treat")).cast("double") /
+      (col("n_ctrl") + col("n_treat"))
+    val se = sqrt(pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / col("n_ctrl") + lit(1.0) / col("n_treat")))
+    val z = when(col("n_ctrl") > 0 && col("n_treat") > 0 &&
+      pooled > 0 && pooled < 1, round((p1 - p0) / se, 6))
+    perPeek
+      .select(col("peek"),
+        sum("dn0").over(cum).as("n_ctrl"), sum("dk0").over(cum).as("conv_ctrl"),
+        sum("dn1").over(cum).as("n_treat"), sum("dk1").over(cum).as("conv_treat"))
+      .withColumn("z", z)
+      .withColumn("boundary_micro", boundary)
+      // integer-domain crossing test: |z| re-quantized to micro vs the
+      // frozen boundary literal — no float >= at the decision boundary
+      .withColumn("crossed", coalesce(
+        round(abs(col("z")) * 1e6).cast("long") >= col("boundary_micro"),
+        lit(false)))
+      .withColumn("first_cross_peek",
+        min(when(col("crossed"), col("peek")))
+          .over(Window.partitionBy()).cast("int"))
+      .orderBy("peek")
+  }
 }

@@ -30,6 +30,42 @@ object SkewReport {
     * where share_bp = round(cnt·10000/total, 4) and cum_bp its running
     * sum over the ranked N rows (both from integer counts).
     */
+  /** Exact join-cardinality forecast — the guard a pipeline runs BEFORE
+    * a 100 TB equi-join: from the two sides' per-key censuses,
+    * `|L ⋈ R| = Σ_k cL(k)·cR(k)` exactly, plus the top-N exploding keys
+    * by per-key output (the rows a salting/broadcast/cap decision needs).
+    * [[keySkew]] reads one relation's concentration; this reads the
+    * PRODUCT the join would materialize.
+    *
+    * Scale shape: one hash aggregate per side (map-side partials), a
+    * stat-grain join on DISTINCT keys (censuses, never data rows), and a
+    * TakeOrdered top-N — no data-side join runs at all. Counts and
+    * products are exact BIGINTs (envelope: a single key with >3e9 rows
+    * per side overflows the product; at that point the join itself is
+    * the bug this report exists to catch).
+    *
+    * Output: the '__all' row (total matched left rows, matched right
+    * rows, exact join output rows) then top-N keys by (out_rows DESC,
+    * key ASC): (key, n_left, n_right, out_rows).
+    */
+  def joinSizeReport(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, topN: Int = 10): DataFrame = {
+    val cl = left.groupBy(col(leftKey).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val cr = right.groupBy(col(rightKey).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val j = cl.join(cr, Seq("key"))
+      .select(col("key"), col("n_left"), col("n_right"),
+        (col("n_left") * col("n_right")).as("out_rows"))
+    val total = j.agg(sum("n_left").as("n_left"),
+        sum("n_right").as("n_right"), sum("out_rows").as("out_rows"))
+      .select(lit("__all").as("key"), col("n_left"), col("n_right"),
+        col("out_rows"))
+    total.unionByName(
+        j.orderBy(col("out_rows").desc, col("key")).limit(topN))
+      .orderBy(col("key") =!= "__all", col("out_rows").desc, col("key"))
+  }
+
   def keySkew(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")
     val counts = df.groupBy(col(keyCol).cast("long").as("key"))
