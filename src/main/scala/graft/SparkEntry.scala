@@ -568,7 +568,8 @@ object SparkEntry {
       Round6zQueries.queries ++ Round7Queries.queries ++
       Round7bQueries.queries ++ Round7cQueries.queries ++
       Round7dQueries.queries ++ Round7eQueries.queries ++
-      Round7fQueries.queries ++ Round7iQueries.queries
+      Round7fQueries.queries ++ Round7iQueries.queries ++
+      Round7jQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -595,5 +596,6 @@ object SparkEntry {
       Round6zQueries.oracleSql ++ Round7Queries.oracleSql ++
       Round7bQueries.oracleSql ++ Round7cQueries.oracleSql ++
       Round7dQueries.oracleSql ++ Round7eQueries.oracleSql ++
-      Round7fQueries.oracleSql ++ Round7iQueries.oracleSql
+      Round7fQueries.oracleSql ++ Round7iQueries.oracleSql ++
+      Round7jQueries.oracleSql
 }

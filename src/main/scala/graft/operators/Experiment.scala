@@ -331,4 +331,59 @@ object Experiment {
           .over(Window.partitionBy()).cast("int"))
       .orderBy("peek")
   }
+
+  /** Uplift by score bin — "WHO responds to treatment": units carry a
+    * targeting score (an integer, e.g. basis points) and the report
+    * reads, per fixed-width score bin and cumulatively from the
+    * highest bin down, how much better treated units convert than
+    * control units. The cumulative column is the Qini-curve reading:
+    * uplift if you treated only the top-scored slice.
+    *
+    * Binning is [[Evaluation.calibrationReport]]'s exact integer rule
+    * (frozen from the corpus min/max — one broadcast stat row);
+    * everything after the ONE conditional aggregate is windows over
+    * ≤ nBins stat rows. Rates are ppm floor divisions; a bin missing
+    * an arm reports zero counts and NULL rates (proportionZ's rule).
+    *
+    * Output per bin (bin DESC — highest scores first): (bin, n_ctrl,
+    * conv_ctrl, n_treat, conv_treat, uplift_ppm, cum_n_treat,
+    * cum_uplift_ppm).
+    */
+  def upliftByDecile(units: DataFrame, scoreCol: String,
+      armCol: String = "arm", successCol: String = "success",
+      nBins: Int = 10): DataFrame = {
+    val v = units.select(col(scoreCol).cast("long").as("sc"),
+      col(armCol).as("arm"),
+      when(col(successCol), 1L).otherwise(0L).as("s"))
+    val bounds = v.agg(min("sc").as("mn"), max("sc").as("mx"))
+    val binned = v.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr(s"((sc - mn) * $nBins) div (mx - mn + 1)"))
+      .groupBy("bin")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(col("arm") === 0, col("s")).otherwise(0L)).as("conv_ctrl"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("arm") === 1, col("s")).otherwise(0L)).as("conv_treat"))
+    import org.apache.spark.sql.expressions.Window
+    // ≤ nBins stat rows: cumulative-from-top windows are bin-bounded
+    val cumW = Window.partitionBy().orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    binned
+      .withColumn("cum_n_ctrl", sum("n_ctrl").over(cumW))
+      .withColumn("cum_k_ctrl", sum("conv_ctrl").over(cumW))
+      .withColumn("cum_n_treat", sum("n_treat").over(cumW))
+      .withColumn("cum_k_treat", sum("conv_treat").over(cumW))
+      .select(col("bin"), col("n_ctrl"), col("conv_ctrl"),
+        col("n_treat"), col("conv_treat"),
+        (when(col("n_treat") > 0,
+            expr("(conv_treat * 1000000L) div n_treat")) -
+          when(col("n_ctrl") > 0,
+            expr("(conv_ctrl * 1000000L) div n_ctrl"))).as("uplift_ppm"),
+        col("cum_n_treat"),
+        (when(col("cum_n_treat") > 0,
+            expr("(cum_k_treat * 1000000L) div cum_n_treat")) -
+          when(col("cum_n_ctrl") > 0,
+            expr("(cum_k_ctrl * 1000000L) div cum_n_ctrl")))
+          .as("cum_uplift_ppm"))
+      .orderBy(col("bin").desc)
+  }
 }

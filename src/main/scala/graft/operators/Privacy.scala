@@ -69,4 +69,55 @@ object Privacy {
       .withColumn("homogeneous", col("n_sensitive") === 1L)
       .orderBy(quasiCols.map(col): _*)
   }
+
+  /** Per-class t-closeness census — the third rung of the privacy
+    * ladder: a class can be k-safe AND l-diverse while its sensitive
+    * distribution still differs sharply from the table's (an attacker
+    * forming the QI key learns the class skew — the skewness attack).
+    * t-closeness bounds the distance between each class's sensitive
+    * distribution and the GLOBAL one; for categorical attributes the
+    * distance is total variation, `TV = ½ Σᵥ |p_class(v) − p_global(v)|`.
+    *
+    * Exact integer core: `TV·2·n_c·N = Σᵥ |cᵥ·N − gᵥ·n_c|`, and the
+    * values a class never holds contribute `n_c·(N − Σ_{v∈class} gᵥ)`
+    * in ONE closed form — no class×value grid materializes. Products
+    * accumulate in DECIMAL(38,0) (≡ HUGEINT; cᵥ·N reaches N² at the
+    * envelope); the milli TV is one floor division of exact integers.
+    *
+    * Shape: the same (quasi, sensitive) census as [[lDiversityReport]]
+    * (ONE scan), the global per-value census re-aggregated from it
+    * (stat-grain), one broadcast join by value, one per-class
+    * aggregate. Output per class: (quasi..., n_rows, tv_milli,
+    * t_violation) with t_violation = tv_milli > tMilli.
+    */
+  def tClosenessReport(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, tMilli: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = graft.util.Caches.cached(df
+      .groupBy((quasiCols.map(col) :+
+        col(sensitiveCol).as("__v")): _*)
+      .agg(count(lit(1)).as("__c")))
+    val global = census.groupBy("__v").agg(sum("__c").as("__g"))
+      .crossJoin(broadcast(census.agg(sum("__c").as("__nt"))))
+    census
+      // class totals via a window over the CENSUS (stat-grain, one row
+      // per distinct quasi×value), never over data rows
+      .withColumn("__nc",
+        sum("__c").over(Window.partitionBy(quasiCols.map(col): _*)))
+      .join(broadcast(global), Seq("__v"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(max("__nc").as("n_rows"),
+        sum(abs(col("__c").cast("decimal(38,0)") * col("__nt") -
+          col("__g").cast("decimal(38,0)") * col("__nc")))
+          .as("__present"),
+        first("__nt").as("__ntot"),
+        sum("__g").as("__g_present"))
+      .withColumn("tv_milli",
+        expr("cast(((__present + cast(n_rows as decimal(38,0)) * " +
+          "(__ntot - __g_present)) * 500) div " +
+          "(cast(n_rows as decimal(38,0)) * __ntot) as bigint)"))
+      .select((quasiCols.map(col) :+ col("n_rows") :+ col("tv_milli") :+
+        (col("tv_milli") > tMilli).as("t_violation")): _*)
+      .orderBy(quasiCols.map(col): _*)
+  }
 }

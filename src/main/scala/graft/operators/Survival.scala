@@ -79,4 +79,90 @@ object Survival {
             .cast("long")).as("survival_ppm"))
       .orderBy("t")
   }
+
+  /** Log-rank test — "do the two arms' survival curves differ": the
+    * standard two-sample comparison over right-censored lifetimes
+    * (Mantel–Haenszel form), the inferential companion
+    * [[kaplanMeier]]'s descriptive curve needs. At every pooled event
+    * time, group A's observed events compare against the expected
+    * count under the null (events split by at-risk share); the
+    * hypergeometric-variance-normalized square is χ² with 1 df.
+    *
+    * `groupPred` marks group A per event row and must be user-constant
+    * (it reduces by max over the user's rows). Same lifetime model and
+    * scan shape as [[kaplanMeier]]: ONE scan to user grain, a
+    * (t, group) census, then windows over the day-bounded stat grid —
+    * per-group at-risk counts derive from cumulative sums, absent
+    * (t, group) cells fill zero via the t-grid left join (stat-grain).
+    * All counts are exact integers; O−E and V derive identically in
+    * SQL (the proportionZ convention) and χ² rounds at 6 dp.
+    *
+    * Output (ONE row): (n_a, n_b, events_a, events_b, chi2) — event
+    * counts over the INFORMATIVE times (both groups at risk, ≥1 pooled
+    * event: exactly the 2×2 tables the statistic reads); EMPTY result
+    * when no time is informative.
+    */
+  def logRank(events: DataFrame, eventPred: Column, groupPred: Column,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val users = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"),
+        eventPred.as("hit"), groupPred.as("ga"))
+      .groupBy("u")
+      .agg(min("day").as("entry"),
+        min(when(col("hit"), col("day"))).as("event_day"),
+        max(col("ga")).as("is_a"))
+    val horizon = events.agg(max(to_date(col(tsCol))).as("horizon"))
+    val lt = users.crossJoin(broadcast(horizon))
+      .select(
+        when(col("event_day").isNotNull,
+          datediff(col("event_day"), col("entry")))
+          .otherwise(datediff(col("horizon"), col("entry")))
+          .cast("long").as("t"),
+        col("event_day").isNotNull.as("observed"), col("is_a"))
+    val census = lt.groupBy("t")
+      .agg(sum(when(col("observed") && col("is_a"), 1L).otherwise(0L))
+          .as("d1"),
+        sum(when(col("observed") && !col("is_a"), 1L).otherwise(0L))
+          .as("d2"),
+        sum(when(!col("observed") && col("is_a"), 1L).otherwise(0L))
+          .as("c1"),
+        sum(when(!col("observed") && !col("is_a"), 1L).otherwise(0L))
+          .as("c2"))
+    val wAll = Window.partitionBy()
+    val wBefore = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = census
+      .withColumn("na_tot", sum(col("d1") + col("c1")).over(wAll))
+      .withColumn("nb_tot", sum(col("d2") + col("c2")).over(wAll))
+      .withColumn("n1", col("na_tot") -
+        coalesce(sum(col("d1") + col("c1")).over(wBefore), lit(0L)))
+      .withColumn("n2", col("nb_tot") -
+        coalesce(sum(col("d2") + col("c2")).over(wBefore), lit(0L)))
+      .withColumn("n", col("n1") + col("n2"))
+      .withColumn("d", col("d1") + col("d2"))
+      // only pooled event times with both groups at risk inform the
+      // statistic (V = 0 otherwise)
+      .filter(col("d") > 0 && col("n1") > 0 && col("n2") > 0 &&
+        col("n") > 1)
+    // per-time O−E and V round to integer NANO before summing (the
+    // q152 cell convention): the accumulators are exact integers, so
+    // the cross-engine float-sum-order hazard never reaches the hash
+    val e1 = col("d").cast("double") * col("n1") / col("n")
+    val v = col("d").cast("double") * (col("n1").cast("double") / col("n")) *
+      (col("n2").cast("double") / col("n")) *
+      ((col("n") - col("d")).cast("double") / (col("n") - 1))
+    risk
+      .select(col("na_tot"), col("nb_tot"), col("d1"), col("d2"),
+        round((col("d1") - e1) * lit(1e9)).cast("long").as("ome_nano"),
+        round(v * lit(1e9)).cast("long").as("v_nano"))
+      .groupBy("na_tot", "nb_tot")
+      .agg(sum("d1").as("events_a"), sum("d2").as("events_b"),
+        sum("ome_nano").as("so"), sum("v_nano").as("sv"))
+      .select(col("na_tot").as("n_a"), col("nb_tot").as("n_b"),
+        col("events_a"), col("events_b"),
+        when(col("sv") > 0,
+          round((col("so").cast("double") / 1e9) *
+            (col("so").cast("double") / 1e9) /
+            (col("sv").cast("double") / 1e9), 6)).as("chi2"))
+  }
 }
