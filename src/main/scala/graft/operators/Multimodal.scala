@@ -550,6 +550,207 @@ object Multimodal {
       StructField("metadata", metadataType))))
   }
 
+  // ----------------------------------------------------------------
+  // MP4 / ISO-BMFF container metadata — pure JDK box walking
+  // ----------------------------------------------------------------
+
+  /** ISO/IEC 14496-12 box-structure parsing: the CONTAINER metadata a
+    * video pipeline reads before any decode decision (duration, track
+    * count, display dimensions) comes from the `moov` box tree and is
+    * pure big-endian byte walking — no codec libraries. Frame DECODE
+    * stays documented out-of-scope (no codecs in the sandbox); this is
+    * the same honesty level as [[AudioCodec]]'s WAV chunk walk and MP3
+    * frame-header walk.
+    */
+  object VideoContainer {
+
+    final case class Mp4Info(timescale: Int, durationTicks: Long,
+        durationMs: Long, nTracks: Int, width: Int, height: Int)
+
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o + 4, 4, "ISO-8859-1")
+
+    private def put32(b: Array[Byte], o: Int, v: Long): Unit = {
+      b(o) = ((v >>> 24) & 0xff).toByte; b(o + 1) = ((v >>> 16) & 0xff).toByte
+      b(o + 2) = ((v >>> 8) & 0xff).toByte; b(o + 3) = (v & 0xff).toByte
+    }
+
+    private def putType(b: Array[Byte], o: Int, t: String): Unit =
+      t.getBytes("ISO-8859-1").copyToArray(b, o + 4)
+
+    /** Parse an ISO-BMFF stream: the file must LEAD with `ftyp`
+      * (the brand gate — a WAV or MP3 never passes), then top-level
+      * boxes walk by their 32-bit sizes to `moov`; inside it `mvhd`
+      * yields timescale/duration, `trak` children count tracks, and
+      * the FIRST `tkhd` carries the 16.16-fixed display dimensions.
+      * A truncated or invalid box mid-walk STOPS the walk and keeps
+      * what parsed (the [[AudioCodec.parseMp3]] rule); None only when
+      * `ftyp` or a complete `moov`+`mvhd` never materializes.
+      * 64-bit (`size == 1`) and to-end (`size == 0`) boxes are
+      * unsupported scope, treated as walk-stopping.
+      */
+    def parseMp4(bytes: Array[Byte]): Option[Mp4Info] = {
+      if (bytes.length < 16 || fourcc(bytes, 0) != "ftyp") return None
+      var off = 0
+      var moovAt = -1L
+      var moovSize = 0L
+      var ok = true
+      while (ok && moovAt < 0 && off + 8 <= bytes.length) {
+        val size = be32(bytes, off)
+        val typ = fourcc(bytes, off)
+        if (size < 8 || off + size > bytes.length) ok = false
+        else if (typ == "moov") { moovAt = off; moovSize = size }
+        else off += size.toInt
+      }
+      if (moovAt < 0) return None
+      var timescale = -1
+      var durTicks = -1L
+      var nTracks = 0
+      var width = -1
+      var height = -1
+      var p = moovAt.toInt + 8
+      val moovEnd = (moovAt + moovSize).toInt
+      var walk = true
+      while (walk && p + 8 <= moovEnd) {
+        val size = be32(bytes, p)
+        val typ = fourcc(bytes, p)
+        if (size < 8 || p + size > moovEnd) walk = false
+        else {
+          if (typ == "mvhd" && size >= 32 && bytes(p + 8) == 0) {
+            // version 0: timescale at +20, duration at +24
+            timescale = be32(bytes, p + 20).toInt
+            durTicks = be32(bytes, p + 24)
+          } else if (typ == "trak") {
+            nTracks += 1
+            // first tkhd provides width/height (16.16 fixed, v0: at
+            // +84 and +88 of the tkhd box)
+            var q = p + 8
+            val trakEnd = p + size.toInt
+            var inner = true
+            while (inner && q + 8 <= trakEnd) {
+              val s2 = be32(bytes, q)
+              if (s2 < 8 || q + s2 > trakEnd) inner = false
+              else {
+                if (fourcc(bytes, q) == "tkhd" && s2 >= 92 &&
+                    bytes(q + 8) == 0 && width < 0) {
+                  width = (be32(bytes, q + 84) >>> 16).toInt
+                  height = (be32(bytes, q + 88) >>> 16).toInt
+                }
+                q += s2.toInt
+              }
+            }
+          }
+          p += size.toInt
+        }
+      }
+      if (timescale <= 0 || durTicks < 0) None
+      else Some(Mp4Info(timescale, durTicks,
+        durTicks * 1000L / timescale, nTracks,
+        math.max(width, 0), math.max(height, 0)))
+    }
+
+    /** Serialize a minimal ISO-BMFF file: ftyp + moov(mvhd v0 +
+      * nTracks × trak(tkhd v0)) + an empty-payload mdat — the
+      * synthesis half of the round-trip contract.
+      */
+    def buildMp4(timescale: Int, durationTicks: Long, nTracks: Int,
+        width: Int, height: Int): Array[Byte] = {
+      require(timescale > 0 && durationTicks >= 0 && nTracks >= 1 &&
+        width >= 0 && height >= 0, "invalid MP4 parameters")
+      val ftyp = new Array[Byte](24)
+      put32(ftyp, 0, 24); putType(ftyp, 0, "ftyp")
+      "isom".getBytes("ISO-8859-1").copyToArray(ftyp, 8)
+      put32(ftyp, 12, 512)
+      "isom".getBytes("ISO-8859-1").copyToArray(ftyp, 16)
+      "mp42".getBytes("ISO-8859-1").copyToArray(ftyp, 20)
+      val mvhd = new Array[Byte](108)
+      put32(mvhd, 0, 108); putType(mvhd, 0, "mvhd")
+      put32(mvhd, 20, timescale.toLong)
+      put32(mvhd, 24, durationTicks)
+      put32(mvhd, 28, 0x00010000L) // rate 1.0
+      mvhd(32) = 0x01; mvhd(33) = 0x00 // volume 1.0
+      // identity matrix at +44 (36 bytes)
+      put32(mvhd, 44, 0x00010000L); put32(mvhd, 60, 0x00010000L)
+      put32(mvhd, 76, 0x40000000L)
+      put32(mvhd, 104, nTracks + 1L) // next_track_id
+      val traks = (1 to nTracks).map { tid =>
+        val tkhd = new Array[Byte](92)
+        put32(tkhd, 0, 92); putType(tkhd, 0, "tkhd")
+        tkhd(11) = 0x07 // flags: enabled | in-movie | in-preview
+        put32(tkhd, 20, tid.toLong)
+        put32(tkhd, 28, durationTicks)
+        put32(tkhd, 48, 0x00010000L); put32(tkhd, 64, 0x00010000L)
+        put32(tkhd, 80, 0x40000000L)
+        put32(tkhd, 84, width.toLong << 16)
+        put32(tkhd, 88, height.toLong << 16)
+        val trak = new Array[Byte](8 + 92)
+        put32(trak, 0, trak.length.toLong); putType(trak, 0, "trak")
+        tkhd.copyToArray(trak, 8)
+        trak
+      }
+      val moov = new Array[Byte](8 + 108 + traks.map(_.length).sum)
+      put32(moov, 0, moov.length.toLong); putType(moov, 0, "moov")
+      mvhd.copyToArray(moov, 8)
+      traks.foldLeft(116) { (o, t) => t.copyToArray(moov, o); o + t.length }
+      val mdat = new Array[Byte](8)
+      put32(mdat, 0, 8); putType(mdat, 0, "mdat")
+      ftyp ++ moov ++ mdat
+    }
+  }
+
+  /** Deterministic MP4 payload table from the documents fixture —
+    * parameters derive from doc_id alone so the SQL oracle recomputes
+    * the expected metadata without parsing bytes (the
+    * [[synthesizeMp3Payloads]] convention).
+    */
+  def synthesizeMp4Payloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = graft.util.Parallelism.ensure(docs)
+      .select("doc_id").rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val timescale = Array(600, 1000, 90000)((id % 3).toInt)
+          val secs = 1 + (id % 7)
+          val nTracks = 1 + (id % 2).toInt
+          val dim = 16 * (id % 4).toInt
+          Row(id, VideoContainer.buildMp4(timescale,
+            secs * timescale.toLong, nTracks, 320 + dim, 240 + dim))
+        }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType))))
+  }
+
+  /** Per-payload MP4 container metadata via the REAL box walk:
+    * (doc_id, timescale, duration_ms, n_tracks, width, height);
+    * non-BMFF payloads yield null metadata.
+    */
+  def mp4Metadata(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    val rdd = graft.util.Parallelism.ensure(payloads)
+      .select("doc_id", "payload").rdd.mapPartitions { rows =>
+        rows.map { r =>
+          VideoContainer.parseMp4(r.getAs[Array[Byte]](1)) match {
+            case Some(i) => Row(r.getLong(0), i.timescale, i.durationMs,
+              i.nTracks, i.width, i.height)
+            case None => Row(r.getLong(0), null, null, null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("timescale", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("n_tracks", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType))))
+  }
+
   /** STUB frame sampling for video-like payloads: every payload splits
     * into `n` evenly-spaced byte windows ("frames"), one output row each —
     * the explode-shaped plumbing a real frame sampler needs (row count
