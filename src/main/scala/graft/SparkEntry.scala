@@ -569,7 +569,8 @@ object SparkEntry {
       Round7bQueries.queries ++ Round7cQueries.queries ++
       Round7dQueries.queries ++ Round7eQueries.queries ++
       Round7fQueries.queries ++ Round7iQueries.queries ++
-      Round7jQueries.queries ++ Round7kQueries.queries
+      Round7jQueries.queries ++ Round7kQueries.queries ++
+      Round7lQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -597,5 +598,6 @@ object SparkEntry {
       Round7bQueries.oracleSql ++ Round7cQueries.oracleSql ++
       Round7dQueries.oracleSql ++ Round7eQueries.oracleSql ++
       Round7fQueries.oracleSql ++ Round7iQueries.oracleSql ++
-      Round7jQueries.oracleSql ++ Round7kQueries.oracleSql
+      Round7jQueries.oracleSql ++ Round7kQueries.oracleSql ++
+      Round7lQueries.oracleSql
 }

@@ -170,4 +170,70 @@ object Evaluation {
         col("dcg_nano"), col("idcg_nano"), col("ndcg"), col("mrr_nano"))
       .orderBy(groupCol)
   }
+
+  /** Split-conformal prediction interval per group — the
+    * distribution-free "how wrong can this prediction be" guarantee
+    * (public method: Vovk et al.; Angelopoulos & Bates 2021 tutorial
+    * form): rows hash-split into a CALIBRATION and a TEST half; the
+    * model is the calibration half's per-group mean; the interval
+    * half-width is the ceil((n_cal+1)(1−α))-th smallest calibration
+    * |residual| — and the guarantee says the test half's coverage is
+    * ≥ 1−α in expectation, which the report verifies empirically.
+    *
+    * Everything is integer-exact: values quantize to micro, the group
+    * mean is a floor division, residuals are integer micro, and the
+    * order statistic comes from the house VALUE-DOMAIN census (a
+    * cumulative window over DISTINCT residual values per group — the
+    * q11 exact-median shape, never a corpus-row window on a
+    * low-cardinality group key). The split is the deterministic
+    * [[Sampling.idHash]] parity, reproducible verbatim in SQL.
+    *
+    * Output per group: (group, n_cal, n_test, mean_micro, qhat_micro,
+    * covered, coverage_ppm) — a group with an empty calibration or
+    * test half drops out (no interval to fit, or nothing to verify).
+    */
+  def conformalReport(df: DataFrame, groupCol: String, valCol: String,
+      idCol: String, alphaPermille: Long = 100L): DataFrame = {
+    require(alphaPermille > 0 && alphaPermille < 1000, "alpha in (0,1)")
+    val base = graft.util.Caches.cached(df
+      .select(col(groupCol).as("g"),
+        round(col(valCol).cast("double") * 1e6).cast("long").as("vm"),
+        (Sampling.idHash(col(idCol).cast("long")) % 2 === 0).as("cal")))
+    val model = base.filter(col("cal"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_cal"), sum("vm").as("sv"))
+      .select(col("g"), col("n_cal"), expr("sv div n_cal").as("mean_micro"))
+    // calibration |residual| census: value-domain, cumulative pick of
+    // the ceil((n_cal+1)(1-alpha))-th order statistic
+    val resid = base.filter(col("cal"))
+      .join(broadcast(model), Seq("g"))
+      .select(col("g"), abs(col("vm") - col("mean_micro")).as("r"))
+      .groupBy("g", "r").agg(count(lit(1)).as("c"))
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy("g").orderBy("r")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val qhat = resid
+      .withColumn("cum", sum("c").over(wCum))
+      .join(broadcast(model.select("g", "n_cal")), Seq("g"))
+      // rank = ceil((n_cal+1)(1000-alpha)/1000) via the positive-int
+      // identity (a + b - 1) div b (no reliance on div's negative
+      // rounding mode), clamped to n_cal
+      .withColumn("rank",
+        least(expr(s"((n_cal + 1) * (1000 - $alphaPermille) + 999) " +
+          "div 1000"), col("n_cal")))
+      .groupBy("g")
+      .agg(min(when(col("cum") >= col("rank"), col("r"))).as("qhat_micro"))
+    base.filter(!col("cal"))
+      .join(broadcast(model), Seq("g"))
+      .join(broadcast(qhat), Seq("g"))
+      .groupBy(col("g"), col("n_cal"), col("mean_micro"),
+        col("qhat_micro"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("vm") - col("mean_micro")) <= col("qhat_micro"),
+          1L).otherwise(0L)).as("covered"))
+      .select(col("g").as(groupCol), col("n_cal"), col("n_test"),
+        col("mean_micro"), col("qhat_micro"), col("covered"),
+        expr("(covered * 1000000L) div n_test").as("coverage_ppm"))
+      .orderBy(groupCol)
+  }
 }

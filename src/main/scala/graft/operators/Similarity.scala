@@ -89,9 +89,8 @@ object Similarity {
     * candidates per anchor; the exchange carries O(anchors·k) rows).
     * The ordering struct carries the negative's label through the heap —
     * (cos_sim, −vec_id) is already total, so the extra field never
-    * decides a comparison. At 100 TB swap the corpus side for the
-    * LSH/IVF-restricted candidate relation ([[lshTopK]]/[[ivfTopKWith]])
-    * — the label filter and heap are unchanged.
+    * decides a comparison. 100 TB path: [[hardNegativesLsh]]
+    * (implemented, oracled by q169a).
     *
     * Output: (query_id, q_label, vec_id, neg_label, cos_sim, rank),
     * rank 1-based by (cos_sim desc, vec_id asc).
@@ -183,7 +182,7 @@ object Similarity {
     * ONE corpus scan, TopKBy bounded heap carrying the neighbor label;
     * the (cos_sim, −vec_id) order is total so the k-boundary is
     * deterministic), then a stat-grain vote per anchor. 100 TB path:
-    * swap in the LSH/IVF candidate relation, vote unchanged.
+    * [[labelAgreementLsh]] (implemented, oracled by q179a).
     *
     * Output: (query_id, q_label, k_used, n_agree, agree_ppm, suspect) —
     * suspect = strict minority (2·n_agree < k_used).

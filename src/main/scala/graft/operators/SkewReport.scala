@@ -66,6 +66,39 @@ object SkewReport {
       .orderBy(col("key") =!= "__all", col("out_rows").desc, col("key"))
   }
 
+  /** Streaming twin of [[joinSizeReport]] (the psiFromCounts pattern):
+    * `counts` is the drained/emitted output of
+    * [[graft.streaming.StreamingOps.keyCensusStream]] — per-window
+    * (key, n_left) census rows — forecast per window against the
+    * static `right` side's key census. The continuous form of the
+    * pre-join guard: the day's incoming keys are sized against the
+    * dimension BEFORE the daily join runs. Same output contract as
+    * the batch report ('__all' + top-N by product), per window; the
+    * per-window top-N runs over the matched-key stat rows.
+    */
+  def joinSizeFromCounts(counts: DataFrame, right: DataFrame,
+      rightKey: String, topN: Int = 10): DataFrame = {
+    val cr = right.groupBy(col(rightKey).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val j = counts.join(broadcast(cr), Seq("key"))
+      .select(col("window_start"), col("window_end"), col("key"),
+        col("n_left"), col("n_right"),
+        (col("n_left") * col("n_right")).as("out_rows"))
+    val total = j.groupBy("window_start", "window_end")
+      .agg(sum("n_left").as("n_left"), sum("n_right").as("n_right"),
+        sum("out_rows").as("out_rows"))
+      .select(col("window_start"), col("window_end"),
+        lit("__all").as("key"), col("n_left"), col("n_right"),
+        col("out_rows"))
+    val w = Window.partitionBy("window_start", "window_end")
+      .orderBy(col("out_rows").desc, col("key"))
+    val top = j.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topN).drop("__rk")
+    total.unionByName(top)
+      .orderBy(col("window_start"), col("key") =!= "__all",
+        col("out_rows").desc, col("key"))
+  }
+
   def keySkew(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")
     val counts = df.groupBy(col(keyCol).cast("long").as("key"))

@@ -665,4 +665,78 @@ object TimeSeries {
         col("p25_us"), col("p50_us"), col("p75_us"), col("p90_us"))
       .orderBy(keyCol)
   }
+
+  /** Chow structural-break test at a KNOWN breakpoint — "did this
+    * metric's TREND change after the release": [[Experiment.didReport]]
+    * nets out a LEVEL shift; the Chow F asks whether the pre/post
+    * daily series need two different regression LINES. F =
+    * ((RSSₚ − RSS₁ − RSS₂)/2) / ((RSS₁ + RSS₂)/(n − 4)), RSS from the
+    * standard centered sufficient statistics.
+    *
+    * [[trendReport]]'s integer convention extended with Σy² — per
+    * (key, segment): n, Σx, Σy, Σx², Σxy, Σy², all exact DECIMAL(38,0)
+    * off ONE scan's daily aggregate; every RSS then derives from those
+    * exact integers by ONE closed-form double expression (no row-wise
+    * float sums — the cross-engine sum-order hazard never exists).
+    * Per-key slopes for both segments ride along for the readout.
+    *
+    * Output per key: (key, n_pre, n_post, slope_pre, slope_post,
+    * f_stat) — slopes micro-per-day at 6 dp; f_stat NULL when a
+    * segment has < 3 days or a degenerate x spread; a key active in
+    * only one segment drops out entirely (no break to test).
+    */
+  def chowTest(events: DataFrame, keyCol: String, breakDay: String,
+      tsCol: String = "ts", valCol: String = "value"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily0 = events
+      .select(col(keyCol).as("key"), to_date(col(tsCol)).as("day"),
+        round(col(valCol).cast("double") * 1e6).cast("long").as("vm"))
+      .groupBy("key", "day").agg(sum("vm").as("y"))
+    val bounds = daily0.agg(min("day").as("day0"))
+    val daily = daily0.crossJoin(broadcast(bounds))
+      .withColumn("x", datediff(col("day"), col("day0")).cast("long"))
+      .withColumn("seg",
+        when(col("day") < lit(breakDay).cast("date"), 0).otherwise(1))
+    def stats(g: DataFrame, by: Seq[String]) =
+      g.groupBy(by.map(col): _*).agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+    // RSS from exact integer sufficient statistics, one double formula
+    def rss(p: String) = {
+      def c(s: String) = col(p + s).cast("double")
+      val n = c("n")
+      val sxxC = c("sxx") - c("sx") * c("sx") / n
+      val sxyC = c("sxy") - c("sx") * c("sy") / n
+      val syyC = c("syy") - c("sy") * c("sy") / n
+      (syyC - sxyC * sxyC / sxxC, sxxC, sxyC)
+    }
+    def seg(i: Int, p: String) = stats(daily.filter(col("seg") === i), Seq("key"))
+      .select(col("key") +: Seq("n", "sx", "sy", "sxx", "sxy", "syy")
+        .map(s => col(s).as(p + s)): _*)
+    val joined = stats(daily, Seq("key"))
+      .select(col("key") +: Seq("n", "sx", "sy", "sxx", "sxy", "syy")
+        .map(s => col(s).as("p_" + s)): _*)
+      .join(seg(0, "a_"), Seq("key"))
+      .join(seg(1, "b_"), Seq("key"))
+    val (rssP, _, _) = rss("p_")
+    val (rssA, sxxA, sxyA) = rss("a_")
+    val (rssB, sxxB, sxyB) = rss("b_")
+    val nTot = col("a_n") + col("b_n")
+    joined.select(
+        col("key").as(keyCol),
+        col("a_n").cast("long").as("n_pre"),
+        col("b_n").cast("long").as("n_post"),
+        when(sxxA > 0, round(sxyA / sxxA, 6)).as("slope_pre"),
+        when(sxxB > 0, round(sxyB / sxxB, 6)).as("slope_post"),
+        when(col("a_n") >= 3 && col("b_n") >= 3 &&
+            sxxA > 0 && sxxB > 0 && (rssA + rssB) > 0,
+          round(((rssP - rssA - rssB) / 2.0) /
+            ((rssA + rssB) / (nTot.cast("double") - 4.0)), 6))
+          .as("f_stat"))
+      .orderBy(keyCol)
+  }
 }

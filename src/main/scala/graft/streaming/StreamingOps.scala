@@ -616,6 +616,24 @@ object StreamingOps {
         col("window.end").as("window_end"), col("k"), col("vm"),
         col("c_cur"))
 
+  /** Windowed per-key COUNT census — the streaming half of the
+    * join-explosion twin
+    * ([[graft.operators.SkewReport.joinSizeFromCounts]]): exact
+    * (window, key, count) rows as windows close. State is bounded by
+    * distinct keys per open window; the forecast against any static
+    * dimension census happens batch-side, so one running census
+    * guards every join that keys on this column.
+    */
+  def keyCensusStream(events: DataFrame, windowLen: String,
+      watermarkDelay: String, keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), col(keyCol).cast("string").as("key"))
+      .groupBy(window(col(tsCol), windowLen), col("key"))
+      .agg(count(lit(1)).as("n_left"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("key"), col("n_left"))
+
   /** One change of [[latestChangeStream]]. */
   final case class CdcChange(key: Long, seq: Long, op: String,
     payload: String)
