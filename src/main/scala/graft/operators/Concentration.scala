@@ -157,4 +157,45 @@ object Concentration {
           round(meanAll - meanWo, 6)).as("influence_milli"))
       .orderBy(groupCol)
   }
+
+  /** Audience-overlap matrix — for every pair of segment labels, how
+    * many subjects belong to BOTH: the "do these event types reach the
+    * same users / do these sources cover the same documents" reading,
+    * with the Jaccard in ppm for size-comparable overlap.
+    *
+    * Exact set intersection, no sketches: the distinct (subject,
+    * label) relation (ONE aggregate), then a subject-keyed self-join
+    * whose fan-out per subject is C(labels-of-subject, 2) — bounded by
+    * the LABEL cardinality squared, never by subjects (the label
+    * column must be a bounded segment vocabulary, same contract as
+    * every groupBy key here; for unbounded label spaces use the HLL
+    * inclusion–exclusion route instead). Per-label totals broadcast
+    * onto the L² pair stat rows.
+    *
+    * Output per (label_a < label_b): (label_a, label_b, n_a, n_b,
+    * n_both, jaccard_ppm), pair-ordered. Label pairs with no common
+    * subject emit nothing.
+    */
+  def audienceOverlap(events: DataFrame, labelCol: String = "event_type",
+      subjectCol: String = "user_id"): DataFrame = {
+    val m = graft.util.Caches.cached(events
+      .select(col(subjectCol).as("u"), col(labelCol).as("l"))
+      .distinct())
+    val sizes = m.groupBy("l").agg(count(lit(1)).as("n"))
+    val both = m.as("a")
+      .join(m.as("b"), col("a.u") === col("b.u") &&
+        col("a.l") < col("b.l"))
+      .groupBy(col("a.l").as("label_a"), col("b.l").as("label_b"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(broadcast(sizes.select(col("l").as("label_a"),
+        col("n").as("n_a"))), Seq("label_a"))
+      .join(broadcast(sizes.select(col("l").as("label_b"),
+        col("n").as("n_b"))), Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        expr("(n_both * 1000000L) div (n_a + n_b - n_both)")
+          .as("jaccard_ppm"))
+      .orderBy("label_a", "label_b")
+  }
 }

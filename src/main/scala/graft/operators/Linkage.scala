@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic record linkage — the Fellegi–Sunter model (public
+  * method: Fellegi & Sunter 1969; the Splink/JedAI lineage): given
+  * BLOCKED candidate pairs with per-field agreement flags, learn each
+  * field's m-probability (P(agree | same entity)) and u-probability
+  * (P(agree | different entities)) by EM over a two-class latent
+  * mixture, plus the match prior λ. The learned log-weights are what
+  * a dedup/linkage pass thresholds on; fields whose m ≈ u carry no
+  * signal and fall out naturally.
+  *
+  * Scale + determinism design:
+  *  - the EM state is K SCALARS (λ and per-field m, u) — each round is
+  *    ONE aggregate over the pair relation; rounds chain through
+  *    broadcast joins of the 1-row parameter relation, so a fixed
+  *    round count is a single DAG with no driver collects;
+  *  - the whole recursion runs in the MICRO-INTEGER domain: the
+  *    per-pair posterior quantizes to micro before any sum, so every
+  *    round's sums are exact integers (DECIMAL(38,0) ≡ HUGEINT) and
+  *    the learned parameters are reproducible verbatim in SQL — the
+  *    float-sum-order hazard never exists;
+  *  - pair generation is the CALLER's blocking choice; this operator
+  *    never fans out.
+  */
+object Linkage {
+
+  /** Initial parameters, micro (frozen on both engines). */
+  val M0 = 900000L
+  val U0 = 100000L
+  val Lambda0 = 500000L
+
+  /** Per-pair match posterior in micro given micro params: γ =
+    * λ·Πf(agree ? m : 1e6−m) / (that + (1−λ)·Πf(agree ? u : 1e6−u)).
+    * Products stay in DOUBLE (per-row closed form from integer params
+    * — deterministic), the result re-quantizes to micro.
+    */
+  private def gammaMicro(agree: Seq[Column], lm: Column,
+      ms: Seq[Column], us: Seq[Column]): Column = {
+    val a = agree.zip(ms).map { case (g, m) =>
+      when(g, m.cast("double")).otherwise(lit(1e6) - m) }
+      .foldLeft(lm.cast("double"))(_ * _)
+    val b = agree.zip(us).map { case (g, u) =>
+      when(g, u.cast("double")).otherwise(lit(1e6) - u) }
+      .foldLeft(lit(1e6) - lm)(_ * _)
+    round(a / (a + b) * lit(1e6)).cast("long")
+  }
+
+  /** EM-learned linkage parameters after `rounds` iterations.
+    *
+    * `pairs` carries one row per candidate pair with BOOLEAN agreement
+    * columns `agreementCols`. Output (ONE row): n_pairs, lambda_micro,
+    * then per field f: f_m_micro, f_u_micro, and finally n_matched —
+    * pairs whose final posterior exceeds ½ (γ_micro > 500000).
+    */
+  def emWeights(pairs: DataFrame, agreementCols: Seq[String],
+      rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && agreementCols.nonEmpty, "rounds/fields")
+    val dec = "decimal(38,0)"
+    val base = graft.util.Caches.cached(
+      pairs.select(agreementCols.map(c => col(c).as(c)): _*))
+    val agree = agreementCols.map(col)
+    // parameter relation: 1 row (lm, m_<f>, u_<f> micro)
+    var params = base.sparkSession.range(1).select(
+      (lit(Lambda0).as("lm") +:
+        agreementCols.flatMap(f =>
+          Seq(lit(M0).as(s"m_$f"), lit(U0).as(s"u_$f")))): _*)
+    for (_ <- 1 to rounds) {
+      val ms = agreementCols.map(f => col(s"m_$f"))
+      val us = agreementCols.map(f => col(s"u_$f"))
+      val g = base.crossJoin(broadcast(params))
+        .withColumn("__g", gammaMicro(agree, col("lm"), ms, us))
+      // M-step sums: exact integers; params = floor-div micro ratios.
+      // Degenerate guards keep a parameter off the 0/1e6 boundary.
+      val aggCols = count(lit(1)).cast(dec).as("n") +:
+        sum(col("__g").cast(dec)).as("sg") +:
+        agreementCols.flatMap(f => Seq(
+          sum(when(col(f), col("__g")).otherwise(0L).cast(dec))
+            .as(s"sga_$f"),
+          sum(when(col(f), 1000000L).otherwise(0L).cast(dec))
+            .as(s"sa_$f")))
+      val sums = g.agg(aggCols.head, aggCols.tail: _*)
+      params = sums.select(
+        (expr("cast(sg div n as bigint)").as("lm") +:
+          agreementCols.flatMap(f => Seq(
+            expr(s"cast((sga_$f * 1000000) div " +
+              "greatest(sg, cast(1 as decimal(38,0))) as bigint)")
+              .as(s"m_$f"),
+            expr(s"cast(((sa_$f - sga_$f) * 1000000) div " +
+              "greatest(n * 1000000 - sg, " +
+              s"cast(1 as decimal(38,0))) as bigint)").as(s"u_$f")))): _*)
+    }
+    val ms = agreementCols.map(f => col(s"m_$f"))
+    val us = agreementCols.map(f => col(s"u_$f"))
+    base.crossJoin(broadcast(params))
+      .withColumn("__g", gammaMicro(agree, col("lm"), ms, us))
+      .groupBy((col("lm") +: agreementCols.flatMap(f =>
+        Seq(col(s"m_$f"), col(s"u_$f")))): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__g") > 500000L, 1L).otherwise(0L)).as("n_matched"))
+      .select((col("n_pairs") +: col("lm").as("lambda_micro") +:
+        agreementCols.flatMap(f => Seq(col(s"m_$f").as(s"${f}_m_micro"),
+          col(s"u_$f").as(s"${f}_u_micro"))) :+ col("n_matched")): _*)
+  }
+}
