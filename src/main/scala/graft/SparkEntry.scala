@@ -570,7 +570,8 @@ object SparkEntry {
       Round7dQueries.queries ++ Round7eQueries.queries ++
       Round7fQueries.queries ++ Round7iQueries.queries ++
       Round7jQueries.queries ++ Round7kQueries.queries ++
-      Round7lQueries.queries ++ Round7mQueries.queries
+      Round7lQueries.queries ++ Round7mQueries.queries ++
+      Round7nQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -599,5 +600,6 @@ object SparkEntry {
       Round7dQueries.oracleSql ++ Round7eQueries.oracleSql ++
       Round7fQueries.oracleSql ++ Round7iQueries.oracleSql ++
       Round7jQueries.oracleSql ++ Round7kQueries.oracleSql ++
-      Round7lQueries.oracleSql ++ Round7mQueries.oracleSql
+      Round7lQueries.oracleSql ++ Round7mQueries.oracleSql ++
+      Round7nQueries.oracleSql
 }
