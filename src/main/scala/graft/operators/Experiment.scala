@@ -352,9 +352,12 @@ object Experiment {
   def upliftByDecile(units: DataFrame, scoreCol: String,
       armCol: String = "arm", successCol: String = "success",
       nBins: Int = 10): DataFrame = {
-    val v = units.select(col(scoreCol).cast("long").as("sc"),
-      col(armCol).as("arm"),
-      when(col(successCol), 1L).otherwise(0L).as("s"))
+    // cached: both the bounds row and the binning pass read it — one
+    // source scan, not two
+    val v = graft.util.Caches.cached(
+      units.select(col(scoreCol).cast("long").as("sc"),
+        col(armCol).as("arm"),
+        when(col(successCol), 1L).otherwise(0L).as("s")))
     val bounds = v.agg(min("sc").as("mn"), max("sc").as("mx"))
     val binned = v.crossJoin(broadcast(bounds))
       .withColumn("bin", expr(s"((sc - mn) * $nBins) div (mx - mn + 1)"))

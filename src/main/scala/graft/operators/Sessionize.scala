@@ -52,4 +52,47 @@ object Sessionize {
         (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
           .as("duration_sec"),
         round(sum(col(valueCol)), 2).as("sum_value"))
+
+  /** Top common session OPENINGS — "what journeys do users actually
+    * take": each session's first `pathLen` event types in event order,
+    * joined `a>b>c`, censused across all sessions, top-N by frequency.
+    * The product-analytics path report (the Sankey diagram's data).
+    *
+    * Scale shape: sessions are HIGH-cardinality keys, so the per-
+    * session row_number window partitions evenly (the q07 argument —
+    * per-KEY windows belong where group count is high); the path
+    * build is sort_array over ≤ pathLen collected structs per session
+    * (bounded payload, deterministic despite collect_list's order);
+    * the census is path-grain — bounded by |type vocab|^pathLen — and
+    * the share window + TakeOrdered run over census rows only.
+    *
+    * Output (rank 1..topN by (n_sessions DESC, path)): (rank, path,
+    * n_sessions, share_ppm) — share of ALL sessions, exact ppm.
+    */
+  def topPaths(events: DataFrame, gapSeconds: Long, pathLen: Int = 3,
+      topN: Int = 10, userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(pathLen >= 1 && topN >= 1, "pathLen/topN")
+    val w = Window.partitionBy(col(userCol), col("session_idx"))
+      .orderBy(col(tsCol), col(idCol))
+    val census = assignSessions(events, gapSeconds, userCol, tsCol, idCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= pathLen)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("__rn"), col(typeCol).as("t")))),
+        s => s("t")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+    census
+      .withColumn("share_ppm",
+        expr("(n_sessions * 1000000L) div " +
+          "(sum(n_sessions) over ())"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_sessions").desc,
+          col("path"))).cast("int"))
+      .select("rank", "path", "n_sessions", "share_ppm")
+  }
 }

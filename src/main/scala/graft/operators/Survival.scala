@@ -32,16 +32,18 @@ object Survival {
 
   def kaplanMeier(events: DataFrame, eventPred: Column,
       userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
-    val users = events
+    // per-user last activity rides the same aggregate, so the horizon
+    // (max day over the LOG — a user's last event can postdate every
+    // other user's first) derives from the cached user relation: ONE
+    // source scan, not two
+    val users = graft.util.Caches.cached(events
       .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"),
         eventPred.as("hit"))
       .groupBy("u")
       .agg(min("day").as("entry"),
-        min(when(col("hit"), col("day"))).as("event_day"))
-    // horizon = max day over the LOG, not over entries (a user's last
-    // event can postdate every other user's first)
-    val horizon = events
-      .agg(max(to_date(col(tsCol))).as("horizon"))
+        min(when(col("hit"), col("day"))).as("event_day"),
+        max("day").as("last_day")))
+    val horizon = users.agg(max("last_day").as("horizon"))
     val lt = users.crossJoin(broadcast(horizon))
       .select(
         when(col("event_day").isNotNull,
@@ -104,14 +106,17 @@ object Survival {
     */
   def logRank(events: DataFrame, eventPred: Column, groupPred: Column,
       userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
-    val users = events
+    // same one-scan shape as kaplanMeier: horizon off the cached
+    // user-grain relation
+    val users = graft.util.Caches.cached(events
       .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"),
         eventPred.as("hit"), groupPred.as("ga"))
       .groupBy("u")
       .agg(min("day").as("entry"),
         min(when(col("hit"), col("day"))).as("event_day"),
-        max(col("ga")).as("is_a"))
-    val horizon = events.agg(max(to_date(col(tsCol))).as("horizon"))
+        max("day").as("last_day"),
+        max(col("ga")).as("is_a")))
+    val horizon = users.agg(max("last_day").as("horizon"))
     val lt = users.crossJoin(broadcast(horizon))
       .select(
         when(col("event_day").isNotNull,

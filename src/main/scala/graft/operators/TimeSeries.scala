@@ -688,10 +688,12 @@ object TimeSeries {
   def chowTest(events: DataFrame, keyCol: String, breakDay: String,
       tsCol: String = "ts", valCol: String = "value"): DataFrame = {
     val dec = "decimal(38,0)"
-    val daily0 = events
+    // cached daily census: the bounds row, the pooled stats, and both
+    // segment stats all read it — one source scan total
+    val daily0 = graft.util.Caches.cached(events
       .select(col(keyCol).as("key"), to_date(col(tsCol)).as("day"),
         round(col(valCol).cast("double") * 1e6).cast("long").as("vm"))
-      .groupBy("key", "day").agg(sum("vm").as("y"))
+      .groupBy("key", "day").agg(sum("vm").as("y")))
     val bounds = daily0.agg(min("day").as("day0"))
     val daily = daily0.crossJoin(broadcast(bounds))
       .withColumn("x", datediff(col("day"), col("day0")).cast("long"))

@@ -54,7 +54,19 @@ class Round7hSpec extends AnyFunSuite {
     "q153a_weekly_distinct_exact" -> 1,
     "q155a_passage_fingerprint" -> 0, // passage census cached
     "q169a_hard_negatives_lsh" -> 2,  // bucketed corpus + anchor pick
-    "q179a_label_noise_lsh" -> 2)
+    "q179a_label_noise_lsh" -> 2,
+    "q201_join_size" -> 2,            // one census per side, reused
+    "q203_group_sequential" -> 1,
+    "q204_uplift_bins" -> 0,          // unit relation cached
+    "q205_t_closeness" -> 0,          // QI×value census cached
+    "q206_log_rank" -> 0,             // user-grain relation cached
+    "q160_kaplan_meier" -> 0,         // same shape, same cache
+    "q207_mp4_metadata" -> 0,         // synthesized RDD payloads
+    "q208_chow_break" -> 0,           // daily census cached
+    "q209_conformal" -> 0,            // split base cached
+    "q210_linkage_em" -> 0,           // pair relation cached
+    "q211_audience_overlap" -> 0,     // (user, label) relation cached
+    "q212_profile_merge" -> 2)        // pre + post slice states
 
   gates.foreach { case (name, maxLeaves) =>
     test(s"$name: ≤ $maxLeaves parquet leaves in the final plan") {
