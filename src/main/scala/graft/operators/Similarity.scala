@@ -671,6 +671,60 @@ object Similarity {
       .orderBy("i", "j")
   }
 
+  /** Top covariance eigenvector by UNROLLED power iteration — the PCA
+    * direction that explains the most embedding variance, computed
+    * relationally: the d×d covariance (one Gram pass,
+    * [[covarianceMatrix]]) mirrors to its full symmetric (i, j,
+    * cov_num) relation and each round is matvec-as-join over d² stat
+    * rows, ∞-norm-renormalized. A fixed round count unrolls into one
+    * DAG (the pageRank/BPE convention) and — because every step is
+    * integer micro with the sign split off before the floor division
+    * (Spark `div` truncates, SQL `//` floors; on NON-NEGATIVE operands
+    * they agree, so v = sign·(|w|·10⁶ div max|w|)) — the SQL oracle
+    * replays it bit-exactly.
+    *
+    * Output (dim-grain): (dim, v_micro, lambda) — v the ∞-normalized
+    * eigenvector estimate after `rounds` iterations, lambda the
+    * Rayleigh quotient in cov units (vᵀCv/vᵀv off exact DECIMAL sums,
+    * the one rounded double, repeated per row).
+    */
+  def topEigenReport(embeddings: DataFrame, rounds: Int = 3,
+      vecCol: String = "embedding"): DataFrame = {
+    require(rounds >= 1, "rounds")
+    val dec = "decimal(38,0)"
+    val cov0 = covarianceMatrix(embeddings, vecCol)
+      .select(col("i"), col("j"), col("cov_num"))
+    val cov = graft.util.Caches.cached(cov0.unionByName(
+      cov0.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov_num"))))
+    def matvec(v: DataFrame): DataFrame = cov
+      .join(v.select(col("dim").as("j"), col("v_micro")), Seq("j"))
+      .groupBy(col("i").as("dim"))
+      .agg(sum(col("cov_num").cast(dec) * col("v_micro")).as("w"))
+    var v = cov.select(col("i").as("dim")).distinct()
+      .select(col("dim"), lit(1000000L).as("v_micro"))
+    for (_ <- 1 to rounds) {
+      val w = matvec(v)
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      v = w.crossJoin(broadcast(mx))
+        .select(col("dim"),
+          (signum(col("w").cast("double")).cast("long") *
+            expr("cast((abs(w) * 1000000) div " +
+              "greatest(mx, cast(1 as decimal(38,0))) as bigint)"))
+            .as("v_micro"))
+    }
+    val vc = graft.util.Caches.cached(v)
+    val w = matvec(vc)
+    val ray = vc.join(w, Seq("dim"))
+      .agg(sum(col("v_micro").cast(dec) * col("w")).as("num"),
+        sum(col("v_micro").cast(dec) * col("v_micro")).as("den"))
+      .select(when(col("den") > 0, round(
+        col("num").cast("double") / col("den").cast("double"), 6))
+        .as("lambda"))
+    vc.crossJoin(broadcast(ray)).select("dim", "v_micro", "lambda")
+      .orderBy("dim")
+  }
+
   /** Sign threshold for [[randomProjection]]'s ±1 matrix: hashes below
     * it map to +1 (≈ half of [[Sampling.HashMod]]).
     */
