@@ -40,7 +40,7 @@ object Round6bQueries {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
 
-  private def coPurchase(s: SparkSession, dir: String): DataFrame =
+  private[graft] def coPurchase(s: SparkSession, dir: String): DataFrame =
     Graph.coOccurrenceEdges(Tables.load(s, dir, "lineitem"),
       "l_orderkey", "l_partkey", maxGroupSize = Some(CoPurchaseCap))
 

@@ -436,6 +436,54 @@ object Correlate {
       .select("n", "n_cells", "cd2", "n0_2", "n1_2", "n2_2", "tau_b")
   }
 
+  /** Spearman rank correlation with tie-averaged ranks — the monotone
+    * dependence measure between [[pearsonMatrix]] (linear) and
+    * [[kendallTauB]] (pairwise): Pearson over the rank variables.
+    * Entirely VALUE-DOMAIN like τ-b: ranks derive from the per-value
+    * censuses (average rank of a tied run = cum_before + (t+1)/2 —
+    * kept integer as the DOUBLED rank 2·cum_before + t + 1), weights
+    * re-enter through the (x, y) cell census, and all five Pearson
+    * sufficient sums accumulate exactly in DECIMAL(38,0). ρ is the one
+    * closed-form double off those exact integers (rank products reach
+    * ~4n³, inside DECIMAL to ~10¹¹ rows; the FINAL products n·Σ go
+    * through doubles, not decimals, to dodge the n⁵ overflow).
+    *
+    * Output (ONE row): (n, n_cells, rho) — rho NULL when either
+    * variable is constant.
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = graft.util.Caches.cached(
+      df.select(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("c")))
+    def ranks(vc: String) = {
+      val before = Window.orderBy(vc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cells.groupBy(vc).agg(sum("c").as("t"))
+        .withColumn("r2",
+          coalesce(sum("t").over(before), lit(0L)) * 2 + col("t") + 1)
+        .select(col(vc), col("r2"))
+    }
+    val j = cells
+      .join(ranks("x").withColumnRenamed("r2", "rx2"), Seq("x"))
+      .join(ranks("y").withColumnRenamed("r2", "ry2"), Seq("y"))
+    val s = j.agg(sum("c").as("n"), count(lit(1)).as("n_cells"),
+      sum((col("c") * col("rx2")).cast(dec)).as("sx"),
+      sum((col("c") * col("ry2")).cast(dec)).as("sy"),
+      sum(col("c").cast(dec) * col("rx2") * col("rx2")).as("sxx"),
+      sum(col("c").cast(dec) * col("ry2") * col("ry2")).as("syy"),
+      sum(col("c").cast(dec) * col("rx2") * col("ry2")).as("sxy"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("n")
+    val vx = n * d("sxx") - d("sx") * d("sx")
+    val vy = n * d("syy") - d("sy") * d("sy")
+    s.select(col("n"), col("n_cells"),
+      when(vx > 0 && vy > 0,
+        round((n * d("sxy") - d("sx") * d("sy")) / sqrt(vx * vy), 6))
+        .as("rho"))
+  }
+
   /** Double-precision fallback on Spark's `corr` — same relation shape,
     * values order-dependent in the last ulps (no oracle; spec-compared
     * to [[pearsonMatrix]] within 1e-9).

@@ -85,6 +85,51 @@ object Graph {
       aCol: String = "node_a", bCol: String = "node_b"): DataFrame =
     pageRankMicro(edges, iterations, aCol, bCol, None)
 
+  /** k-core membership after `rounds` peels — "the graph's resilient
+    * backbone": repeatedly delete nodes of degree < k (edges incident
+    * to deleted nodes go with them) and report who survives. A node's
+    * coreness gates between hub quality and noisy periphery in
+    * recommendation/contamination graphs. Peeling provably converges
+    * in ≤ |V| rounds but in practice a handful; callers pass a fixed
+    * `rounds` (the pageRank/BPE unroll convention — SQL-exact) and
+    * [[Graph]] specs pin that the fixture reaches its fixpoint (round
+    * R ≡ R+1).
+    *
+    * Each round: degree census of the SURVIVING edge relation (one
+    * aggregate), semi-join edges against surviving nodes (no
+    * broadcast assumption on the vocabulary), localCheckpoint so round
+    * r's plan never replays rounds 1..r−1.
+    *
+    * Output per ORIGINAL node: (node, degree0, survives, final_degree)
+    * — degree0 the starting degree, final_degree NULL for peeled
+    * nodes, node-ordered.
+    */
+  def kCoreReport(edges: DataFrame, k: Long, rounds: Int,
+      aCol: String = "node_a", bCol: String = "node_b"): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k/rounds")
+    val directed0 = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val deg0 = graft.util.Caches.cached(
+      directed0.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("degree0")))
+    var live = directed0.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = live.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("src")
+      live = live
+        .join(keep, Seq("src"))
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"))
+        .localCheckpoint()
+    }
+    val fin = live.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("final_degree"))
+    deg0.join(fin, Seq("node"), "left")
+      .select(col("node"), col("degree0"),
+        col("final_degree").isNotNull.as("survives"), col("final_degree"))
+      .orderBy("node")
+  }
+
   /** Weighted variant: each node splits its rank over incident edges
     * PROPORTIONALLY to `weightCol` (floor division `rank·w div
     * strength`, strength = Σ incident weights — still all non-negative
