@@ -164,6 +164,39 @@ object Anomaly {
     * counts. No joins anywhere — z depends only on (dev2, med2, mad4),
     * all carried on the stat rows.
     */
+  /** Seasonality-adjusted volume anomalies — [[dailyVolumeAnomaly]]
+    * flags against a flat baseline, which mislabels every weekend in
+    * weekday-seasonal traffic; here each (key, day) compares against
+    * its key's WEEKDAY-OF-WEEK mean, so only departures from the
+    * key's own weekly rhythm flag. Integer end-to-end: daily counts,
+    * floor-divided weekday means, and a permille band
+    * `|residual|·1000 > mean·thresholdPermille`.
+    *
+    * Stat-grain throughout: the (key, day) census is calendar-bounded;
+    * the weekday profile is a (key, dow) re-aggregate of it joined
+    * back by (key, dow). Day-of-week convention: Sunday = 0 (Spark's
+    * `dayofweek` − 1 ≡ SQL `dayofweek`).
+    *
+    * Output per (key, day): (key, day, dow, volume, dow_mean_floor,
+    * residual, flagged), (key, day)-ordered.
+    */
+  def seasonalResidualReport(events: DataFrame, keyCol: String,
+      tsCol: String = "ts", thresholdPermille: Long = 500L): DataFrame = {
+    val daily = graft.util.Caches.cached(events
+      .select(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .groupBy("key", "day").agg(count(lit(1)).as("volume"))
+      .withColumn("dow", (dayofweek(col("day")) - 1).cast("int")))
+    val profile = daily.groupBy("key", "dow")
+      .agg(expr("sum(volume) div count(1)").as("dow_mean_floor"))
+    daily.join(profile, Seq("key", "dow"))
+      .select(col("key").as(keyCol), col("day"), col("dow"),
+        col("volume"), col("dow_mean_floor"),
+        (col("volume") - col("dow_mean_floor")).as("residual"),
+        (abs(col("volume") - col("dow_mean_floor")) * 1000 >
+          col("dow_mean_floor") * thresholdPermille).as("flagged"))
+      .orderBy(keyCol, "day")
+  }
+
   def madOutliers(df: DataFrame, groupCol: String, valCol: String,
       k: Double = 2.0): DataFrame = {
     val hist = df

@@ -1,0 +1,85 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ExprId, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** Column-level provenance off the ANALYZED logical plan — "which
+  * source table columns feed this output column": the impact-analysis
+  * primitive a monitoring pipeline needs before renaming/dropping a
+  * warehouse column ("who downstream breaks?"), answered from plan
+  * metadata alone — no data is read.
+  *
+  * The walk is a bottom-up attribute-flow fold: leaf relations seed
+  * each of their attributes with `table.column` (table = the scan's
+  * root-path basename), and every Alias-producing node (Project,
+  * Aggregate, Window, Generate) maps its new attribute to the union of
+  * its referenced attributes' lineages. Nodes that only route
+  * attributes (Filter, Join, Sort, Limit, …) pass the map through
+  * untouched; an attribute with no traceable source (a literal
+  * column, a generated id) reports an empty set — honest "derived
+  * from nothing upstream".
+  */
+object Lineage {
+
+  /** output column name → source `table.column` set, in the output
+    * schema's order.
+    */
+  def columnLineage(df: DataFrame): Seq[(String, Set[String])] = {
+    val plan = df.queryExecution.analyzed
+    val m = walk(plan)
+    plan.output.map(a => a.name -> m.getOrElse(a.exprId, Set.empty))
+  }
+
+  private def leafName(l: LeafNode): String = l match {
+    case r: LogicalRelation =>
+      val p = r.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths.headOption.map(_.getName).getOrElse("scan")
+        case other => other.toString.take(20)
+      }
+      // "events.parquet" -> "events"
+      p.split("\\.").headOption.getOrElse(p)
+    case _ => l.nodeName.toLowerCase
+  }
+
+  private def fromNamed(exprs: Seq[NamedExpression],
+      child: Map[ExprId, Set[String]]): Map[ExprId, Set[String]] =
+    exprs.collect {
+      case a: Alias =>
+        a.exprId -> a.references.toSeq
+          .flatMap(r => child.getOrElse(r.exprId, Set.empty[String])).toSet
+    }.toMap
+
+  private def walk(plan: LogicalPlan): Map[ExprId, Set[String]] =
+    plan match {
+      case l: LeafNode =>
+        val t = leafName(l)
+        l.output.map(a => a.exprId -> Set(s"$t.${a.name}")).toMap
+      case p =>
+        val child = p.children.map(walk)
+          .foldLeft(Map.empty[ExprId, Set[String]])(_ ++ _)
+        val added: Map[ExprId, Set[String]] = p match {
+          case Project(exprs, _) => fromNamed(exprs, child)
+          case Aggregate(_, exprs, _, _) => fromNamed(exprs, child)
+          case w: Window => fromNamed(w.windowExpressions, child)
+          case g: Generate =>
+            val src = g.generator.references.toSeq
+              .flatMap(r => child.getOrElse(r.exprId, Set.empty[String]))
+              .toSet
+            g.generatorOutput.map(a => a.exprId -> src).toMap
+          case e: Expand =>
+            e.output.zipWithIndex.map { case (a, i) =>
+              val srcs = e.projections.flatMap(row =>
+                row.lift(i).toSeq.flatMap(_.references.toSeq)
+                  .flatMap(r => child.getOrElse(r.exprId,
+                    Set.empty[String])))
+              a.exprId -> srcs.toSet
+            }.toMap
+          case s: SubqueryAlias => Map.empty // routing only
+          case _ => Map.empty
+        }
+        child ++ added
+    }
+}
