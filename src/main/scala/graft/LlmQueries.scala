@@ -155,7 +155,7 @@ object LlmQueries {
     }.mkString(", ")
   }
 
-  private def simhashSql: String = {
+  private[graft] def simhashSql: String = {
     val terms = (0 until 32).map { b =>
       s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $b) & 1) * 2 - 1)) >= 0 " +
         s"THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)"

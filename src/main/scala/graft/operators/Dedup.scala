@@ -716,4 +716,43 @@ object Dedup {
         expr("(n_shared_passages * 10000) div n_passages"))
       .orderBy("doc_id")
   }
+
+  /** Capture–recapture estimate of the TOTAL near-duplicate population
+    * from two independent detectors — the corpus-QA question "how many
+    * duplicate pairs exist that NEITHER pass caught": treating
+    * detector A's pairs as the first capture and B's as the marked
+    * recapture, the bias-corrected Chapman estimator
+    * `N̂ = ⌊(n_a+1)(n_b+1)/(n_both+1)⌋ − 1` (public method: Chapman
+    * 1951; standard ecology/record-linkage practice) sizes the full
+    * population, and each detector's recall follows.
+    *
+    * Validity rests on the detectors being (approximately)
+    * independent — e.g. MinHash (token shingles) vs SimHash (token
+    * hashes) miss DIFFERENT pairs; two LSH parameterizations of the
+    * same family would violate it and overestimate recall.
+    *
+    * Scale shape: both inputs are already-blocked pair relations; the
+    * overlap is one equi-join on (doc_a, doc_b) and the output a
+    * 1-row stat. Exact integers throughout.
+    *
+    * Output: (n_a, n_b, n_both, est_total, recall_a_ppm,
+    * recall_b_ppm) — recalls against the estimate, NULL when the
+    * estimate degenerates to 0.
+    */
+  def captureRecapture(pairsA: DataFrame, pairsB: DataFrame): DataFrame = {
+    val a = pairsA.select(col("doc_a"), col("doc_b"))
+    val b = pairsB.select(col("doc_a"), col("doc_b"))
+    val both = a.join(b, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_both"))
+    a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(b.agg(count(lit(1)).as("n_b")))
+      .crossJoin(both)
+      .withColumn("est_total",
+        expr("((n_a + 1) * (n_b + 1)) div (n_both + 1) - 1"))
+      .select(col("n_a"), col("n_b"), col("n_both"), col("est_total"),
+        when(col("est_total") > 0,
+          expr("(n_a * 1000000L) div est_total")).as("recall_a_ppm"),
+        when(col("est_total") > 0,
+          expr("(n_b * 1000000L) div est_total")).as("recall_b_ppm"))
+  }
 }
