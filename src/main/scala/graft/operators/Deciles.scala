@@ -59,4 +59,39 @@ object Deciles {
         min(col(valCol)).as(s"min_tokens"),
         max(col(valCol)).as(s"max_tokens"))
       .orderBy(col(groupCol), col("decile"))
+
+  /** WEIGHTED median per group — "the median doc length by TOKEN MASS,
+    * not by document count": the value where half the total weight
+    * sits at or below, the pick any mixture/packing decision should
+    * read instead of the unweighted median when units differ wildly in
+    * size. Integer convention: the picked value is the smallest v with
+    * cumWeight(v) ≥ (totalWeight + 1) div 2 (the q11 exact-median
+    * census pick, weights replacing counts).
+    *
+    * Value-domain throughout: one (group, value) weighted census, a
+    * cumulative window over DISTINCT values per group, one pick.
+    *
+    * Output per group: (group, n_rows, total_weight, wmedian).
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
+      weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = df
+      .select(col(groupCol).as("g"), col(valCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy("g", "v")
+      .agg(count(lit(1)).as("c"), sum("w").as("wsum"))
+    val cum = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy("g")
+    census
+      .withColumn("cw", sum("wsum").over(cum))
+      .withColumn("tw", sum("wsum").over(all))
+      .withColumn("n", sum("c").over(all))
+      .groupBy(col("g").as(groupCol), col("n").as("n_rows"),
+        col("tw").as("total_weight"))
+      .agg(min(when(col("cw") >= expr("(tw + 1) div 2"), col("v")))
+        .as("wmedian"))
+      .orderBy(groupCol)
+  }
 }

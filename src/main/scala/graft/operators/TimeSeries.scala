@@ -666,6 +666,72 @@ object TimeSeries {
       .orderBy(keyCol)
   }
 
+  /** Lagged cross-correlation between two keys' daily series — the
+    * lead/lag screening question ("do errors follow purchases, and by
+    * how many days?") behind any alerting-rule chain: Pearson r of
+    * (y_a(t), y_b(t+lag)) at every integer lag in [−maxLag, maxLag],
+    * plus the argmax-|r| lag. Correlation ≠ causation; a sharp
+    * asymmetric peak is the screening signal.
+    *
+    * Shape: ONE scan to the cached daily census; the lag fan-out is a
+    * (2·maxLag+1)-row literal relation cross-joined onto the a-side
+    * (calendar-bounded stat grain), then one date-shifted equi-join
+    * and one aggregate per nothing — all lags ride a single grouped
+    * aggregate. Sums are exact DECIMAL; r is one closed-form double
+    * per lag; the best-lag argmax runs over 2·maxLag+1 stat rows.
+    *
+    * Output per lag: (lag, n_days, r, best) — r NULL on degenerate
+    * variance or < 3 overlapping days; best marks the max-|r| lag
+    * (ties → smallest lag), false everywhere if no lag has a defined
+    * r.
+    */
+  def crossCorrelation(events: DataFrame, keyCol: String, keyA: String,
+      keyB: String, maxLag: Int, tsCol: String = "ts"): DataFrame = {
+    require(maxLag >= 0, "maxLag")
+    val dec = "decimal(38,0)"
+    val daily = graft.util.Caches.cached(events
+      .filter(col(keyCol).isin(keyA, keyB))
+      .select(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .groupBy("key", "day").agg(count(lit(1)).as("y")))
+    val a = daily.filter(col("key") === keyA)
+      .select(col("day"), col("y").as("ya"))
+    val b = daily.filter(col("key") === keyB)
+      .select(col("day").as("day_b"), col("y").as("yb"))
+    val lags = (-maxLag to maxLag).map(l => lit(l))
+    val fanned = a.select(col("day"), col("ya"),
+      explode(array(lags: _*)).as("lag"))
+    val s = fanned
+      .join(b, expr("day_b = date_add(day, lag)"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("ya").cast(dec)).as("sx"),
+        sum(col("yb").cast(dec)).as("sy"),
+        sum(col("ya").cast(dec) * col("ya")).as("sxx"),
+        sum(col("yb").cast(dec) * col("yb")).as("syy"),
+        sum(col("ya").cast(dec) * col("yb")).as("sxy"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("n_days")
+    val vx = n * d("sxx") - d("sx") * d("sx")
+    val vy = n * d("syy") - d("sy") * d("sy")
+    val withR = s.select(col("lag"), col("n_days"),
+      when(col("n_days") >= 3 && vx > 0 && vy > 0,
+        round((n * d("sxy") - d("sx") * d("sy")) / sqrt(vx * vy), 6))
+        .as("r"))
+    // best-|r| pick over the 2L+1 stat rows (micro-quantized so the
+    // comparison is integer, smallest lag on ties)
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    withR
+      .withColumn("__am", max(when(col("r").isNotNull,
+        round(abs(col("r")) * 1e6).cast("long"))).over(wAll))
+      .withColumn("__bl", min(when(col("r").isNotNull &&
+        round(abs(col("r")) * 1e6).cast("long") === col("__am"),
+        col("lag"))).over(wAll))
+      .select(col("lag"), col("n_days"), col("r"),
+        (col("__bl").isNotNull && col("lag") === col("__bl")).as("best"))
+      .orderBy("lag")
+  }
+
   /** Chow structural-break test at a KNOWN breakpoint — "did this
     * metric's TREND change after the release": [[Experiment.didReport]]
     * nets out a LEVEL shift; the Chow F asks whether the pre/post
