@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -663,6 +663,77 @@ object TimeSeries {
       .select(col("key").as(keyCol), col("n").as("n_gaps"),
         expr("s div n").as("mean_us"),
         col("p25_us"), col("p50_us"), col("p75_us"), col("p90_us"))
+      .orderBy(keyCol)
+  }
+
+  /** Single best mean-shift changepoint per key — binary
+    * segmentation's first split, SEARCHED rather than assumed:
+    * [[chowTest]] tests a KNOWN breakpoint; this finds the day that
+    * minimizes the two-segment residual sum of squares around
+    * per-segment means, with the variance-reduction ratio as the
+    * "how much did splitting explain" readout ([[cusumReport]] flags
+    * one-sided level shifts; this one is two-sided and returns the
+    * argmin day directly).
+    *
+    * Relational search: every candidate split is O(1) from CUMULATIVE
+    * sufficient sums (Σy, Σy² as windows over the key's daily census —
+    * calendar-bounded stat rows), so the whole scan over candidates is
+    * one window pass + one argmin aggregate, never a per-candidate
+    * join. RSS cells derive as one closed-form double per candidate
+    * from exact DECIMAL sums; the argmin key is the micro-quantized
+    * RSS with the day as tiebreak (first-argmin, the house rule).
+    *
+    * Output per key: (key, n_days, split_after_day, n_left,
+    * rss_total, rss_split, var_reduction) — the split falls AFTER
+    * split_after_day (no calendar-continuity assumption); keys with
+    * < 4 days emit nothing (no valid split leaves ≥ 2 days per side).
+    */
+  def bestMeanBreak(events: DataFrame, keyCol: String,
+      tsCol: String = "ts", valCol: String = "value"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = events
+      .select(col(keyCol).as("key"), to_date(col(tsCol)).as("day"),
+        round(col(valCol).cast("double") * 1e6).cast("long").as("vm"))
+      .groupBy("key", "day").agg(sum("vm").as("y"))
+    val wCum = Window.partitionBy("key").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("key")
+    val cums = daily
+      .withColumn("i", row_number().over(
+        Window.partitionBy("key").orderBy("day")))
+      .withColumn("cy", sum(col("y").cast(dec)).over(wCum))
+      .withColumn("cyy", sum((col("y").cast(dec) * col("y"))).over(wCum))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("ty", sum(col("y").cast(dec)).over(wAll))
+      .withColumn("tyy", sum((col("y").cast(dec) * col("y"))).over(wAll))
+      // candidate split AFTER row i: left = 1..i, right = i+1..n;
+      // require >= 2 days per side
+      .filter(col("n") >= 4 && col("i") >= 2 && col("i") <= col("n") - 2)
+    def d(c: Column) = c.cast("double")
+    val nl = d(col("i")); val nr = d(col("n")) - nl
+    val rssL = d(col("cyy")) - d(col("cy")) * d(col("cy")) / nl
+    val rssR = (d(col("tyy")) - d(col("cyy"))) -
+      (d(col("ty")) - d(col("cy"))) * (d(col("ty")) - d(col("cy"))) / nr
+    val rssT = d(col("tyy")) - d(col("ty")) * d(col("ty")) / d(col("n"))
+    val scored = cums
+      .withColumn("rss_split", rssL + rssR)
+      .withColumn("rss_total", rssT)
+      // argmin key: micro-quantized split RSS, then the EARLIEST day
+      .withColumn("__k", struct(
+        round(col("rss_split") / 1e6).cast("long").as("rm"),
+        col("day").as("day"), col("i").as("i"),
+        col("rss_split").as("rs"), col("rss_total").as("rt"),
+        col("n").as("n")))
+    scored.groupBy(col("key").as(keyCol))
+      .agg(min("__k").as("b"))
+      .select(col(keyCol), col("b.n").as("n_days"),
+        col("b.day").as("split_after_day"),
+        col("b.i").cast("long").as("n_left"),
+        round(col("b.rt") / 1e12, 6).as("rss_total"),
+        round(col("b.rs") / 1e12, 6).as("rss_split"),
+        when(col("b.rt") > 0,
+          round((col("b.rt") - col("b.rs")) / col("b.rt"), 6))
+          .as("var_reduction"))
       .orderBy(keyCol)
   }
 
