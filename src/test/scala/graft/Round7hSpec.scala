@@ -66,7 +66,17 @@ class Round7hSpec extends AnyFunSuite {
     "q209_conformal" -> 0,            // split base cached
     "q210_linkage_em" -> 0,           // pair relation cached
     "q211_audience_overlap" -> 0,     // (user, label) relation cached
-    "q212_profile_merge" -> 2)        // pre + post slice states
+    "q212_profile_merge" -> 2,        // pre + post slice states
+    "q213_session_paths" -> 1,
+    "q214_chat_turns" -> 0,           // synthesized RDD payloads
+    "q215_top_eigen" -> 0,            // cov + vector relations cached
+    "q216_kcore" -> 0,                // peel rounds checkpoint-backed
+    "q217_spearman" -> 0,             // cell census cached
+    "q218_seasonal_residuals" -> 0,   // daily census cached
+    "q219_capture_recapture" -> 0,    // both pair stages cache-backed
+    "q220_cross_correlation" -> 0,    // daily census cached
+    "q221_weighted_median" -> 1,
+    "q222_best_break" -> 1)
 
   gates.foreach { case (name, maxLeaves) =>
     test(s"$name: ≤ $maxLeaves parquet leaves in the final plan") {
