@@ -634,6 +634,48 @@ object StreamingOps {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("key"), col("n_left"))
 
+  /** Windowed moment-state stream — the continuous form of
+    * [[graft.core.MomentState]]'s profile store: per closed window,
+    * each numeric column's exact sufficient statistics (n, nulls,
+    * min/max micro, Σx, Σx² in DECIMAL), i.e. rows INSERTABLE into the
+    * same state table the batch path writes. Because the state algebra
+    * is closed under union, `MomentState.merge` over any set of
+    * emitted windows reproduces the direct whole-range profile
+    * bit-for-bit (spec-pinned on a drained stream) — the profile store
+    * stays fresh without ever rescanning history.
+    */
+  def momentStateStream(events: DataFrame, windowLen: String,
+      watermarkDelay: String, cols: Seq[String],
+      tsCol: String = "ts"): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    val dec = "decimal(38,0)"
+    def v(c: String) = {
+      val d = col(c).cast("double")
+      when(isnan(d), lit(null)).otherwise(d)
+    }
+    def vm(c: String) = round(v(c) * 1e6).cast("long")
+    val aggs = cols.flatMap { c =>
+      Seq(count(v(c)).as(s"${c}__n"),
+        sum(when(v(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+        min(vm(c)).as(s"${c}__mn"), max(vm(c)).as(s"${c}__mx"),
+        sum(vm(c).cast(dec)).as(s"${c}__s"),
+        sum((vm(c).cast(dec) * vm(c).cast(dec))).as(s"${c}__ss"))
+    }
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        explode(array(cols.map(c => struct(
+          lit(c).as("col_name"), col(s"${c}__n").as("n"),
+          col(s"${c}__nn").as("n_null"),
+          col(s"${c}__mn").as("min_micro"),
+          col(s"${c}__mx").as("max_micro"),
+          col(s"${c}__s").as("sum_micro"),
+          col(s"${c}__ss").as("sum_sq"))): _*)).as("r"))
+      .select(col("window_start"), col("window_end"), col("r.*"))
+  }
+
   /** One change of [[latestChangeStream]]. */
   final case class CdcChange(key: Long, seq: Long, op: String,
     payload: String)
