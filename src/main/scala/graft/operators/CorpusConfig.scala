@@ -27,7 +27,23 @@ final case class CorpusConfig(
     maxShingleSources: Option[Long],
     exactDeciles: Boolean,
     decileAccuracy: Int = 10000,
-    passageFingerprint: Boolean = false) {
+    passageFingerprint: Boolean = false,
+    annLshConsumers: Boolean = false) {
+
+  /** Hard-negative mining at this tier's candidate scope: exact
+    * broadcast-anchor corpus scan, or the LSH multi-probe restriction
+    * (q169 vs q169a — both oracle-pinned).
+    */
+  def hardNegatives(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame =
+    if (annLshConsumers) Similarity.hardNegativesLsh(embeddings, queryIds, k)
+    else Similarity.hardNegatives(embeddings, queryIds, k)
+
+  /** Label-noise kNN vote at this tier's candidate scope (q179 vs
+    * q179a).
+    */
+  def labelAgreement(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame =
+    if (annLshConsumers) Similarity.labelAgreementLsh(embeddings, queryIds, k)
+    else Similarity.labelAgreement(embeddings, queryIds, k)
 
   /** Per-doc passage-sharing census at this tier's key width (exact =
     * raw passage strings; production = 64-bit xxhash fingerprints, the
@@ -121,5 +137,6 @@ object CorpusConfig {
     */
   val Production: CorpusConfig = CorpusConfig(DedupConfig.Production,
     ProfileConfig(exact = false), maxShingleSources = Some(1024L),
-    exactDeciles = false, passageFingerprint = true)
+    exactDeciles = false, passageFingerprint = true,
+    annLshConsumers = true)
 }

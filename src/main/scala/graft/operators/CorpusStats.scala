@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level statistical quality signals: the two-pass operators a
@@ -328,6 +328,66 @@ object CorpusStats {
             (col("sx_nano").cast("double") / 1e9)), 6))
       .select("n_tokens", "total_count", "sx_nano", "sy_nano",
         "sxx_nano", "sxy_nano", "zipf_slope")
+  }
+
+  /** Heaps'-law vocabulary-growth fit — [[zipfFit]]'s companion
+    * scaling law: `V(N) ≈ K·N^β` (vocab size vs tokens seen), the
+    * number a tokenizer-vocab or dedup-capacity plan extrapolates
+    * from. The growth curve samples at `nPoints` doc-id checkpoints
+    * `tᵢ = ⌊(maxId+1)·i/nPoints⌋`: tokens-so-far is a conditional sum
+    * over the per-doc token counts, vocab-so-far counts words whose
+    * FIRST containing doc is ≤ tᵢ — both conditional aggregates over
+    * a checkpoint fan-out of stat-grain relations (per-doc counts,
+    * per-word first-doc census), no corpus-row windows. The ln–ln OLS
+    * follows zipfFit's convention exactly: integer nano cells, the
+    * slope (= β) and intercept the rounded doubles.
+    *
+    * Output (ONE row): (n_points, total_tokens, total_vocab,
+    * heaps_beta, heaps_ln_k) — empty-corpus degenerate rows excluded
+    * (checkpoints with zero tokens drop before the fit).
+    */
+  def heapsFit(docs: DataFrame, nPoints: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nPoints >= 3, "need >= 3 points to fit")
+    val toks = graft.util.Caches.cached(docs
+      .select(col(idCol).as("id"),
+        explode(TextOps.tokens(col(textCol))).as("w")))
+    val docTok = toks.groupBy("id").agg(count(lit(1)).as("nt"))
+    val firstDoc = toks.groupBy("w").agg(min("id").as("fd"))
+    val bounds = docTok.agg(max("id").as("mx"))
+    def points(df: DataFrame, idc: String, cnt: Column) = df
+      .crossJoin(broadcast(bounds))
+      .select(col(idc), cnt.as("c"),
+        explode(sequence(lit(1), lit(nPoints))).as("i"),
+        col("mx"))
+      .groupBy("i")
+      .agg(sum(when(col(idc) <= expr(s"((mx + 1) * i) div $nPoints"),
+        col("c")).otherwise(0L)).as("v"))
+    val tokPts = points(docTok, "id", col("nt"))
+      .withColumnRenamed("v", "toks")
+    val vocPts = points(firstDoc, "fd", lit(1L))
+      .withColumnRenamed("v", "voc")
+    def nano(e: Column) = round(e * lit(1e9)).cast("long")
+    val cells = tokPts.join(vocPts, Seq("i"))
+      .filter(col("toks") > 0 && col("voc") > 0)
+      .withColumn("x", log(col("toks").cast("double")))
+      .withColumn("y", log(col("voc").cast("double")))
+      .select(col("i"), col("toks"), col("voc"),
+        nano(col("x")).as("xn"), nano(col("y")).as("yn"),
+        nano(col("x") * col("x")).as("xxn"),
+        nano(col("x") * col("y")).as("xyn"))
+    val s = cells.agg(count(lit(1)).as("n_points"),
+      max("toks").as("total_tokens"), max("voc").as("total_vocab"),
+      sum("xn").as("sx"), sum("yn").as("sy"),
+      sum("xxn").as("sxx"), sum("xyn").as("sxy"))
+    def d(c: String) = col(c).cast("double")
+    val beta = (d("n_points") * d("sxy") / 1e9 -
+      (d("sx") / 1e9) * (d("sy") / 1e9)) /
+      (d("n_points") * d("sxx") / 1e9 - (d("sx") / 1e9) * (d("sx") / 1e9))
+    s.select(col("n_points"), col("total_tokens"), col("total_vocab"),
+      round(beta, 6).as("heaps_beta"),
+      round((d("sy") / 1e9 - beta * d("sx") / 1e9) / d("n_points"), 6)
+        .as("heaps_ln_k"))
   }
 
   /** Per-document interpolated BIGRAM negative log-likelihood — the
