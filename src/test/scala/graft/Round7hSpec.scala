@@ -76,7 +76,8 @@ class Round7hSpec extends AnyFunSuite {
     "q219_capture_recapture" -> 0,    // both pair stages cache-backed
     "q220_cross_correlation" -> 0,    // daily census cached
     "q221_weighted_median" -> 1,
-    "q222_best_break" -> 1)
+    "q222_best_break" -> 1,
+    "q223_heaps_fit" -> 0)         // token relation cached
 
   gates.foreach { case (name, maxLeaves) =>
     test(s"$name: ≤ $maxLeaves parquet leaves in the final plan") {
