@@ -73,4 +73,50 @@ object Layout {
       .agg(aggCols.head, aggCols.tail: _*)
       .orderBy("bucket")
   }
+
+  /** Zone-map effectiveness of the table's CURRENT physical layout —
+    * "would min/max pruning on this column actually skip partitions":
+    * per column, every partition's (min, max) range off one
+    * `spark_partition_id()` aggregate, then the pairwise range-overlap
+    * fraction among the K² partition pairs (stat grain). A column the
+    * data is ordered by overlaps ~0 (every predicate prunes); a
+    * randomly-scattered column overlaps ~100% (zone maps are useless —
+    * the signal to sort/Z-order before writing). The inspection-side
+    * complement of [[withZKey]]/[[zOrderReport]].
+    *
+    * Partition-dependent by construction (it MEASURES the layout), so
+    * spec-only — no cross-engine oracle exists.
+    *
+    * Output per column: (col_name, n_parts, n_pairs, n_overlapping,
+    * overlap_ppm), column-ordered.
+    */
+  def clusteringReport(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns")
+    val aggCols = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        min(col(c)).cast("long").as(s"mn_$c"),
+        max(col(c)).cast("long").as(s"mx_$c")))
+    val parts = graft.util.Caches.cached(df
+      .withColumn("__pid", spark_partition_id())
+      .groupBy("__pid")
+      .agg(aggCols.head, aggCols.tail: _*))
+    val perCol = cols.map { c =>
+      val a = parts.select(col("__pid").as("pa"),
+        col(s"mn_$c").as("amn"), col(s"mx_$c").as("amx"))
+      val b = parts.select(col("__pid").as("pb"),
+        col(s"mn_$c").as("bmn"), col(s"mx_$c").as("bmx"))
+      a.join(b, col("pa") < col("pb"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("amn") <= col("bmx") &&
+            col("bmn") <= col("amx"), 1L).otherwise(0L))
+            .as("n_overlapping"))
+        .crossJoin(parts.agg(count(lit(1)).as("n_parts")))
+        .select(lit(c).as("col_name"), col("n_parts"), col("n_pairs"),
+          col("n_overlapping"),
+          when(col("n_pairs") > 0,
+            expr("(n_overlapping * 1000000L) div n_pairs"))
+            .as("overlap_ppm"))
+    }
+    perCol.reduce(_ unionByName _).orderBy("col_name")
+  }
 }

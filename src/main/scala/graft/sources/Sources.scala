@@ -56,6 +56,31 @@ object Sources {
      else r).load(path)
   }
 
+  /** Schema-enforced JSONL/CSV reader with CORRUPT-RECORD capture —
+    * the production posture for semi-structured feeds: the caller's
+    * schema is the contract (no inference drift run-to-run), malformed
+    * rows land in `_corrupt_record` instead of silently nulling or
+    * failing the job (PERMISSIVE mode made explicit), and the quality
+    * decision — drop, quarantine, alert on corrupt-rate — stays with
+    * the pipeline, not the parser.
+    *
+    * Returns the data columns plus `_corrupt_record` (NULL for clean
+    * rows). Scan-stage only; pairs with [[graft.operators.Constraints]]
+    * for the quarantine-rate gate.
+    */
+  def readValidated(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      format: String = "json"): DataFrame = {
+    require(Seq("json", "csv").contains(format), s"format: $format")
+    val withCorrupt = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    val r = spark.read.format(format)
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+    (if (format == "csv") r.option("header", "true") else r).load(path)
+  }
+
   /** The generic query entry point (S14): ANSI SQL over registered views. */
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
 }
