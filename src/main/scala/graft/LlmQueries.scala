@@ -145,7 +145,7 @@ object LlmQueries {
   private val fingerprintSql =
     s"md5(array_to_string(list_sort(list_distinct($tokSql)), ' '))"
 
-  private def langHitSql(markers: Seq[String]): String =
+  private[graft] def langHitSql(markers: Seq[String]): String =
     s"len(list_filter($tokSql, w -> list_contains(${markers.map(m => s"'$m'").mkString("[", ",", "]")}, w)))"
 
   private def minhashSigSql: String = {

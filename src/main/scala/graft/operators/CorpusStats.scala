@@ -330,6 +330,39 @@ object CorpusStats {
         "sxx_nano", "sxy_nano", "zipf_slope")
   }
 
+  /** Good–Turing missing-mass estimate per slice — "how much
+    * probability lives in tokens this slice has NEVER seen":
+    * `P(unseen) ≈ n₁/N` (singleton count over token count, Good 1953),
+    * the number that says whether a vocabulary/LM built on this slice
+    * will keep meeting new words. The companion coverage readout is
+    * Simpson-style seen-mass 1 − n₁/N, and the singleton share of the
+    * vocabulary (a high-singleton vocab is still growing —
+    * [[heapsFit]]'s pointwise cousin).
+    *
+    * ONE token scan to the (slice, token) census; everything after is
+    * census-grain conditional aggregation. Exact integers + ppm floor
+    * divisions.
+    *
+    * Output per slice: (slice, n_tokens, n_vocab, n_singletons,
+    * unseen_mass_ppm, singleton_vocab_ppm), slice-ordered.
+    */
+  def goodTuringReport(docs: DataFrame, sliceCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    graft.util.Parallelism.ensure(docs)
+      .select(col(sliceCol).as("slice"),
+        explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("slice", "w").agg(count(lit(1)).as("c"))
+      .groupBy("slice")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_singletons"))
+      .select(col("slice").as(sliceCol), col("n_tokens"), col("n_vocab"),
+        col("n_singletons"),
+        expr("(n_singletons * 1000000L) div n_tokens")
+          .as("unseen_mass_ppm"),
+        expr("(n_singletons * 1000000L) div n_vocab")
+          .as("singleton_vocab_ppm"))
+      .orderBy(sliceCol)
+
   /** Heaps'-law vocabulary-growth fit — [[zipfFit]]'s companion
     * scaling law: `V(N) ≈ K·N^β` (vocab size vs tokens seen), the
     * number a tokenizer-vocab or dedup-capacity plan extrapolates

@@ -171,6 +171,44 @@ object Evaluation {
       .orderBy(groupCol)
   }
 
+  /** Cohen's κ between two categorical labelings — chance-corrected
+    * agreement, the annotator-quality / model-vs-gold readout plain
+    * accuracy overstates when classes are imbalanced:
+    * `κ = (p_o − p_e)/(1 − p_e)` with p_e the marginal-product chance
+    * rate. κ ≈ 0 means the "agreement" is what guessing the base rates
+    * gets you.
+    *
+    * The (a, b) label census is ONE aggregate; marginals re-aggregate
+    * from it (stat grain, bounded by label vocabulary²); the chance
+    * term Σ rowᵢ·colᵢ accumulates exactly in DECIMAL; κ is the one
+    * rounded double. Output (ONE row): (n, n_agree, agree_ppm, kappa)
+    * — κ NULL when p_e = 1 (both labelings constant).
+    */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = graft.util.Caches.cached(
+      df.select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c")))
+    val ma = cells.groupBy("a").agg(sum("c").as("ra"))
+    val mb = cells.groupBy("b").agg(sum("c").as("cb"))
+    val chance = ma.join(mb, col("a") === col("b"))
+      .agg(sum(col("ra").cast(dec) * col("cb")).as("pe_num"))
+    val base = cells.agg(sum("c").as("n"),
+      sum(when(col("a") === col("b"), col("c")).otherwise(0L))
+        .as("n_agree"))
+    base.crossJoin(chance)
+      .select(col("n"), col("n_agree"),
+        expr("(n_agree * 1000000L) div n").as("agree_ppm"),
+        when(col("n").cast(dec) * col("n") =!=
+            coalesce(col("pe_num"), lit(0L).cast("decimal(38,0)")),
+          round((col("n_agree").cast("double") * col("n") -
+            coalesce(col("pe_num"), lit(0)).cast("double")) /
+            (col("n").cast("double") * col("n") -
+              coalesce(col("pe_num"), lit(0)).cast("double")), 6))
+          .as("kappa"))
+  }
+
   /** Split-conformal prediction interval per group — the
     * distribution-free "how wrong can this prediction be" guarantee
     * (public method: Vovk et al.; Angelopoulos & Bates 2021 tutorial
