@@ -77,7 +77,9 @@ class Round7hSpec extends AnyFunSuite {
     "q220_cross_correlation" -> 0,    // daily census cached
     "q221_weighted_median" -> 1,
     "q222_best_break" -> 1,
-    "q223_heaps_fit" -> 0)         // token relation cached
+    "q223_heaps_fit" -> 0,         // token relation cached
+    "q224_good_turing" -> 1,
+    "q225_cohens_kappa" -> 0)      // label census cached
 
   gates.foreach { case (name, maxLeaves) =>
     test(s"$name: ≤ $maxLeaves parquet leaves in the final plan") {
