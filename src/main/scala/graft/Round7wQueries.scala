@@ -48,17 +48,18 @@ object Round7wQueries {
          |    CAST(sum(yn) AS BIGINT) AS sy,
          |    CAST(sum(xxn) AS BIGINT) AS sxx,
          |    CAST(sum(xyn) AS BIGINT) AS sxy
-         |  FROM cells)
+         |  FROM cells),
+         |g AS (SELECT *, n_points::DOUBLE * sxx::DOUBLE / 1e9 -
+         |    (sx::DOUBLE / 1e9) * (sx::DOUBLE / 1e9) AS den FROM s)
          |SELECT n_points, total_tokens, total_vocab,
-         |  round((n_points::DOUBLE * sxy::DOUBLE / 1e9 -
-         |    (sx::DOUBLE / 1e9) * (sy::DOUBLE / 1e9)) /
-         |    (n_points::DOUBLE * sxx::DOUBLE / 1e9 -
-         |     (sx::DOUBLE / 1e9) * (sx::DOUBLE / 1e9)), 6) AS heaps_beta,
-         |  round((sy::DOUBLE / 1e9 -
-         |    ((n_points::DOUBLE * sxy::DOUBLE / 1e9 -
-         |      (sx::DOUBLE / 1e9) * (sy::DOUBLE / 1e9)) /
-         |     (n_points::DOUBLE * sxx::DOUBLE / 1e9 -
-         |      (sx::DOUBLE / 1e9) * (sx::DOUBLE / 1e9))) *
-         |    sx::DOUBLE / 1e9) / n_points, 6) AS heaps_ln_k
-         |FROM s""".stripMargin)
+         |  CASE WHEN n_points >= 3 AND den > 0 THEN
+         |    round((n_points::DOUBLE * sxy::DOUBLE / 1e9 -
+         |      (sx::DOUBLE / 1e9) * (sy::DOUBLE / 1e9)) / den, 6) END
+         |    AS heaps_beta,
+         |  CASE WHEN n_points >= 3 AND den > 0 THEN
+         |    round((sy::DOUBLE / 1e9 -
+         |      ((n_points::DOUBLE * sxy::DOUBLE / 1e9 -
+         |        (sx::DOUBLE / 1e9) * (sy::DOUBLE / 1e9)) / den) *
+         |      sx::DOUBLE / 1e9) / n_points, 6) END AS heaps_ln_k
+         |FROM g""".stripMargin)
 }

@@ -414,12 +414,17 @@ object CorpusStats {
       sum("xn").as("sx"), sum("yn").as("sy"),
       sum("xxn").as("sxx"), sum("xyn").as("sxy"))
     def d(c: String) = col(c).cast("double")
+    val den = d("n_points") * d("sxx") / 1e9 -
+      (d("sx") / 1e9) * (d("sx") / 1e9)
     val beta = (d("n_points") * d("sxy") / 1e9 -
-      (d("sx") / 1e9) * (d("sy") / 1e9)) /
-      (d("n_points") * d("sxx") / 1e9 - (d("sx") / 1e9) * (d("sx") / 1e9))
+      (d("sx") / 1e9) * (d("sy") / 1e9)) / den
+    // degenerate-x guard (e.g. a 1-doc corpus where every checkpoint
+    // sees the same token count): NULL fit, never NaN
     s.select(col("n_points"), col("total_tokens"), col("total_vocab"),
-      round(beta, 6).as("heaps_beta"),
-      round((d("sy") / 1e9 - beta * d("sx") / 1e9) / d("n_points"), 6)
+      when(col("n_points") >= 3 && den > 0,
+        round(beta, 6)).as("heaps_beta"),
+      when(col("n_points") >= 3 && den > 0,
+        round((d("sy") / 1e9 - beta * d("sx") / 1e9) / d("n_points"), 6))
         .as("heaps_ln_k"))
   }
 
