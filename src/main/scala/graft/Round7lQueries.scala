@@ -101,7 +101,8 @@ object Round7lQueries {
          |    ((event_id % $p) * 2654435761) % $p % 2 = 0 AS cal
          |  FROM events),
          |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n_cal,
-         |    CAST(sum(vm) // count(*) AS BIGINT) AS mean_micro
+         |    CAST(sign(sum(vm)) * (abs(sum(vm)) // count(*)) AS BIGINT)
+         |      AS mean_micro
          |  FROM b WHERE cal GROUP BY 1),
          |rc AS (SELECT b.g, abs(vm - mean_micro) AS r,
          |    CAST(count(*) AS BIGINT) AS c

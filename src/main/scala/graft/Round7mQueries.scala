@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Concentration, Linkage}
+import graft.operators.{Concentration, CorpusConfig, Linkage}
 
 /** Round-7 part eight: Fellegi–Sunter EM linkage weights and the
   * audience-overlap matrix.
@@ -12,23 +12,44 @@ object Round7mQueries {
 
   val LinkFields = Seq("seg_eq", "bal_close", "key_close")
 
-  private def pairs(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables.load(s, dir, "customer")
-      .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
-    c.as("a").join(c.as("b"),
-        col("a.c_nationkey") === col("b.c_nationkey") &&
-        col("a.c_custkey") < col("b.c_custkey"))
-      .select(
-        (col("a.c_mktsegment") === col("b.c_mktsegment")).as("seg_eq"),
-        (abs(col("a.c_acctbal") - col("b.c_acctbal")) < 500).as("bal_close"),
-        (col("b.c_custkey") - col("a.c_custkey") < 10).as("key_close"))
-  }
+  /** SN bucket width in CENTS = the $500 bal_close threshold, so two
+    * balance-close records are always same-or-adjacent bucket.
+    */
+  val LinkBucketCents = 50000L
+
+  private def cust(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        (col("c_acctbal") * 100).cast("long").as("cents"))
+
+  /** Agreement flags off a `a_*`/`b_*` pair relation. abs() keeps the
+    * flags order-free: on the exact tier a < b always so this matches
+    * the original directed forms verbatim; adjacent-bucket SN pairs
+    * canonicalise by bucket, not id.
+    */
+  private def flags(p: DataFrame): DataFrame = p.select(
+    (col("a_c_mktsegment") === col("b_c_mktsegment")).as("seg_eq"),
+    (abs(col("a_cents") - col("b_cents")) < LinkBucketCents).as("bal_close"),
+    (abs(col("b_c_custkey") - col("a_c_custkey")) < 10).as("key_close"))
+
+  private def pairsAt(cfg: CorpusConfig)(s: SparkSession, dir: String): DataFrame =
+    flags(cfg.linkagePairs(cust(s, dir), "c_nationkey", "cents",
+      LinkBucketCents, "c_custkey"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Nation-blocked candidate pairs; EM learns per-field m/u and the
     // match prior in the micro-integer domain (2 rounds, one DAG).
     "q210_linkage_em" -> ((s, dir) =>
-      Linkage.emWeights(pairs(s, dir), LinkFields)),
+      Linkage.emWeights(pairsAt(CorpusConfig.Exact)(s, dir), LinkFields)),
+
+    // Production blocking tier: sorted-neighborhood on (nation ×
+    // acctbal bucket) — within-block pair growth drops from n² to
+    // linear; the blocking BINDS at sf0.01 (fewer pairs than q210, so
+    // the learned parameters differ) and the oracle rebuilds the same
+    // bucket predicate.
+    "q210a_linkage_em_sn" -> ((s, dir) =>
+      Linkage.emWeights(pairsAt(CorpusConfig.Production)(s, dir),
+        LinkFields)),
 
     // Which event types reach the same users — exact pairwise
     // intersections off the distinct (user, type) relation.
@@ -69,38 +90,61 @@ object Round7mQueries {
        |  FROM s$k)""".stripMargin
   }
 
+  /** Full EM oracle given the candidate-pair CTE body (must produce
+    * the three agreement flag columns).
+    */
+  private def emSql(prBody: String): String = {
+    val g1 = gammaSql(Linkage.Lambda0.toString,
+      LinkFields.map(_ => Linkage.M0.toString),
+      LinkFields.map(_ => Linkage.U0.toString))
+    val g2 = gammaSql("p1.lm", LinkFields.map(f => s"p1.m_$f"),
+      LinkFields.map(f => s"p1.u_$f"))
+    val gf = gammaSql("p2.lm", LinkFields.map(f => s"p2.m_$f"),
+      LinkFields.map(f => s"p2.u_$f"))
+    val outCols = LinkFields.map(f =>
+      s"p2.m_$f AS ${f}_m_micro, p2.u_$f AS ${f}_u_micro")
+      .mkString(",\n  ")
+    s"""WITH pr AS ($prBody),
+       |g1 AS (SELECT *, $g1 AS g FROM pr),
+       |${roundSql(1)},
+       |g2 AS (SELECT pr.*, $g2 AS g FROM pr, p1),
+       |${roundSql(2)},
+       |gf AS (SELECT $gf AS g FROM pr, p2),
+       |fin AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CASE WHEN g > 500000 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_matched FROM gf)
+       |SELECT fin.n_pairs, p2.lm AS lambda_micro,
+       |  $outCols,
+       |  fin.n_matched
+       |FROM fin, p2""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
-    "q210_linkage_em" -> {
-      val g1 = gammaSql(Linkage.Lambda0.toString,
-        LinkFields.map(_ => Linkage.M0.toString),
-        LinkFields.map(_ => Linkage.U0.toString))
-      val g2 = gammaSql("p1.lm", LinkFields.map(f => s"p1.m_$f"),
-        LinkFields.map(f => s"p1.u_$f"))
-      val gf = gammaSql("p2.lm", LinkFields.map(f => s"p2.m_$f"),
-        LinkFields.map(f => s"p2.u_$f"))
-      val outCols = LinkFields.map(f =>
-        s"p2.m_$f AS ${f}_m_micro, p2.u_$f AS ${f}_u_micro")
-        .mkString(",\n  ")
-      s"""WITH pr AS (SELECT
-         |    a.c_mktsegment = b.c_mktsegment AS seg_eq,
-         |    abs(a.c_acctbal - b.c_acctbal) < 500 AS bal_close,
-         |    b.c_custkey - a.c_custkey < 10 AS key_close
-         |  FROM customer a JOIN customer b
-         |    ON a.c_nationkey = b.c_nationkey
-         |    AND a.c_custkey < b.c_custkey),
-         |g1 AS (SELECT *, $g1 AS g FROM pr),
-         |${roundSql(1)},
-         |g2 AS (SELECT pr.*, $g2 AS g FROM pr, p1),
-         |${roundSql(2)},
-         |gf AS (SELECT $gf AS g FROM pr, p2),
-         |fin AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-         |    CAST(sum(CASE WHEN g > 500000 THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_matched FROM gf)
-         |SELECT fin.n_pairs, p2.lm AS lambda_micro,
-         |  $outCols,
-         |  fin.n_matched
-         |FROM fin, p2""".stripMargin
-    },
+    "q210_linkage_em" -> emSql(
+      """SELECT
+        |    a.c_mktsegment = b.c_mktsegment AS seg_eq,
+        |    abs(a.c_acctbal - b.c_acctbal) < 500 AS bal_close,
+        |    b.c_custkey - a.c_custkey < 10 AS key_close
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |    AND a.c_custkey < b.c_custkey""".stripMargin),
+
+    // Sorted-neighborhood tier: same EM over pairs restricted to the
+    // same-or-adjacent $500 acctbal bucket (DuckDB `//` truncates
+    // toward zero exactly like Spark `div` — measured — so the bucket
+    // keys agree verbatim, double-width zero bucket included).
+    "q210a_linkage_em_sn" -> emSql(
+      s"""WITH c AS (SELECT c_custkey AS k, c_nationkey AS nat,
+         |      c_mktsegment AS seg, CAST(c_acctbal * 100 AS BIGINT)
+         |        AS cents,
+         |      CAST(c_acctbal * 100 AS BIGINT) // $LinkBucketCents AS bk
+         |    FROM customer)
+         |  SELECT a.seg = b.seg AS seg_eq,
+         |    abs(a.cents - b.cents) < $LinkBucketCents AS bal_close,
+         |    abs(b.k - a.k) < 10 AS key_close
+         |  FROM c a JOIN c b ON a.nat = b.nat
+         |    AND (b.bk = a.bk OR b.bk = a.bk + 1)
+         |    AND (b.bk = a.bk + 1 OR a.k < b.k)""".stripMargin),
 
     "q211_audience_overlap" ->
       """WITH m AS (SELECT DISTINCT user_id AS u, event_type AS l

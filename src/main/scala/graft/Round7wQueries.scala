@@ -42,6 +42,7 @@ object Round7wQueries {
          |  FROM tp JOIN vp ON vp.i = tp.i
          |  WHERE toks > 0 AND voc > 0),
          |s AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+         |    CAST(count(DISTINCT xn) AS BIGINT) AS ndx,
          |    CAST(max(toks) AS BIGINT) AS total_tokens,
          |    CAST(max(voc) AS BIGINT) AS total_vocab,
          |    CAST(sum(xn) AS BIGINT) AS sx,
@@ -52,11 +53,11 @@ object Round7wQueries {
          |g AS (SELECT *, n_points::DOUBLE * sxx::DOUBLE / 1e9 -
          |    (sx::DOUBLE / 1e9) * (sx::DOUBLE / 1e9) AS den FROM s)
          |SELECT n_points, total_tokens, total_vocab,
-         |  CASE WHEN n_points >= 3 AND den > 0 THEN
+         |  CASE WHEN n_points >= 3 AND ndx >= 2 AND den > 0 THEN
          |    round((n_points::DOUBLE * sxy::DOUBLE / 1e9 -
          |      (sx::DOUBLE / 1e9) * (sy::DOUBLE / 1e9)) / den, 6) END
          |    AS heaps_beta,
-         |  CASE WHEN n_points >= 3 AND den > 0 THEN
+         |  CASE WHEN n_points >= 3 AND ndx >= 2 AND den > 0 THEN
          |    round((sy::DOUBLE / 1e9 -
          |      ((n_points::DOUBLE * sxy::DOUBLE / 1e9 -
          |        (sx::DOUBLE / 1e9) * (sy::DOUBLE / 1e9)) / den) *

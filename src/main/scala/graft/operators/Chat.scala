@@ -20,8 +20,12 @@ object Chat {
   /** Parse role-marked transcripts to TURN grain: (doc_id, turn_idx,
     * role, n_tokens). A line's role is the text before the first
     * `": "`; lines without a marker parse as role `unknown` with the
-    * whole line as body. Blank lines drop. turn_idx is 0-based in
-    * document order.
+    * whole line as body. Blank lines drop BEFORE indexing — turn_idx
+    * is 0-based over the non-blank turns, so blank separator lines
+    * between turns do not shift the parity that [[turnStats]]'s
+    * alternation check relies on (the blank filter runs inside the
+    * array, before posexplode, keeping indices contiguous without a
+    * window).
     */
   def parseTurns(chats: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -29,8 +33,8 @@ object Chat {
     val hasMarker = line.contains(": ")
     chats
       .select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("turn_idx", "line")))
-      .filter(length(trim(line)) > 0)
+        posexplode(filter(split(col(textCol), "\n"),
+          l => length(trim(l)) > 0)).as(Seq("turn_idx", "line")))
       .select(col("doc_id"), col("turn_idx"),
         when(hasMarker, substring_index(line, ": ", 1))
           .otherwise(lit("unknown")).as("role"),

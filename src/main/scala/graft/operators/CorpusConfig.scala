@@ -28,7 +28,20 @@ final case class CorpusConfig(
     exactDeciles: Boolean,
     decileAccuracy: Int = 10000,
     passageFingerprint: Boolean = false,
-    annLshConsumers: Boolean = false) {
+    annLshConsumers: Boolean = false,
+    linkageSortedNeighborhood: Boolean = false) {
+
+  /** Record-linkage candidate pairs at this tier's blocking: exact =
+    * every within-block pair (Σ n_block² — the oracle tier); production
+    * = sorted-neighborhood on `sortCol` buckets of `bucketWidth`
+    * (same/adjacent bucket only — linear in block size; q210 vs q210a,
+    * both oracle-pinned, SN ⊆ blocked spec-pinned).
+    */
+  def linkagePairs(df: DataFrame, blockCol: String, sortCol: String,
+      bucketWidth: Long, idCol: String): DataFrame =
+    if (linkageSortedNeighborhood)
+      Linkage.sortedNeighborhoodPairs(df, blockCol, sortCol, bucketWidth, idCol)
+    else Linkage.blockedPairs(df, blockCol, idCol)
 
   /** Hard-negative mining at this tier's candidate scope: exact
     * broadcast-anchor corpus scan, or the LSH multi-probe restriction
@@ -138,5 +151,5 @@ object CorpusConfig {
   val Production: CorpusConfig = CorpusConfig(DedupConfig.Production,
     ProfileConfig(exact = false), maxShingleSources = Some(1024L),
     exactDeciles = false, passageFingerprint = true,
-    annLshConsumers = true)
+    annLshConsumers = true, linkageSortedNeighborhood = true)
 }

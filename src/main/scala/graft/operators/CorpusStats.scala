@@ -410,6 +410,7 @@ object CorpusStats {
         nano(col("x") * col("x")).as("xxn"),
         nano(col("x") * col("y")).as("xyn"))
     val s = cells.agg(count(lit(1)).as("n_points"),
+      countDistinct(col("xn")).as("ndx"),
       max("toks").as("total_tokens"), max("voc").as("total_vocab"),
       sum("xn").as("sx"), sum("yn").as("sy"),
       sum("xxn").as("sxx"), sum("xyn").as("sxy"))
@@ -419,11 +420,16 @@ object CorpusStats {
     val beta = (d("n_points") * d("sxy") / 1e9 -
       (d("sx") / 1e9) * (d("sy") / 1e9)) / den
     // degenerate-x guard (e.g. a 1-doc corpus where every checkpoint
-    // sees the same token count): NULL fit, never NaN
+    // sees the same token count): NULL fit, never NaN. `den > 0` alone
+    // is NOT robust — with constant toks the nano quantization of
+    // ln(toks) can leave den a tiny positive rounding artifact
+    // (~n²·2e-8), passing the guard and emitting a noise-derived beta;
+    // requiring ≥2 DISTINCT quantized x values tests degeneracy
+    // directly.
+    val fit = col("n_points") >= 3 && col("ndx") >= 2 && den > 0
     s.select(col("n_points"), col("total_tokens"), col("total_vocab"),
-      when(col("n_points") >= 3 && den > 0,
-        round(beta, 6)).as("heaps_beta"),
-      when(col("n_points") >= 3 && den > 0,
+      when(fit, round(beta, 6)).as("heaps_beta"),
+      when(fit,
         round((d("sy") / 1e9 - beta * d("sx") / 1e9) / d("n_points"), 6))
         .as("heaps_ln_k"))
   }

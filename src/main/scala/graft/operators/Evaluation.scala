@@ -240,7 +240,14 @@ object Evaluation {
     val model = base.filter(col("cal"))
       .groupBy("g")
       .agg(count(lit(1)).as("n_cal"), sum("vm").as("sv"))
-      .select(col("g"), col("n_cal"), expr("sv div n_cal").as("mean_micro"))
+      // sign split off before the floor division (house idiom, see
+      // topEigenReport): Spark `div` truncates toward zero, DuckDB `//`
+      // floors — they agree only on non-negative operands, and a group
+      // whose calibration sum is negative would otherwise shift every
+      // residual by one micro
+      .select(col("g"), col("n_cal"),
+        (signum(col("sv").cast("double")).cast("long") *
+          expr("abs(sv) div n_cal")).as("mean_micro"))
     // calibration |residual| census: value-domain, cumulative pick of
     // the ceil((n_cal+1)(1-alpha))-th order statistic
     val resid = base.filter(col("cal"))

@@ -113,16 +113,59 @@ object Graph {
     val deg0 = graft.util.Caches.cached(
       directed0.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("degree0")))
-    var live = directed0.localCheckpoint()
-    for (_ <- 1 to rounds) {
-      val keep = live.groupBy("src").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select("src")
-      live = live
-        .join(keep, Seq("src"))
-        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"))
-        .localCheckpoint()
+    // ALTERNATING-ORIENTATION peeling over CACHED rounds: live is
+    // symmetric by construction (both directions present) and stays
+    // symmetric — a pair survives iff BOTH endpoints pass — so
+    // degree-by-src ≡ degree-by-dst on it. Each round aggregates and
+    // keep-joins on the key its input is already partitioned by, and
+    // the ONE full-relation shuffle (the other endpoint's semi-join)
+    // leaves the output partitioned by THAT key — which is exactly
+    // next round's census key. The moving parts, each measured:
+    //  - live is CACHED, not localCheckpoint'ed: a checkpoint's
+    //    LogicalRDD reports UnknownPartitioning under AQE, so the
+    //    layout would die at every round boundary; the cache preserves
+    //    it and AQE elides the aligned exchanges at runtime once the
+    //    TableCacheQueryStage materializes. Unpersisting the previous
+    //    round caps peak storage at ~2 live copies.
+    //  - keep (NODE-grain, small) IS localCheckpoint'ed: each round
+    //    references live three times (join input + twice via keep), so
+    //    an uncheckpointed chain grows the logical plan 3^rounds — a
+    //    2 GB plan string by round 8. Truncating keep makes growth
+    //    linear while losing only a node-grain relation's lineage.
+    //  - the checkpoint also erases keep's SIZE estimate (a leaf
+    //    defaults to "huge"), which would force sort-merge plans even
+    //    when keep is tiny — so the operator re-adds the broadcast
+    //    decision itself from keep's actual (free, post-checkpoint)
+    //    count against the session's own autoBroadcastJoinThreshold;
+    //    at 100 TB node-grain keep exceeds the threshold and the
+    //    sort-merge path with its single full-relation exchange per
+    //    round is the right plan. Round8aSpec gates the per-round
+    //    shuffle-byte budget against the shuffle-both-ends shape.
+    val spark = edges.sparkSession
+    val thrRaw = spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val bcThreshold = try thrRaw.toLong catch {
+      case _: NumberFormatException =>
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(thrRaw)
     }
-    val fin = live.groupBy(col("src").as("node"))
+    var live = graft.util.Caches.cached(directed0.repartition(col("src")))
+    var key = "src"
+    for (_ <- 1 to rounds) {
+      val other = if (key == "src") "dst" else "src"
+      val keepCp = live.groupBy(key).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(key)
+        .localCheckpoint()
+      val small = bcThreshold > 0 && keepCp.count() * 32L < bcThreshold
+      val keep = if (small) broadcast(keepCp) else keepCp
+      val next = graft.util.Caches.cached(
+        live.join(keep, Seq(key))
+          .join(keep.withColumnRenamed(key, other), Seq(other)))
+      next.count() // materialize BEFORE dropping the input cache
+      live.unpersist(blocking = false)
+      live = next
+      key = other
+    }
+    val fin = live.groupBy(col(key).as("node"))
       .agg(count(lit(1)).as("final_degree"))
     deg0.join(fin, Seq("node"), "left")
       .select(col("node"), col("degree0"),

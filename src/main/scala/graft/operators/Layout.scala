@@ -77,12 +77,25 @@ object Layout {
   /** Zone-map effectiveness of the table's CURRENT physical layout —
     * "would min/max pruning on this column actually skip partitions":
     * per column, every partition's (min, max) range off one
-    * `spark_partition_id()` aggregate, then the pairwise range-overlap
-    * fraction among the K² partition pairs (stat grain). A column the
-    * data is ordered by overlaps ~0 (every predicate prunes); a
-    * randomly-scattered column overlaps ~100% (zone maps are useless —
-    * the signal to sort/Z-order before writing). The inspection-side
-    * complement of [[withZKey]]/[[zOrderReport]].
+    * `spark_partition_id()` aggregate, then the fraction of the K²/2
+    * partition pairs whose ranges overlap (inclusive endpoints). A
+    * column the data is ordered by overlaps ~0 (every predicate
+    * prunes); a randomly-scattered column overlaps ~100% (zone maps
+    * are useless — the signal to sort/Z-order before writing). The
+    * inspection-side complement of [[withZKey]]/[[zOrderReport]].
+    *
+    * The pair count comes from an ENDPOINT SWEEP, not a pair join: 2K
+    * events (min → open, max → close, opens before closes at equal
+    * position so touching ranges count as overlapping), one running
+    * sum, and Σ over open-events of (ranges already open) — O(K log K)
+    * where the naive pa<pb self-join is O(K²). A 100 TB table has 10⁵+
+    * partitions; 10¹⁰ pairs in the advisor whose whole point is big
+    * tables would be self-defeating, while 2·10⁵ event rows through a
+    * single stat-grain window are free (Round8aSpec pins sweep ≡ pair
+    * join on both fixture layouts). Partitions whose bounds are NULL
+    * (all-null column chunk) join the pair DENOMINATOR but never the
+    * overlap count — the same contract the pair join's null-condition
+    * `otherwise(0)` gave.
     *
     * Partition-dependent by construction (it MEASURES the layout), so
     * spec-only — no cross-engine oracle exists.
@@ -92,6 +105,7 @@ object Layout {
     */
   def clusteringReport(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "no columns")
+    import org.apache.spark.sql.expressions.Window
     val aggCols = count(lit(1)).as("n_rows") +:
       cols.flatMap(c => Seq(
         min(col(c)).cast("long").as(s"mn_$c"),
@@ -101,20 +115,25 @@ object Layout {
       .groupBy("__pid")
       .agg(aggCols.head, aggCols.tail: _*))
     val perCol = cols.map { c =>
-      val a = parts.select(col("__pid").as("pa"),
-        col(s"mn_$c").as("amn"), col(s"mx_$c").as("amx"))
-      val b = parts.select(col("__pid").as("pb"),
-        col(s"mn_$c").as("bmn"), col(s"mx_$c").as("bmx"))
-      a.join(b, col("pa") < col("pb"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("amn") <= col("bmx") &&
-            col("bmn") <= col("amx"), 1L).otherwise(0L))
-            .as("n_overlapping"))
-        .crossJoin(parts.agg(count(lit(1)).as("n_parts")))
-        .select(lit(c).as("col_name"), col("n_parts"), col("n_pairs"),
-          col("n_overlapping"),
-          when(col("n_pairs") > 0,
-            expr("(n_overlapping * 1000000L) div n_pairs"))
+      val ev = parts.filter(col(s"mn_$c").isNotNull)
+        .select(col(s"mn_$c").as("pos"), lit(0).as("typ"),
+          lit(1L).as("d"))
+        .unionByName(parts.filter(col(s"mn_$c").isNotNull)
+          .select(col(s"mx_$c").as("pos"), lit(1).as("typ"),
+            lit(-1L).as("d")))
+      // single-partition window: 2K STAT rows, bounded by the
+      // partition count, never the data
+      val w = Window.orderBy("pos", "typ")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev.withColumn("cum", sum("d").over(w))
+        .filter(col("typ") === 0)
+        .agg(coalesce(sum(col("cum") - 1), lit(0L)).as("ov"))
+        .crossJoin(broadcast(parts.agg(count(lit(1)).as("n_parts"))))
+        .select(lit(c).as("col_name"), col("n_parts"),
+          expr("(n_parts * (n_parts - 1)) div 2").as("n_pairs"),
+          when(col("n_parts") > 1, col("ov")).as("n_overlapping"),
+          when(col("n_parts") > 1,
+            expr("(ov * 1000000L) div ((n_parts * (n_parts - 1)) div 2)"))
             .as("overlap_ppm"))
     }
     perCol.reduce(_ unionByName _).orderBy("col_name")

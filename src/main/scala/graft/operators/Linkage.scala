@@ -32,6 +32,62 @@ object Linkage {
   val U0 = 100000L
   val Lambda0 = 500000L
 
+  /** Exact within-block candidate pairs: every unordered record pair
+    * sharing `blockCol`, canonicalised by `idCol` (a < b). Output: the
+    * input columns twice, prefixed `a_` / `b_`. This is the ORACLE
+    * blocking tier — block sizes are unbounded, so pair count grows as
+    * Σ n_block², a quadratic a 100 TB run must not ship (use
+    * [[sortedNeighborhoodPairs]] there).
+    */
+  def blockedPairs(df: DataFrame, blockCol: String, idCol: String): DataFrame = {
+    val out = df.columns.map(f => col(s"a.$f").as(s"a_$f")) ++
+      df.columns.map(f => col(s"b.$f").as(s"b_$f"))
+    df.as("a").join(df.as("b"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(out.toSeq: _*)
+  }
+
+  /** Sorted-neighborhood candidate pairs — the 100 TB blocking tier
+    * (public method: Hernández & Stolfo 1995's sorted-neighborhood,
+    * here in its bucketed form): records pair only when they share
+    * `blockCol` AND their `sortCol` values land in the same or
+    * ADJACENT bucket of width `bucketWidth`, so two records closer
+    * than `bucketWidth` on the sort key are always candidates while a
+    * block's pair count drops from n² to Σ n_bucket·(n_bucket +
+    * n_next) — linear in n for any fixed value density.
+    *
+    * `sortCol` must be integral (callers quantize, e.g. cents);
+    * buckets use TRUNCATING division — Spark `div` ≡ DuckDB `//`
+    * verbatim (both round toward zero, measured, so no sign-split is
+    * needed). On negative sort keys the zero bucket is double-width;
+    * bucketing stays monotone with every interval ≥ `bucketWidth`
+    * wide, which is all the same/adjacent adjacency guarantee needs.
+    * Pair canonical form: same bucket → a.id < b.id; adjacent buckets
+    * → a is the lower bucket (each unordered pair appears exactly
+    * once). Spark shape: the probe side fans out to (bk, bk+1) via a
+    * 2-element explode, then one equi shuffle join on (block, bucket)
+    * — no non-equi condition reaches the join, so AQE/skew handling
+    * apply as usual. Law (spec-pinned): SN pairs ⊆ [[blockedPairs]]
+    * of the same block column.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, blockCol: String,
+      sortCol: String, bucketWidth: Long, idCol: String): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val b = df.withColumn("__bk", expr(s"$sortCol div $bucketWidth"))
+    val probe = b.withColumn("__jk",
+      explode(array(col("__bk"), col("__bk") + 1)))
+    val out = df.columns.map(f => col(s"a.$f").as(s"a_$f")) ++
+      df.columns.map(f => col(s"b.$f").as(s"b_$f"))
+    probe.as("a").join(b.as("b"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+        col("a.__jk") === col("b.__bk"))
+      .filter((col("a.__bk") === col("b.__bk") &&
+          col(s"a.$idCol") < col(s"b.$idCol")) ||
+        col("a.__bk") + 1 === col("b.__bk"))
+      .select(out.toSeq: _*)
+  }
+
   /** Per-pair match posterior in micro given micro params: γ =
     * λ·Πf(agree ? m : 1e6−m) / (that + (1−λ)·Πf(agree ? u : 1e6−u)).
     * Products stay in DOUBLE (per-row closed form from integer params

@@ -77,6 +77,31 @@ object Lineage {
                     Set.empty[String])))
               a.exprId -> srcs.toSet
             }.toMap
+          case u: Union =>
+            // A Union's output attrs reuse the FIRST child's exprIds,
+            // so without this case every non-first branch's sources
+            // vanish — and the engine's own fan-in idiom (O2,
+            // `reduce(_ unionByName _)`) is exactly a Union. Each
+            // output position draws from the corresponding positional
+            // attr of EVERY child.
+            u.output.zipWithIndex.map { case (a, i) =>
+              val srcs = u.children.flatMap(c =>
+                c.output.lift(i).toSeq.flatMap(ca =>
+                  child.getOrElse(ca.exprId, Set.empty[String])))
+              a.exprId -> srcs.toSet
+            }.toMap
+          case ix: Intersect =>
+            // Intersect keeps the left child's exprIds but an output
+            // row's values exist in BOTH children — positional union,
+            // like Union. (Except needs no case: its values flow from
+            // the left only; the right side acts as a row filter, and
+            // Filter predicates are routing here by convention.)
+            ix.output.zipWithIndex.map { case (a, i) =>
+              val srcs = Seq(ix.left, ix.right).flatMap(c =>
+                c.output.lift(i).toSeq.flatMap(ca =>
+                  child.getOrElse(ca.exprId, Set.empty[String])))
+              a.exprId -> srcs.toSet
+            }.toMap
           case s: SubqueryAlias => Map.empty // routing only
           case _ => Map.empty
         }
