@@ -573,6 +573,26 @@ object SparkEntry {
       Round7lQueries.queries ++ Round7mQueries.queries ++
       Round7nQueries.queries ++ Round7oQueries.queries ++ Round7pQueries.queries ++ Round7qQueries.queries ++ Round7rQueries.queries ++ Round7sQueries.queries ++ Round7tQueries.queries ++ Round7uQueries.queries ++ Round7vQueries.queries ++ Round7wQueries.queries ++ Round7zQueries.queries
 
+  /** Validation metadata for the queries that CANNOT carry a SQL
+    * oracle — each is sketch-valued by construction, and each is
+    * pinned by an exact hash-green TWIN over the same input at the
+    * same grain, so the right driver check is rows+schema on the
+    * sketch query plus the cited twin's hash row. Dumped by
+    * [[Verify]] as `queries_meta.json` next to `oracle_sql.json` so
+    * the artifact itself names the twin.
+    */
+  def queriesMeta: Map[String, String] = Map(
+    "q43_profile_approx" ->
+      ("no_oracle_by_design: HLL/KLL sketch tier; exact twin " +
+        "q43a_approx_moments (hash-green) pins the same profile grain"),
+    "q58a_token_deciles_approx" ->
+      ("no_oracle_by_design: approx-percentile bounds; exact twin " +
+        "q58_token_deciles (hash-green) pins the ntile deciles"),
+    "q153_sketch_rollup" ->
+      ("no_oracle_by_design: mergeable-sketch rollup; exact twin " +
+        "q153a_weekly_distinct_exact (hash-green) pins the weekly " +
+        "bucketing"))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -48,6 +48,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // validation metadata for the by-design no-oracle queries: names
+    // the exact hash-green twin pinning each sketch row, so the
+    // artifact itself documents the right check (rows+schema + twin)
+    val meta = SparkEntry.queriesMeta
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/queries_meta.json"), meta)
     spark.stop()
   }
 }

@@ -44,6 +44,34 @@ class Round7kSpec extends AnyFunSuite {
     assert(VideoContainer.parseMp4(headOnly).isEmpty)
   }
 
+  test("parseMp4: corrupt-size trailing box after moov keeps metadata") {
+    val full = VideoContainer.buildMp4(1000, 5000, 1, 320, 240)
+    // a trailing box whose size field is an invalid 3 (< 8): the walk
+    // stops AT moov, so garbage after a complete moov can never null
+    // already-parsed metadata — the parseMp3 stop-and-keep rule
+    val bad = new Array[Byte](12)
+    bad(3) = 3; "junk".getBytes.copyToArray(bad, 4)
+    val i = VideoContainer.parseMp4(full ++ bad).get
+    assert(i.durationMs == 5000L && i.nTracks == 1 && i.width == 320)
+    // same for a size-0 (to-end, unsupported scope) trailing box
+    val toEnd = new Array[Byte](12)
+    "skip".getBytes.copyToArray(toEnd, 4)
+    val i2 = VideoContainer.parseMp4(full ++ toEnd).get
+    assert(i2.durationMs == 5000L && i2.nTracks == 1)
+  }
+
+  test("parseMp4: corrupt box inside moov keeps what parsed before it") {
+    val full = VideoContainer.buildMp4(800, 1600, 1, 100, 50)
+    // moov at 24 (after the 24-byte ftyp), mvhd at 32 (108 bytes),
+    // first trak at 140 — corrupt the trak's size field to 3
+    val cut = full.clone()
+    cut(140) = 0; cut(141) = 0; cut(142) = 0; cut(143) = 3
+    val i = VideoContainer.parseMp4(cut).get
+    // mvhd parsed before the corruption survives; the trak does not
+    assert(i.timescale == 800 && i.durationTicks == 1600L)
+    assert(i.nTracks == 0 && i.width == 0 && i.height == 0)
+  }
+
   test("parseMp4: unknown top-level boxes are skipped, not fatal") {
     val full = VideoContainer.buildMp4(600, 1200, 1, 640, 480)
     // splice a 'free' box between ftyp and moov

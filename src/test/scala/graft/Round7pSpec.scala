@@ -19,9 +19,26 @@ class Round7pSpec extends AnyFunSuite {
         (x.getString(2), x.getInt(3))).toMap
     assert(r((1L, 0)) == ("user", 2))
     assert(r((1L, 1)) == ("assistant", 1))
-    assert(!r.contains((1L, 2))) // blank line dropped
-    assert(r((1L, 3)) == ("unknown", 3))
+    // the blank line drops BEFORE indexing: turn_idx stays contiguous
+    // (a gap would flip the alternation parity downstream)
+    assert(r((1L, 2)) == ("unknown", 3))
+    assert(!r.contains((1L, 3)))
     assert(r((2L, 0)) == ("assistant", 2))
+  }
+
+  test("turnStats: blank separator lines do not break alternation") {
+    import spark.implicits._
+    // genuinely alternating transcript with blank lines between turns
+    // — under line-index parity this misreported alternates=false
+    val chats = Seq(
+      (1L, "user: a\n\nassistant: b\n\nuser: c"),
+      (2L, "user: a\n\nuser: b")) // still a real violation
+      .toDF("doc_id", "text")
+    val r = Chat.turnStats(chats).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getBoolean(6), "blank-separated alternation must pass")
+    assert(r(1L).getLong(1) == 3L)
+    assert(!r(2L).getBoolean(6))
   }
 
   test("turnStats: alternation flag binds both ways") {

@@ -55,6 +55,46 @@ class Round7sSpec extends AnyFunSuite {
     assert(lin1("l_returnflag") == Set("lineitem.l_returnflag"))
   }
 
+  test("columnLineage: union fan-in reports EVERY branch's sources") {
+    val dir = "/root/testdata/sf0.001"
+    // the engine's own O2 fan-in idiom: reduce(_ unionByName _) over
+    // per-source monitors — a Union's output reuses the FIRST child's
+    // exprIds, so without the Union case branches 2..n vanish
+    val a = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("k"), col("o_totalprice").as("v"))
+    val b = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("v"))
+    val c = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey").as("k"), col("s_acctbal").as("v"))
+    val lin = Lineage.columnLineage(
+      Seq(a, b, c).reduce(_ unionByName _)).toMap
+    assert(lin("k") == Set("orders.o_custkey", "customer.c_custkey",
+      "supplier.s_suppkey"), s"all three branches must appear: $lin")
+    assert(lin("v") == Set("orders.o_totalprice", "customer.c_acctbal",
+      "supplier.s_acctbal"), s"all three branches must appear: $lin")
+    // downstream of the union, derived columns keep the merged set
+    val agg = Seq(a, b).reduce(_ unionByName _)
+      .groupBy("k").agg(sum("v").as("total"))
+    val lin2 = Lineage.columnLineage(agg).toMap
+    assert(lin2("total") ==
+      Set("orders.o_totalprice", "customer.c_acctbal"))
+  }
+
+  test("columnLineage: Intersect merges branches, Except stays left") {
+    val dir = "/root/testdata/sf0.001"
+    val a = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("k"))
+    val b = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("k"))
+    // Intersect output values exist in BOTH children → positional union
+    val li = Lineage.columnLineage(a.intersect(b)).toMap
+    assert(li("k") == Set("orders.o_custkey", "customer.c_custkey"))
+    // Except values flow from the left only; the right side is a row
+    // filter, and filter predicates are routing by convention
+    val le = Lineage.columnLineage(a.except(b)).toMap
+    assert(le("k") == Set("orders.o_custkey"))
+  }
+
   test("columnLineage: explode and window columns trace through") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
