@@ -492,6 +492,68 @@ object CorpusStats {
       .orderBy(idCol)
   }
 
+  /** Per-document interpolated KNESER–NEY bigram negative
+    * log-likelihood — the stronger language-model scorer over the
+    * Jelinek–Mercer mixture of [[bigramNll]] (public method: Kneser &
+    * Ney 1995; Chen & Goodman 1999's interpolated form): absolute
+    * discounting with a CONTINUATION-probability backoff,
+    * `P(w|p) = (c(pw) − D)/c(p·) + D·N1+(p·)/c(p·) · N1+(·w)/T`,
+    * where N1+(p·)/N1+(·w) count distinct continuations/histories and
+    * T is the bigram-type count — "how many contexts has w completed"
+    * replaces raw frequency, which is what stops boilerplate tokens
+    * (frequent but context-locked) looking fluent.
+    *
+    * Exactness: every statistic is an integer count off the bigram
+    * census (distinct-continuation counts are just census row counts —
+    * no extra scan); each bigram instance contributes
+    * `round(−ln(P)·10⁹)` nano-nats and the doc mean is `Σ div n`.
+    * Scoring the corpus's own bigrams means c(pw) ≥ 1 > D, so P > 0
+    * always — the unseen-event branch never arises. Same
+    * one-instance-join scale shape as [[bigramNll]].
+    *
+    * Output: (idCol, carryCols..., n_bigrams, kn_nll_nano) — NULL for
+    * docs with < 2 tokens.
+    */
+  def bigramKnNll(docs: DataFrame, discountPct: Int = 75,
+      idCol: String = "doc_id", textCol: String = "text",
+      carryCols: Seq[String] = Seq("source")): DataFrame = {
+    require(discountPct > 0 && discountPct < 100, "discountPct in (0, 100)")
+    val carry = carryCols.map(col)
+    val d = discountPct / 100.0
+    val toks = graft.util.Parallelism.ensure(docs)
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("ws"))
+    val inst = graft.util.Caches.cached(toks
+      .filter(size(col("ws")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(slice(ws, 1, size(ws) - 1)," +
+          " (x, i) -> struct(x AS p, ws[i + 1] AS w))")).as("b"))
+      .select(col(idCol), col("b.p").as("p"), col("b.w").as("w")))
+    val bi = graft.util.Caches.cached(
+      inst.groupBy("p", "w").agg(count(lit(1)).as("f_pw")))
+    // f_p = Σ_w f_pw and N1+(p·) = #census rows for p — one census agg
+    val up = bi.groupBy("p")
+      .agg(sum("f_pw").as("f_p"), count(lit(1)).as("n1_fwd"))
+    val uw = bi.groupBy("w").agg(count(lit(1)).as("n1_back"))
+    val types = bi.agg(count(lit(1)).as("n_types"))
+    val stats = bi.join(up, Seq("p")).join(uw, Seq("w"))
+      .crossJoin(broadcast(types))
+    val cell = round(-log(
+      (col("f_pw") - lit(d)) / col("f_p") +
+        lit(d) * col("n1_fwd") / col("f_p") *
+          (col("n1_back") / col("n_types"))) * lit(1e9))
+      .cast("long")
+    val perDoc = inst.join(stats, Seq("p", "w"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(cell).as("s"))
+    docs.select(col(idCol) +: carry: _*)
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_bigrams"))
+      .select(col(idCol) +: carry :+ col("n_bigrams") :+
+        when(col("n_bigrams") > 0, expr("s div n_bigrams"))
+          .as("kn_nll_nano"): _*)
+      .orderBy(idCol)
+  }
+
   /** Vocabulary coverage curve: what share of all token INSTANCES do
     * the top-V vocabulary entries cover, for each candidate budget —
     * the tokenizer/vocab sizing signal (diminishing coverage returns

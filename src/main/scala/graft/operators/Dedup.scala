@@ -755,4 +755,69 @@ object Dedup {
         when(col("est_total") > 0,
           expr("(n_b * 1000000L) div est_total")).as("recall_b_ppm"))
   }
+
+  /** WINNOWING fingerprint census (public method: Schleimer, Wilkerson
+    * & Aiken 2003's winnowing, the MOSS selector; word k-grams instead
+    * of character k-grams, matching the house shingle unit): per doc,
+    * every window of `windowSize` consecutive k-grams selects its
+    * minimal gram — so any shared run of ≥ windowSize+k−1 tokens is
+    * GUARANTEED to share a fingerprint (the winnowing coverage
+    * theorem), at ~2/(windowSize+1) the density of full shingling.
+    *
+    * Selection order: the gram's own byte order stands in for the
+    * paper's hash order (the token alphabet is [a-z0-9 ], identical
+    * binary collation on both engines), ties to the RIGHTMOST position
+    * (the paper's rule) via a composite sort key `gram ∥ 0x01 ∥
+    * pad(maxPos − pos)` — the 0x01 separator sorts below every token
+    * byte, so composite order ≡ (gram asc, pos desc) even when one
+    * gram prefixes another. Docs with fewer than `windowSize` grams
+    * form one whole-doc window.
+    *
+    * Scale shape: grams explode scan-stage; the per-window min is a
+    * doc-partitioned sliding frame (doc grain, never corpus); the
+    * sharing census runs over the SELECTED grams only (~2/(w+1) of the
+    * corpus volume). Output per doc: (doc_id, n_grams, n_fingerprints,
+    * n_shared, shared_ppm) — n_shared counts fingerprint grams also
+    * selected in ≥ 1 other doc, the plagiarism/near-dup signal.
+    */
+  def winnowingReport(docs: DataFrame, k: Int = 3, windowSize: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && windowSize >= 1, "k/windowSize")
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextOps.tokens(col(textCol))
+    val grams = graft.util.Parallelism.ensure(docs)
+      .select(col(idCol).as("doc_id"), toks.as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        (size(col("ws")) - (k - 1)).cast("long").as("n_grams"),
+        posexplode(expr(
+          s"transform(slice(ws, 1, size(ws) - ${k - 1})," +
+            s" (x, i) -> array_join(slice(ws, i + 1, $k), ' '))"))
+          .as(Seq("pos", "g")))
+    val keyed = grams.withColumn("skey",
+      concat(col("g"), lit("\u0001"),
+        lpad((lit(100000000) - col("pos")).cast("string"), 9, "0")))
+    val frame = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(0, windowSize - 1)
+    val selected = graft.util.Caches.cached(keyed
+      .withColumn("sel", min("skey").over(frame))
+      // frames starting past n_grams - windowSize are the truncated
+      // tail the paper excludes (kept only for the short-doc case)
+      .filter(col("pos") <= greatest(col("n_grams") - windowSize, lit(0)))
+      .select(col("doc_id"), col("n_grams"),
+        substring_index(col("sel"), "\u0001", 1).as("fp"))
+      .distinct())
+    val census = selected.groupBy("fp")
+      .agg(count_distinct(col("doc_id")).as("n_docs_with"))
+    selected.join(census, Seq("fp"))
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_fingerprints"),
+        sum(when(col("n_docs_with") > 1, 1L).otherwise(0L))
+          .as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_fingerprints"),
+        col("n_shared"),
+        expr("(n_shared * 1000000L) div n_fingerprints")
+          .as("shared_ppm"))
+      .orderBy("doc_id")
+  }
 }

@@ -82,6 +82,62 @@ object Evaluation {
       .orderBy("bin")
   }
 
+  /** Murphy decomposition of the BRIER score (public method: Murphy
+    * 1973; Brier 1950): over calibration bins of a micro-probability
+    * forecast, Brier ≈ reliability − resolution + uncertainty —
+    * reliability says "the forecasts disagree with their bin's event
+    * rate" (the fixable part), resolution says "the bins separate
+    * outcomes" (the skill), uncertainty is the outcome's own variance
+    * floor. The exact Brier (raw-row mean squared error) is reported
+    * alongside, so the decomposition's binning error is visible.
+    *
+    * Exactness: `probMicroCol` ∈ [0, 10⁶]; bin means are floor
+    * divisions, every numerator is an exact integer in micro² (the
+    * per-bin contributions are integers, so the Σ is order-free), and
+    * only the final /10¹² · round(·,6) leaves the integer domain.
+    * Shape: one row pass for bins and the exact Brier, then stat-grain
+    * algebra over ≤ nBins rows.
+    *
+    * Output (1 row): (n, n_pos, n_bins_used, brier, reliability,
+    * resolution, uncertainty).
+    */
+  def brierReport(df: DataFrame, probMicroCol: String, label: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "nBins")
+    val dec = "decimal(38,0)"
+    val v = graft.util.Caches.cached(df
+      .select(col(probMicroCol).cast("long").as("pm"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .withColumn("bin", expr(s"(pm * $nBins) div 1000001")))
+    val bins = v.groupBy("bin")
+      .agg(count(lit(1)).as("n_k"), sum("pm").as("spm"),
+        sum("y").as("sy"))
+      .select(col("bin"), col("n_k"), col("sy"),
+        expr("spm div n_k").as("fbar"),
+        expr("(sy * 1000000) div n_k").as("obar"))
+    val tot = v.agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+      sum(expr(s"cast((pm - y * 1000000) * (pm - y * 1000000) as $dec)"))
+        .as("bsum"))
+      .withColumn("obar_all", expr("(n_pos * 1000000) div n"))
+    val parts = bins.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("n_bins_used"),
+        sum(expr(s"cast(n_k * (fbar - obar) * (fbar - obar) as $dec)"))
+          .as("rel_num"),
+        sum(expr("cast(n_k * (obar - obar_all) * (obar - obar_all) " +
+          s"as $dec)")).as("res_num"))
+    tot.crossJoin(broadcast(parts))
+      .select(col("n"), col("n_pos"), col("n_bins_used"),
+        round(col("bsum").cast("double") /
+          (col("n").cast("double") * 1e12), 6).as("brier"),
+        round(col("rel_num").cast("double") /
+          (col("n").cast("double") * 1e12), 6).as("reliability"),
+        round(col("res_num").cast("double") /
+          (col("n").cast("double") * 1e12), 6).as("resolution"),
+        round(col("obar_all").cast("double") *
+          (lit(1e6) - col("obar_all").cast("double")) / 1e12, 6)
+          .as("uncertainty"))
+  }
+
   /** Precision/recall sweep — one (precision, recall) point per
     * DISTINCT score threshold, for the "pick the quality-filter cutoff"
     * decision [[aucReport]]'s single number can't make. Classifying

@@ -173,6 +173,49 @@ object Graph {
       .orderBy("node")
   }
 
+  /** SYNCHRONOUS label-propagation communities (public method:
+    * Raghavan, Albert & Kumara 2007's LPA, in its deterministic
+    * synchronous form): every node starts as its own label; each round
+    * every node adopts its neighbors' MOST FREQUENT label, ties to the
+    * smallest label — the (count desc, label asc) total order makes a
+    * fixed round count exactly reproducible in unrolled SQL, where the
+    * paper's random asynchronous order could not be oracled.
+    *
+    * Shape: one cached src-partitioned directed relation; each round
+    * is ONE join (labels are node-keyed) + one (node, label) vote
+    * census + a min_by argmax — no corpus windows, labels
+    * localCheckpoint'd at node grain. Isolated nodes cannot exist
+    * (nodes derive from the edge relation).
+    *
+    * Output per node: (node, community, community_size), node-ordered.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      aCol: String = "node_a", bCol: String = "node_b"): DataFrame = {
+    require(rounds >= 1, "rounds")
+    val directed = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val ed = graft.util.Caches.cached(directed.repartition(col("src")))
+    var labels = ed.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = ed
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      labels = votes.groupBy("node")
+        .agg(min_by(col("lbl"), struct(-col("c"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy("lbl")
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("node"), col("lbl").as("community"),
+        col("community_size"))
+      .orderBy("node")
+  }
+
   /** Weighted variant: each node splits its rank over incident edges
     * PROPORTIONALLY to `weightCol` (floor division `rank·w div
     * strength`, strength = Σ incident weights — still all non-negative

@@ -37,4 +37,111 @@ object Transitions {
       .select("from_state", "to_state", "n", "p")
       .orderBy("from_state", "to_state")
   }
+
+  /** Markov-chain REMOVAL-EFFECT attribution (public method: Anderl,
+    * Becker, von Wangenheim & Schumann 2014's "Mapping the customer
+    * journey" framework): journeys are each key's state sequence
+    * truncated at its FIRST `convState` event (`~start` → e₁ → … →
+    * `~conv`, or → `~null` when the key never converts); a channel's
+    * credit is how much the chain's absorption probability into
+    * `~conv` drops when that channel's node is removed (its incoming
+    * transitions redirect to `~null` — paths through it fail).
+    *
+    * Absorption runs a FIXED number of value-iteration steps so the
+    * whole recursion unrolls to SQL: v₀ = 10⁶ at `~conv`, vₜ₊₁(i) =
+    * (Σⱼ p(i→j)·vₜ(j)) div 10⁶ with the absorbing states pinned —
+    * every quantity an exact non-negative integer in micro, every
+    * division a floor, so partial-agg order can't move a bit.
+    *
+    * Scale shape: ONE key shuffle builds the journey pairs (the
+    * [[transitionMatrix]] lag window); everything after is
+    * STATE-domain — the (K+1)-variant matrix (full + one per removed
+    * channel) is ≤ (K+1)·(K+2)² stat rows and ALL variants propagate
+    * together through `steps` joins, no per-channel loop and no
+    * collect.
+    *
+    * Output per channel: (channel, p_conv_full_micro,
+    * p_conv_removed_micro, removal_effect_ppm, share_ppm),
+    * channel-ordered.
+    */
+  def removalEffect(events: DataFrame, convState: String,
+      steps: Int = 6, keyCol: String = "user_id",
+      stateCol: String = "event_type", tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    require(steps >= 1, "steps")
+    val Start = "~start"; val Conv = "~conv"; val Nul = "~null"
+    val ev = events.select(col(keyCol).as("u"), col(stateCol).as("s"),
+      col(tsCol).as("ts"), col(tieCol).as("tie"))
+    val byU = Window.partitionBy("u")
+      .orderBy(col("ts").asc, col("tie").asc)
+    val conv = ev.filter(col("s") === convState)
+      .withColumn("rn", row_number().over(byU))
+      .filter(col("rn") === 1)
+      .select(col("u"), col("ts").as("cts"), col("tie").as("ctie"))
+    val j = graft.util.Caches.cached(ev
+      .join(conv, Seq("u"), "left")
+      .filter(col("cts").isNull || col("ts") < col("cts") ||
+        (col("ts") === col("cts") && col("tie") < col("ctie")))
+      .withColumn("rn", row_number().over(byU))
+      .withColumn("nmax", count(lit(1)).over(Window.partitionBy("u")))
+      .withColumn("prev", lag("s", 1).over(byU)))
+    val internal = j.filter(col("rn") >= 2)
+      .select(col("prev").as("f"), col("s").as("t"))
+    val starts = j.filter(col("rn") === 1)
+      .select(lit(Start).as("f"), col("s").as("t"))
+    val terminals = j.filter(col("rn") === col("nmax"))
+      .select(col("s").as("f"),
+        when(col("cts").isNotNull, Conv).otherwise(Nul).as("t"))
+    // keys whose FIRST event converts have an empty journey: ~start→~conv
+    val instant = conv.join(j.select("u").distinct(), Seq("u"), "left_anti")
+      .select(lit(Start).as("f"), lit(Conv).as("t"))
+    val m = internal.unionByName(starts).unionByName(terminals)
+      .unionByName(instant)
+      .groupBy("f", "t").agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum("n").over(Window.partitionBy("f")))
+      .select(col("f"), col("t"), expr("(n * 1000000) div tot").as("p"))
+    val mc = graft.util.Caches.cached(m)
+    val ch = mc.select(col("f").as("c")).filter(col("c") =!= Start)
+      .distinct()
+    val vm = graft.util.Caches.cached(
+      mc.select(lit("~full").as("v"), col("f"), col("t"), col("p"))
+        .unionByName(mc.crossJoin(ch).filter(col("f") =!= col("c"))
+          .select(col("c").as("v"), col("f"),
+            when(col("t") === col("c"), Nul).otherwise(col("t")).as("t"),
+            col("p")))
+        .groupBy("v", "f", "t").agg(sum("p").as("p")))
+    val st = vm.select(col("v"), col("f").as("s"))
+      .unionByName(vm.select(col("v"), col("t").as("s"))).distinct()
+    var vcur = st.select(col("v"), col("s"),
+      when(col("s") === Conv, 1000000L).otherwise(0L).as("val"))
+    for (_ <- 1 to steps) {
+      val nxt = vm
+        .join(vcur.select(col("v"), col("s").as("t"), col("val")),
+          Seq("v", "t"))
+        .groupBy(col("v"), col("f").as("s"))
+        .agg(expr("sum(p * val) div 1000000").as("agg"))
+      vcur = st.join(nxt, Seq("v", "s"), "left")
+        .select(col("v"), col("s"),
+          when(col("s") === Conv, 1000000L)
+            .when(col("s") === Nul, 0L)
+            .otherwise(coalesce(col("agg"), lit(0L))).as("val"))
+    }
+    val res = graft.util.Caches.cached(
+      vcur.filter(col("s") === Start).select(col("v"), col("val")))
+    val pf = res.filter(col("v") === "~full")
+      .select(col("val").as("pfull"))
+    val per = res.filter(col("v") =!= "~full")
+      .crossJoin(broadcast(pf))
+      .withColumn("rem", col("pfull") - col("val"))
+    val tot = per.agg(sum("rem").as("rtot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("v").as("channel"),
+        col("pfull").as("p_conv_full_micro"),
+        col("val").as("p_conv_removed_micro"),
+        when(col("pfull") > 0, expr("(rem * 1000000) div pfull"))
+          .as("removal_effect_ppm"),
+        when(col("rtot") > 0, expr("(rem * 1000000) div rtot"))
+          .as("share_ppm"))
+      .orderBy("channel")
+  }
 }
