@@ -38,6 +38,59 @@ object Transitions {
       .orderBy("from_state", "to_state")
   }
 
+  /** FOLLOWED-BY census — the gap-tolerant complement of
+    * [[transitionMatrix]]: for each ordered state pair (a, b), how
+    * many keys ever saw an `a` BEFORE some `b` (any gap, not just
+    * adjacent), against the independence baseline. `followed_ppm` is
+    * the conditional "given a, b eventually follows"; `lift_ppm`
+    * compares that to b's unconditional key-rate — the funnel-
+    * discovery signal ("signup → purchase at 3× base rate").
+    *
+    * Order is the per-key (ts, tie) row rank, so "before" is exact
+    * integer position comparison: a precedes b iff min_pos(a) <
+    * max_pos(b). One key shuffle for the rank window, then everything
+    * is (key, state) stat grain — the pair fan-out is K² per key,
+    * bounded by the state vocabulary.
+    *
+    * Output per pair (a ≠ b, both present somewhere): (type_a, type_b,
+    * n_keys, n_a, n_b, n_ab, followed_ppm, lift_ppm), pair-ordered.
+    */
+  def followedByCensus(events: DataFrame, keyCol: String = "user_id",
+      stateCol: String = "event_type", tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    val byKey = Window.partitionBy("key")
+      .orderBy(col("ts").asc, col("tie").asc)
+    val pos = events
+      .select(col(keyCol).as("key"), col(stateCol).as("state"),
+        col(tsCol).as("ts"), col(tieCol).as("tie"))
+      .withColumn("pos", row_number().over(byKey))
+    val per = graft.util.Caches.cached(pos.groupBy("key", "state")
+      .agg(min("pos").as("first_pos"), max("pos").as("last_pos")))
+    val nKeys = per.agg(count_distinct(col("key")).as("n_keys"))
+    val totals = per.groupBy("state")
+      .agg(count(lit(1)).as("n_with"))
+    val pairs = per.as("a").join(per.as("b"),
+        col("a.key") === col("b.key") &&
+        col("a.state") =!= col("b.state"))
+      .groupBy(col("a.state").as("type_a"), col("b.state").as("type_b"))
+      .agg(sum(when(col("a.first_pos") < col("b.last_pos"), 1L)
+        .otherwise(0L)).as("n_ab"))
+    pairs
+      .join(totals.select(col("state").as("type_a"),
+        col("n_with").as("n_a")), Seq("type_a"))
+      .join(totals.select(col("state").as("type_b"),
+        col("n_with").as("n_b")), Seq("type_b"))
+      .crossJoin(broadcast(nKeys))
+      .select(col("type_a"), col("type_b"), col("n_keys"),
+        col("n_a"), col("n_b"), col("n_ab"),
+        expr("(n_ab * 1000000) div n_a").as("followed_ppm"),
+        // DECIMAL: n_ab·n_keys·10⁶ overflows long at 10⁹ keys
+        expr("cast((cast(n_ab as decimal(38,0)) * n_keys * 1000000) " +
+          "div (cast(n_a as decimal(38,0)) * n_b) as bigint)")
+          .as("lift_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Markov-chain REMOVAL-EFFECT attribution (public method: Anderl,
     * Becker, von Wangenheim & Schumann 2014's "Mapping the customer
     * journey" framework): journeys are each key's state sequence
