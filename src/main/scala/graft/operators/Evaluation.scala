@@ -168,6 +168,40 @@ object Evaluation {
       .orderBy(col("threshold").desc)
   }
 
+  /** AVERAGE PRECISION (the area under [[prCurve]], the
+    * single-number PR summary that, unlike ROC-AUC, stays honest
+    * under heavy class imbalance — the usual regime for quality
+    * filters where positives are rare): AP = Σ_t (R_t − R_{t−1})·P_t
+    * down the score-DESC threshold sweep.
+    *
+    * Same value-domain census as prCurve (one row per DISTINCT
+    * score, cumulative windows over stat rows); each threshold
+    * contributes the integer `(Δtp · tp · 10⁶) div (tp + fp)` so the
+    * Σ is order-free, and AP_ppm is one final division by the
+    * positive total.
+    *
+    * Output (1 row): (n, n_pos, n_thresholds, ap_ppm).
+    */
+  def averagePrecision(df: DataFrame, scoreCol: String,
+      label: Column): DataFrame = {
+    val h = df
+      .select(col(scoreCol).cast("long").as("s"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .groupBy("s")
+      .agg(sum("y").as("pos"), sum(lit(1L) - col("y")).as("neg"))
+    val wDesc = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    h.withColumn("tp", sum("pos").over(wDesc))
+      .withColumn("fp", sum("neg").over(wDesc))
+      .agg(sum(col("pos") + col("neg")).as("n"),
+        sum("pos").as("n_pos"), count(lit(1)).as("n_thresholds"),
+        // DECIMAL: Δtp·tp·10⁶ passes long range at ~10⁹ positives
+        sum(expr("cast((cast(pos as decimal(38,0)) * tp * 1000000) " +
+          "div (tp + fp) as long)")).as("num"))
+      .select(col("n"), col("n_pos"), col("n_thresholds"),
+        when(col("n_pos") > 0, expr("num div n_pos")).as("ap_ppm"))
+  }
+
   /** Ranking-quality report per group: nDCG@k and MRR@k of a score
     * ranking against a binary relevance label — the retrieval-eval
     * completion of the q85 RRF ranker (a fused ranking is only as good

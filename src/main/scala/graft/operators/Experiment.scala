@@ -389,4 +389,53 @@ object Experiment {
           .as("cum_uplift_ppm"))
       .orderBy(col("bin").desc)
   }
+
+  /** INVERSE-PROPENSITY-WEIGHTED ATE (public method: Horvitz &
+    * Thompson 1952; Rosenbaum & Rubin 1983's propensity adjustment):
+    * when assignment correlates with a covariate, the naive
+    * treated-minus-control mean is confounded; IPW reweights each unit
+    * by 1/P(its own arm | covariate bin), recovering the ATE under
+    * ignorability-within-bins. The propensity model here is the
+    * EMPIRICAL bin rate — exact integers, no fitted model.
+    *
+    * Exactness: outcomes quantize to micro; e_b = treated-rate micro
+    * per bin; each unit contributes the integer
+    * `±(y_micro·10⁶) div e` cell (truncating division — Spark `div` ≡
+    * DuckDB `//`, measured, so negatives agree), the Σ is order-free,
+    * and the final ATE is one more integer division. Degenerate bins
+    * (all-treated or all-control — propensity 0 or 1) are EXCLUDED
+    * with their units (positivity violation; n vs n_used shows how
+    * much), the oracle applying the same rule.
+    *
+    * Output (1 row): (n, n_used, n_treated_used, ate_ipw_micro,
+    * ate_naive_micro).
+    */
+  def ipwAte(df: DataFrame, treat: Column, outcome: Column,
+      covariateBin: Column): DataFrame = {
+    val base = graft.util.Caches.cached(df.select(
+      covariateBin.as("b"),
+      when(treat, 1L).otherwise(0L).as("t"),
+      round(outcome.cast("double") * 1e6).cast("long").as("ym")))
+    val bins = base.groupBy("b")
+      .agg(count(lit(1)).as("n_b"), sum("t").as("nt_b"))
+      .withColumn("e", expr("(nt_b * 1000000) div n_b"))
+    val usable = bins.filter(col("e") > 0 && col("e") < 1000000)
+      .select("b", "e")
+    val cells = base.join(broadcast(usable), Seq("b"))
+      .select(col("t"), col("ym"),
+        when(col("t") === 1, expr("(ym * 1000000) div e"))
+          .otherwise(-expr("(ym * 1000000) div (1000000 - e)"))
+          .as("cell"))
+    val tot = base.agg(count(lit(1)).as("n"))
+    cells.agg(count(lit(1)).as("n_used"), sum("t").as("n_treated_used"),
+        sum("cell").as("sc"),
+        sum(when(col("t") === 1, col("ym")).otherwise(0L)).as("syt"),
+        sum(when(col("t") === 0, col("ym")).otherwise(0L)).as("syc"))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("n_used"), col("n_treated_used"),
+        expr("sc div n_used").as("ate_ipw_micro"),
+        (expr("syt div n_treated_used") -
+          expr("syc div (n_used - n_treated_used)"))
+          .as("ate_naive_micro"))
+  }
 }

@@ -155,4 +155,58 @@ object Sampling {
           round(col("ess") / col("n_rows"), 6)))
       .orderBy(groupCol)
   }
+
+  /** NEYMAN ALLOCATION (public method: Neyman 1934) — how a fixed
+    * sample budget should split across strata: n_h ∝ N_h·σ_h, so big
+    * AND volatile strata get the samples while huge-but-constant
+    * strata don't waste them (the flaw of proportional allocation
+    * this fixes). The design step upstream of [[stratifiedSample]].
+    *
+    * Exactness: σ_h comes from exact DECIMAL sums
+    * (population form, √((n·Σx² − (Σx)²)/n²)) and quantizes to a
+    * micro weight; floor shares `budget·w_h div Σw` hand their
+    * remainders out largest-remainder-first (tie: stratum asc — the
+    * Hamilton method over ≤ |strata| stat rows), so the allocations
+    * sum EXACTLY to the budget. Allocations are NOT capped at N_h
+    * (Neyman can oversample a small volatile stratum; the n_alloc >
+    * n_rows comparison is the signal to redesign) — documented,
+    * mirrored. Constant strata (σ = 0) get weight 0.
+    *
+    * Output per stratum: (stratum, n_rows, sigma_micro, alloc),
+    * stratum-ordered; Σ alloc = budget whenever Σw > 0.
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+      valCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, "budget")
+    val dec = "decimal(38,0)"
+    val vm = round(col(valCol).cast("double") * 1e6).cast("long")
+    val s = df.groupBy(col(stratumCol).as("g"))
+      .agg(count(lit(1)).as("n_rows"), sum(vm.cast(dec)).as("sx"),
+        sum(vm.cast(dec) * vm.cast(dec)).as("sxx"))
+      .select(col("g"), col("n_rows"),
+        round(sqrt((col("n_rows").cast(dec) * col("sxx") -
+          col("sx") * col("sx")).cast("double")) /
+          col("n_rows").cast("double")).cast("long").as("sigma_micro"))
+      // DECIMAL: N_h·σ_micro brushes long range at 10⁹-row strata
+      .withColumn("w", col("n_rows").cast(dec) * col("sigma_micro"))
+    val tw = s.agg(sum(col("w").cast(dec)).as("tw"),
+      count(lit(1)).as("n_strata"))
+    val shares = s.crossJoin(broadcast(tw))
+      .withColumn("fl", when(col("tw") > 0,
+        expr(s"cast((cast(w as decimal(38,0)) * $budget) div tw " +
+          "as long)")).otherwise(lit(0L)))
+      .withColumn("rem", when(col("tw") > 0,
+        expr(s"cast((cast(w as decimal(38,0)) * $budget) % tw " +
+          "as decimal(38,0))")).otherwise(lit(0).cast(dec)))
+    val short = shares.agg((lit(budget) - sum("fl")).as("short"))
+    import org.apache.spark.sql.expressions.Window
+    shares.crossJoin(broadcast(short))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("g").asc)))
+      .select(col("g").as(stratumCol), col("n_rows"),
+        col("sigma_micro"),
+        (col("fl") + when(col("rk") <= col("short") && col("tw") > 0,
+          1L).otherwise(0L)).as("alloc"))
+      .orderBy(stratumCol)
+  }
 }

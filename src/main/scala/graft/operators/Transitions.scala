@@ -91,6 +91,55 @@ object Transitions {
       .orderBy("type_a", "type_b")
   }
 
+  /** Gapped SEQUENTIAL-TRIPLE census — the length-3 sequential-pattern
+    * miner (the PrefixSpan-family question at fixed depth): for each
+    * ordered triple of DISTINCT states (a, b, c), how many keys
+    * contain it as a SUBSEQUENCE (any gaps). The witness reduction
+    * keeps everything off raw position triples: (a,b,c) ⊆ key ⇔
+    * `earliest b after the key's first a` < `the key's last c` —
+    * sufficient statistics per (key, state) and (key, a, b), never an
+    * O(n³) per-key enumeration.
+    *
+    * Shape: one key shuffle for the rank window; the fab relation is
+    * an event-grain × |vocab| fan-out (each position meets each
+    * a-state of its key); the triple join is (key × vocab²) × vocab
+    * stat grain. Both are vocabulary-bounded — document the cap when
+    * states are high-cardinality.
+    *
+    * Output: (type_a, type_b, type_c, support) — top `topN` by
+    * (support desc, triple asc).
+    */
+  def sequentialTriples(events: DataFrame, topN: Int,
+      keyCol: String = "user_id", stateCol: String = "event_type",
+      tsCol: String = "ts", tieCol: String = "event_id"): DataFrame = {
+    require(topN >= 1, "topN")
+    val byKey = Window.partitionBy("key")
+      .orderBy(col("ts").asc, col("tie").asc)
+    val posC = graft.util.Caches.cached(events
+      .select(col(keyCol).as("key"), col(stateCol).as("state"),
+        col(tsCol).as("ts"), col(tieCol).as("tie"))
+      .withColumn("pos", row_number().over(byKey))
+      .select("key", "state", "pos"))
+    val stats = graft.util.Caches.cached(posC.groupBy("key", "state")
+      .agg(min("pos").as("fp"), max("pos").as("lp")))
+    val fab = stats.select(col("key"), col("state").as("a"), col("fp"))
+      .join(posC.select(col("key"), col("state").as("b"), col("pos")),
+        Seq("key"))
+      .filter(col("pos") > col("fp") && col("a") =!= col("b"))
+      .groupBy("key", "a", "b").agg(min("pos").as("fab"))
+    fab
+      .join(stats.select(col("key"), col("state").as("c"), col("lp")),
+        Seq("key"))
+      .filter(col("c") =!= col("a") && col("c") =!= col("b") &&
+        col("fab") < col("lp"))
+      .groupBy(col("a").as("type_a"), col("b").as("type_b"),
+        col("c").as("type_c"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("type_a").asc,
+        col("type_b").asc, col("type_c").asc)
+      .limit(topN)
+  }
+
   /** Markov-chain REMOVAL-EFFECT attribution (public method: Anderl,
     * Becker, von Wangenheim & Schumann 2014's "Mapping the customer
     * journey" framework): journeys are each key's state sequence
