@@ -197,7 +197,11 @@ object Graph {
       maxWedgeDegree: Option[Long] = None,
       aCol: String = "node_a", bCol: String = "node_b"): DataFrame = {
     require(k >= 1, "k")
-    val e0 = edges.select(col(aCol).as("na"), col(bCol).as("nb"))
+    // cached: the edge relation feeds the wedge fan-out AND the
+    // already-adjacent anti-join — uncached it re-derives upstream
+    // (2 extra source scans, tree-probed)
+    val e0 = graft.util.Caches.cached(
+      edges.select(col(aCol).as("na"), col(bCol).as("nb")))
     val directed = e0.unionByName(
       e0.select(col("nb").as("na"), col("na").as("nb")))
     val deg = graft.util.Caches.cached(
