@@ -120,4 +120,44 @@ object Privacy {
         (col("tv_milli") > tMilli).as("t_violation")): _*)
       .orderBy(quasiCols.map(col): _*)
   }
+
+  /** Laplace-mechanism COUNT histogram (public method: Dwork,
+    * McSherry, Nissim & Smith 2006): per key, the true count plus
+    * Laplace(Δf/ε) noise with sensitivity 1 — the ε-DP release for a
+    * partition-count query. Noise here derives DETERMINISTICALLY from
+    * the keyed rolling hash (+ `salt`): inverse-CDF
+    * `−b·sign(u−½)·ln(1−2|u−½|)` over the hash-uniform u, so the
+    * release is reproducible and cross-engine testable. THE HONESTY
+    * LINE: a salt reused across releases forfeits the DP guarantee —
+    * production must draw a fresh salt (or real randomness) per
+    * release and publish ONLY the released column; the true count is
+    * emitted here for the test harness.
+    *
+    * Exactness: u = hash/mod is an exact rational; the one ln/double
+    * expression rounds to micro on both engines (the q174 nano
+    * convention). u is clamped away from ½ by one hash step so the
+    * ln argument is never 0.
+    *
+    * Output per key: (key, n, lap_micro, n_released), key-ordered.
+    */
+  def dpHistogram(df: DataFrame, keyCol: String, epsilonPermille: Long,
+      salt: Long = 0L): DataFrame = {
+    require(epsilonPermille >= 1, "epsilon must be positive")
+    val mod = TextOps.HashMod
+    val b = 1000.0 / epsilonPermille
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val u = (((TextOps.rollingHash(concat(col("key").cast("string"),
+      lit("#" + salt))) % mod) + mod) % mod).cast("double") / mod.toDouble
+    counts
+      .withColumn("__u", u)
+      .withColumn("lap_micro",
+        round((lit(-b) * signum(col("__u") - 0.5) *
+          log(lit(1.0) - lit(2.0) *
+            greatest(abs(col("__u") - 0.5) - lit(1.0 / mod), lit(0.0))))
+          * lit(1e6)).cast("long"))
+      .select(col("key").as(keyCol), col("n"), col("lap_micro"),
+        (col("n") + expr("lap_micro div 1000000")).as("n_released"))
+      .orderBy(keyCol)
+  }
 }

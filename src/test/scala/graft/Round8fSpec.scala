@@ -43,7 +43,9 @@ class Round8fSpec extends AnyFunSuite {
     "q234_seq_triples" -> 0,          // position + stat caches
     "q235_ipw_ate" -> 0,              // unit relation cached
     "q236_neyman_allocation" -> 1,    // one stratum census scan
-    "q237_average_precision" -> 1)    // one value-domain census scan
+    "q237_average_precision" -> 1,    // one value-domain census scan
+    "q238_rake_keywords" -> 0,        // phrase relation cached
+    "q239_dp_histogram" -> 1)         // one key census scan
 
   gates.foreach { case (name, maxLeaves) =>
     test(s"$name: ≤ $maxLeaves parquet leaves in the final plan") {
