@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Attribution, Graph, Transitions}
+import graft.operators.{Attribution, CorpusConfig, Transitions}
 
 /** Round-8 part five: followed-by census, exact Shapley attribution,
   * Adamic–Adar link prediction.
@@ -10,7 +10,6 @@ import graft.operators.{Attribution, Graph, Transitions}
 object Round8eQueries {
 
   val AaTopK = 50
-  val AaWedgeCap = 200L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gap-tolerant "a then eventually b" census with lift vs the
@@ -25,10 +24,18 @@ object Round8eQueries {
         "purchase")),
 
     // Top-50 missing-edge candidates on the co-purchase graph by
-    // Adamic-Adar (rare shared neighbors say more than hubs).
+    // Adamic-Adar (rare shared neighbors say more than hubs) — the
+    // EXACT tier: every common neighbor counts.
     "q233_adamic_adar" -> ((s, dir) =>
-      Graph.adamicAdarTopK(Round6bQueries.coPurchase(s, dir), AaTopK,
-        Some(AaWedgeCap))))
+      CorpusConfig.Exact.adamicAdarTopK(
+        Round6bQueries.coPurchase(s, dir), AaTopK)),
+
+    // Production tier: wedge centers above the cap drop BEFORE the
+    // deg² fan-out. On this dense graph the cap BINDS (different
+    // top-50 than q233) — a semantic scale knob, oracle-pinned.
+    "q233a_adamic_adar_capped" -> ((s, dir) =>
+      CorpusConfig.Production.adamicAdarTopK(
+        Round6bQueries.coPurchase(s, dir), AaTopK)))
 
   val oracleSql: Map[String, String] = Map(
     "q231_followed_by" ->
@@ -110,23 +117,30 @@ object Round8eQueries {
         |FROM st JOIN ph ON ph.channel = st.channel, kk
         |ORDER BY st.channel""".stripMargin,
 
-    "q233_adamic_adar" ->
-      s"""WITH ${Round6bQueries.edgesSql},
-         |ctr AS (SELECT node AS z,
-         |    CAST(round(1000000.0 / ln(deg)) AS BIGINT) AS c
-         |  FROM dg WHERE deg >= 2 AND deg <= $AaWedgeCap),
-         |adj AS (SELECT ed.src AS z, ed.dst AS n, ctr.c
-         |  FROM ed JOIN ctr ON ctr.z = ed.src),
-         |cand AS (SELECT x.n AS node_a, y.n AS node_b,
-         |    CAST(count(*) AS BIGINT) AS n_common,
-         |    CAST(sum(x.c) AS BIGINT) AS aa_score_micro
-         |  FROM adj x JOIN adj y ON x.z = y.z AND x.n < y.n
-         |  GROUP BY 1, 2),
-         |ne AS (SELECT na AS node_a, nb AS node_b FROM e0
-         |  UNION SELECT nb, na FROM e0)
-         |SELECT c.node_a, c.node_b, n_common, aa_score_micro
-         |FROM cand c ANTI JOIN ne
-         |  ON ne.node_a = c.node_a AND ne.node_b = c.node_b
-         |ORDER BY aa_score_micro DESC, c.node_a, c.node_b
-         |LIMIT $AaTopK""".stripMargin)
+    "q233_adamic_adar" -> aaSql(None),
+    "q233a_adamic_adar_capped" ->
+      aaSql(CorpusConfig.Production.graphWedgeCap))
+
+  /** AA oracle at a wedge-cap tier (None = exact). */
+  private def aaSql(cap: Option[Long]): String = {
+    val capPred = cap.map(c => s" AND deg <= $c").getOrElse("")
+    s"""WITH ${Round6bQueries.edgesSql},
+       |ctr AS (SELECT node AS z,
+       |    CAST(round(1000000.0 / ln(deg)) AS BIGINT) AS c
+       |  FROM dg WHERE deg >= 2$capPred),
+       |adj AS (SELECT ed.src AS z, ed.dst AS n, ctr.c
+       |  FROM ed JOIN ctr ON ctr.z = ed.src),
+       |cand AS (SELECT x.n AS node_a, y.n AS node_b,
+       |    CAST(count(*) AS BIGINT) AS n_common,
+       |    CAST(sum(x.c) AS BIGINT) AS aa_score_micro
+       |  FROM adj x JOIN adj y ON x.z = y.z AND x.n < y.n
+       |  GROUP BY 1, 2),
+       |ne AS (SELECT na AS node_a, nb AS node_b FROM e0
+       |  UNION SELECT nb, na FROM e0)
+       |SELECT c.node_a, c.node_b, n_common, aa_score_micro
+       |FROM cand c ANTI JOIN ne
+       |  ON ne.node_a = c.node_a AND ne.node_b = c.node_b
+       |ORDER BY aa_score_micro DESC, c.node_a, c.node_b
+       |LIMIT $AaTopK""".stripMargin
+  }
 }

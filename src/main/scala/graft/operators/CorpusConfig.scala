@@ -29,7 +29,19 @@ final case class CorpusConfig(
     decileAccuracy: Int = 10000,
     passageFingerprint: Boolean = false,
     annLshConsumers: Boolean = false,
-    linkageSortedNeighborhood: Boolean = false) {
+    linkageSortedNeighborhood: Boolean = false,
+    graphWedgeCap: Option[Long] = None) {
+
+  /** Adamic–Adar link prediction at this tier's wedge budget: exact =
+    * every common neighbor counts (Σ deg² wedges — 142M on the sf0.1
+    * co-purchase graph); production = centers above the cap are
+    * dropped BEFORE the quadratic fan-out (q233 vs q233a, both
+    * oracle-pinned; on dense graphs the cap BINDS — it is a semantic
+    * knob, not a free speedup, which is why it lives here and not as
+    * a hardcoded default).
+    */
+  def adamicAdarTopK(edges: DataFrame, k: Int): DataFrame =
+    Graph.adamicAdarTopK(edges, k, graphWedgeCap)
 
   /** Record-linkage candidate pairs at this tier's blocking: exact =
     * every within-block pair (Σ n_block² — the oracle tier); production
@@ -151,5 +163,6 @@ object CorpusConfig {
   val Production: CorpusConfig = CorpusConfig(DedupConfig.Production,
     ProfileConfig(exact = false), maxShingleSources = Some(1024L),
     exactDeciles = false, passageFingerprint = true,
-    annLshConsumers = true, linkageSortedNeighborhood = true)
+    annLshConsumers = true, linkageSortedNeighborhood = true,
+    graphWedgeCap = Some(64L))
 }

@@ -40,6 +40,7 @@ class Round8fSpec extends AnyFunSuite {
     "q231_followed_by" -> 0,          // (key, state) stats cached
     "q232_shapley_attribution" -> 1,  // touched cache + coalition range
     "q233_adamic_adar" -> 0,          // edge relation cached
+    "q233a_adamic_adar_capped" -> 0,  // same cache, capped centers
     "q234_seq_triples" -> 0,          // position + stat caches
     "q235_ipw_ate" -> 0,              // unit relation cached
     "q236_neyman_allocation" -> 1,    // one stratum census scan
