@@ -224,8 +224,30 @@ object Graph {
         col("x.z") === col("y.z") && col("x.n") < col("y.n"))
       .select(col("x.z").as("z"), col("x.n").as("node_a"),
         col("y.n").as("node_b"), col("x.c").as("c"))
-    val cand = wedges.groupBy("node_a", "node_b")
-      .agg(count(lit(1)).as("n_common"), sum("c").as("aa_score_micro"))
+    // the wedge relation is the operator's bulk (Σ deg² rows — 142M
+    // on the sf0.1 co-purchase graph); when node ids fit 32 bits,
+    // pack the pair into ONE long key so the grouping shuffles half
+    // the key bytes (a 1-row stat read decides; ids ≥ 2³¹ take the
+    // two-column path, same result)
+    val maxId = deg.agg(max(col("z")).cast("long")).collect()(0)
+    val packable = !maxId.isNullAt(0) && maxId.getLong(0) < (1L << 31) &&
+      maxId.getLong(0) >= 0
+    val cand0 =
+      if (packable)
+        wedges
+          .select((shiftleft(col("node_a"), 32) + col("node_b"))
+            .as("pk"), col("c"))
+          .groupBy("pk")
+          .agg(count(lit(1)).as("n_common"),
+            sum("c").as("aa_score_micro"))
+          .select(shiftright(col("pk"), 32).as("node_a"),
+            (col("pk") bitwiseAND lit(0xffffffffL)).as("node_b"),
+            col("n_common"), col("aa_score_micro"))
+      else
+        wedges.groupBy("node_a", "node_b")
+          .agg(count(lit(1)).as("n_common"),
+            sum("c").as("aa_score_micro"))
+    val cand = cand0
       // drop pairs that are ALREADY edges (canonical a < b matches e0)
       .join(e0.select(col("na").as("node_a"), col("nb").as("node_b"))
         .unionByName(e0.select(col("nb").as("node_a"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Privacy-risk audits over training-data tables.
@@ -143,21 +143,30 @@ object Privacy {
   def dpHistogram(df: DataFrame, keyCol: String, epsilonPermille: Long,
       salt: Long = 0L): DataFrame = {
     require(epsilonPermille >= 1, "epsilon must be positive")
-    val mod = TextOps.HashMod
-    val b = 1000.0 / epsilonPermille
     val counts = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n"))
-    val u = (((TextOps.rollingHash(concat(col("key").cast("string"),
-      lit("#" + salt))) % mod) + mod) % mod).cast("double") / mod.toDouble
     counts
-      .withColumn("__u", u)
-      .withColumn("lap_micro",
-        round((lit(-b) * signum(col("__u") - 0.5) *
-          log(lit(1.0) - lit(2.0) *
-            greatest(abs(col("__u") - 0.5) - lit(1.0 / mod), lit(0.0))))
-          * lit(1e6)).cast("long"))
+      .withColumn("lap_micro", laplaceMicro(
+        concat(col("key").cast("string"), lit("#" + salt)),
+        1000.0 / epsilonPermille))
       .select(col("key").as(keyCol), col("n"), col("lap_micro"),
         (col("n") + expr("lap_micro div 1000000")).as("n_released"))
       .orderBy(keyCol)
+  }
+
+  /** The deterministic Laplace draw shared by the batch release and
+    * [[graft.streaming.StreamingOps.dpCountsStream]]: micro-quantized
+    * inverse-CDF noise with scale `b` off the rolling hash of `seed`
+    * — one shared expression so the two paths are bit-identical for
+    * the same seed.
+    */
+  private[graft] def laplaceMicro(seed: Column, b: Double): Column = {
+    val mod = TextOps.HashMod
+    val u = (((TextOps.rollingHash(seed) % mod) + mod) % mod)
+      .cast("double") / mod.toDouble
+    round((lit(-b) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) *
+        greatest(abs(u - 0.5) - lit(1.0 / mod), lit(0.0))))
+      * lit(1e6)).cast("long")
   }
 }

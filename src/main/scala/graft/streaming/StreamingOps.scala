@@ -634,6 +634,34 @@ object StreamingOps {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("key"), col("n_left"))
 
+  /** Windowed DP COUNT release — the continuous form of
+    * [[graft.operators.Privacy.dpHistogram]], and the place its salt
+    * contract becomes STRUCTURAL: every closed window is its own
+    * release, seeded by the window's start epoch, so no two releases
+    * ever reuse a draw — the property the batch operator can only
+    * document, the stream enforces by construction. Per closed
+    * window: (window_start, window_end, key, n, lap_micro,
+    * n_released), the noise from the SAME shared expression as the
+    * batch path (drained-window rows ≡ the per-slice batch release
+    * with salt = that window's epoch, spec-pinned). State is bounded
+    * by distinct keys per open window.
+    */
+  def dpCountsStream(events: DataFrame, windowLen: String,
+      watermarkDelay: String, epsilonPermille: Long,
+      keyCol: String = "event_type", tsCol: String = "ts"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), col(keyCol).cast("string").as("key"))
+      .groupBy(window(col(tsCol), windowLen), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("key"), col("n"))
+      .withColumn("lap_micro", graft.operators.Privacy.laplaceMicro(
+        concat(col("key"), lit("#"),
+          unix_timestamp(col("window_start")).cast("string")),
+        1000.0 / epsilonPermille))
+      .withColumn("n_released",
+        col("n") + expr("lap_micro div 1000000"))
+
   /** Windowed moment-state stream — the continuous form of
     * [[graft.core.MomentState]]'s profile store: per closed window,
     * each numeric column's exact sufficient statistics (n, nulls,

@@ -58,6 +58,45 @@ class Round8gSpec extends AnyFunSuite {
     graft.util.Caches.releaseAll()
   }
 
+  test("dpCountsStream: each drained window ≡ the batch release " +
+      "with that window's epoch salt") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = (0 until 48).map { i =>
+      (ts(f"2024-01-01 ${i % 24}%02d:10:00"), "k" + (i % 3))
+    }
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val out = graft.streaming.StreamingOps.dpCountsStream(
+      input.toDS().toDF("ts", "event_type"), "1 day", "0 seconds",
+      1000L)
+    val name = "dp_stream_" + System.nanoTime()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      input.addData(Seq((ts("2044-01-01 00:00:00"), "flush")))
+      q.processAllAvailable()
+      val win = spark.table(name)
+        .filter(col("window_start") === lit(ts("2024-01-01 00:00:00")))
+      val got = win.select("key", "n", "lap_micro", "n_released")
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+      assert(got.nonEmpty, "the fixture window must have closed")
+      // the same slice through the BATCH release, salt = window epoch
+      val epoch = ts("2024-01-01 00:00:00").getTime / 1000L
+      val slice = rows.filter(_._1.before(ts("2024-01-02 00:00:00")))
+        .toDF("ts", "event_type")
+      val exp = graft.operators.Privacy
+        .dpHistogram(slice, "event_type", 1000L, salt = epoch)
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+      assert(got.toSeq == exp.toSeq,
+        s"stream window must equal the batch release: $got vs $exp")
+    } finally q.stop()
+  }
+
   test("dpHistogram: smaller epsilon means larger noise scale") {
     import spark.implicits._
     val df = (1 to 100).map(i => ("k" + (i % 5), i)).toDF("key", "x")
