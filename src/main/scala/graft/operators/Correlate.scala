@@ -508,4 +508,165 @@ object Correlate {
       .select(col("p.col_x"), col("p.col_y"), col("p.n"), col("p.r"))
       .orderBy("col_x", "col_y")
   }
+
+  /** KRUSKAL–WALLIS H (public method: Kruskal & Wallis 1952) — the
+    * rank-based one-way ANOVA: "do these groups' value DISTRIBUTIONS
+    * differ in location", robust where [[pairwiseWelch]]'s means are
+    * dragged by heavy tails. Tie-averaged ranks stay integer as
+    * DOUBLED ranks (the [[spearman]] convention): for a distinct
+    * value with `ct` occurrences after `cum_before` smaller ones,
+    * 2·rank = 2·cum_before + ct + 1 exactly.
+    *
+    * Shape: one (group, value) census, value-domain cumulative
+    * windows over DISTINCT values only, per-group rank sums in
+    * DECIMAL; H and the tie-correction factor are the only doubles,
+    * rounded at 6. Output (1 row): (n, n_groups, h_stat,
+    * tie_correction, h_corrected).
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val vm = round(col(valCol).cast("double") * 1e6).cast("long")
+    val cells = graft.util.Caches.cached(df
+      .select(col(groupCol).as("g"), vm.as("vm"))
+      .groupBy("g", "vm").agg(count(lit(1)).as("c")))
+    val byVal = cells.groupBy("vm").agg(sum("c").as("ct"))
+    val w = Window.orderBy("vm")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = byVal
+      .withColumn("cum", sum("ct").over(w))
+      .select(col("vm"),
+        (lit(2L) * (col("cum") - col("ct")) + col("ct") + 1L).as("r2"),
+        col("ct"))
+    val perG = cells.join(ranked.select("vm", "r2"), Seq("vm"))
+      .groupBy("g")
+      .agg(sum("c").as("n_h"),
+        sum(col("c").cast(dec) * col("r2")).as("r2_h"))
+    // the per-group rank-sum squares R2_h² reach ~4N³ — past long at
+    // ~10⁶ rows and brushing DECIMAL(38) at warehouse scale — so the
+    // K-row group relation collects (the house allowance) and the
+    // final reduction runs in unbounded BigInt, flooring per group
+    // exactly like the oracle's HUGEINT `//`
+    val gs = perG.collect().map(r =>
+      (BigInt(r.getLong(1)), BigInt(r.getDecimal(2).toBigInteger)))
+    val tiesRow = ranked.agg(
+      sum(expr(s"cast(ct as $dec) * ct * ct - ct")).as("t3"),
+      sum("ct").as("n")).collect()(0)
+    val t3 = BigInt(tiesRow.getDecimal(0).toBigInteger)
+    val n = tiesRow.getLong(1)
+    val sq = gs.map { case (nh, r2h) => (r2h * r2h) / nh }.sum
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val h = r6(3.0 * sq.toDouble / (n.toDouble * (n + 1).toDouble) -
+      3.0 * (n + 1).toDouble)
+    // n³ assembled in the DOUBLE domain, matching the oracle's
+    // n::DOUBLE*n::DOUBLE*n::DOUBLE − n::DOUBLE verbatim
+    val tc = r6(1.0 - t3.toDouble /
+      (n.toDouble * n.toDouble * n.toDouble - n.toDouble))
+    val hc: Option[Double] = if (tc > 0) Some(r6(h / tc)) else None
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, gs.length.toLong, h, tc, hc))
+      .toDF("n", "n_groups", "h_stat", "tie_correction", "h_corrected")
+  }
+
+  /** BROWN–FORSYTHE test (public method: Brown & Forsythe 1974 —
+    * Levene's variance-homogeneity test with MEDIAN centers, the
+    * robust form): "do these groups have the same spread", the
+    * assumption check upstream of any pooled-variance contrast. The
+    * statistic is the one-way ANOVA F over absolute deviations from
+    * each group's median.
+    *
+    * Exactness: group medians are exact value-domain order statistics
+    * kept in DOUBLED micro units (odd/even handled as the sum of the
+    * two middle values); deviations `|2v − m2|` are exact integers;
+    * all ANOVA sums run in DECIMAL and only the final F is a double,
+    * rounded at 6. Output (1 row): (n, n_groups, f_stat).
+    */
+  def brownForsythe(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val vm = round(col(valCol).cast("double") * 1e6).cast("long")
+    val cells = graft.util.Caches.cached(df
+      .select(col(groupCol).as("g"), vm.as("vm"))
+      .groupBy("g", "vm").agg(count(lit(1)).as("c")))
+    val wg = Window.partitionBy("g").orderBy("vm")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withCum = cells
+      .withColumn("cum", sum("c").over(wg))
+      .withColumn("ng", sum("c").over(Window.partitionBy("g")))
+    val med = withCum
+      .groupBy("g")
+      .agg((min(when(col("cum") >= expr("(ng + 1) div 2"), col("vm")))
+        + min(when(col("cum") >= expr("(ng + 2) div 2"), col("vm"))))
+        .as("m2"))
+    val dev = cells.join(broadcast(med), Seq("g"))
+      .select(col("g"), col("c"),
+        abs(lit(2L) * col("vm") - col("m2")).as("d"))
+    val perG = dev.groupBy("g")
+      .agg(sum("c").as("n_h"),
+        sum(col("c").cast(dec) * col("d")).as("s_h"),
+        sum(col("c").cast(dec) * col("d") * col("d")).as("ss_h"))
+    // s_h² brushes DECIMAL(38) at warehouse scale — the K-row group
+    // relation collects and the F assembles in BigInt (floors per
+    // group ≡ the oracle's HUGEINT `//`)
+    val gs = perG.collect().map(r =>
+      (BigInt(r.getLong(1)), BigInt(r.getDecimal(2).toBigInteger),
+        BigInt(r.getDecimal(3).toBigInteger)))
+    val k = gs.length
+    val n = gs.map(_._1).sum
+    val s = gs.map(_._2).sum
+    val ss = gs.map(_._3).sum
+    val sqh = gs.map { case (nh, sh, _) => (sh * sh) / nh }.sum
+    val within = (ss - sqh).toDouble
+    val f: Option[Double] =
+      if (k > 1 && within > 0) {
+        val between = sqh.toDouble - (s * s).toDouble / n.toDouble
+        Some(BigDecimal((n - k).toDouble / (k - 1).toDouble *
+          between / within)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      } else None
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n.toLong, k.toLong, f)).toDF("n", "n_groups", "f_stat")
+  }
+
+  /** BENJAMINI–HOCHBERG step-up FDR adjustment (public method:
+    * Benjamini & Hochberg 1995) — the multiple-testing correction a
+    * pairwise sweep ([[pairwiseWelch]], the PSI suite) needs before
+    * anyone reads its smallest p-value: adj_p(rank t) =
+    * min_{j ≥ t} p_j·n/j, capped at 1.
+    *
+    * Everything is ppm-integer over STAT rows: ranks come from the
+    * (p asc, ids asc) total order, each candidate `p·n div j` is an
+    * exact integer (DECIMAL product), and the step-up minimum is one
+    * cumulative-min window from the bottom rank. Rows with NULL p
+    * (degenerate tests) are excluded — documented, mirrored.
+    *
+    * Output per test: (idCols..., p_ppm, rank, adj_p_ppm,
+    * significant), rank-ordered.
+    */
+  def fdrBh(df: DataFrame, idCols: Seq[String], pPpmCol: String,
+      alphaPpm: Long): DataFrame = {
+    require(idCols.nonEmpty && alphaPpm > 0, "ids/alpha")
+    val ordered = df.filter(col(pPpmCol).isNotNull)
+      .select((idCols.map(col) :+ col(pPpmCol).cast("long")
+        .as("p_ppm")): _*)
+    val wRank = Window.orderBy(
+      (col("p_ppm").asc +: idCols.map(col(_).asc)): _*)
+    val ranked = ordered
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("n_tests", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("cand", least(expr(
+        "cast((cast(p_ppm as decimal(38,0)) * n_tests) div rank " +
+          "as bigint)"), lit(1000000L)))
+    val wUp = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranked
+      .withColumn("adj_p_ppm", min("cand").over(wUp))
+      .select((idCols.map(col) :+ col("p_ppm") :+ col("rank") :+
+        col("adj_p_ppm") :+
+        (col("adj_p_ppm") <= alphaPpm).as("significant")): _*)
+      .orderBy("rank")
+  }
 }

@@ -276,6 +276,41 @@ object TimeSeries {
       .orderBy(keyCol)
   }
 
+  /** PAGE–HINKLEY drift detector over the daily VOLUME series (public
+    * method: Page 1954; the streaming-drift standard, e.g. Gama et
+    * al.'s survey) — [[cusumReport]]'s complement: CUSUM tests
+    * against the series' GLOBAL mean (a retrospective audit), PH
+    * tracks deviation from the RUNNING mean, which is what an online
+    * monitor actually has. `PH_t = U_t − min_{s≤t} U_s` with
+    * `U_t = Σ_{i≤t} (x_i − x̄_i − δ)`, alarm when PH exceeds λ.
+    *
+    * Everything is exact integer on the calendar-bounded daily
+    * census: the running mean is the floor `cum div i`, every term
+    * and cumulative is a long, and the two cumulative windows ride
+    * one per-key day sort. Output per (key, day): (key, day, x,
+    * ph_stat, alarm), ordered.
+    */
+  def pageHinkleyReport(events: DataFrame, keyCol: String,
+      tsCol: String = "ts", deltaCount: Long = 0L,
+      lambdaCount: Long = 10L): DataFrame = {
+    val daily = events
+      .select(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .groupBy("key", "day").agg(count(lit(1)).as("x"))
+    val byDay = Window.partitionBy("key").orderBy("day")
+    val w = byDay.rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("i", row_number().over(byDay))
+      .withColumn("cum", sum("x").over(w))
+      .withColumn("term",
+        col("x") - expr("cum div i") - lit(deltaCount))
+      .withColumn("u", sum("term").over(w))
+      .withColumn("minu", min("u").over(w))
+      .select(col("key").as(keyCol), col("day"), col("x"),
+        (col("u") - col("minu")).as("ph_stat"),
+        (col("u") - col("minu") > lambdaCount).as("alarm"))
+      .orderBy(keyCol, "day")
+  }
+
   /** Theil–Sen robust slope per key over the daily series — the
     * median-of-pairwise-slopes estimator, immune to the outlier days
     * that drag [[trendReport]]'s OLS around (a crawler outage or a

@@ -46,7 +46,11 @@ class Round8fSpec extends AnyFunSuite {
     "q236_neyman_allocation" -> 1,    // one stratum census scan
     "q237_average_precision" -> 1,    // one value-domain census scan
     "q238_rake_keywords" -> 0,        // phrase relation cached
-    "q239_dp_histogram" -> 1)         // one key census scan
+    "q239_dp_histogram" -> 1,         // one key census scan
+    "q240_kruskal_wallis" -> 0,       // K-row driver finish
+    "q241_brown_forsythe" -> 0,       // K-row driver finish
+    "q242_fdr_welch" -> 1,            // one group-stats scan, reused
+    "q243_page_hinkley" -> 1)         // one daily census scan
 
   gates.foreach { case (name, maxLeaves) =>
     test(s"$name: ≤ $maxLeaves parquet leaves in the final plan") {
