@@ -1,0 +1,256 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pairwise-preference analytics — the RLHF/evaluation data shapes:
+  * a matchup census ("who beats whom, how often"), Bradley–Terry
+  * strength fitting over it, and Wilson-bounded win rates.
+  *
+  * Public methods: Bradley & Terry 1952 (paired-comparison model),
+  * Hunter 2004 (the MM algorithm the fit unrolls), Wilson 1927 (the
+  * score interval). The reference engine has no preference surface;
+  * this is part of the training-data extension (preference data is
+  * how post-training corpora are graded before they are trusted).
+  *
+  * Scale shape: the matchup census is (unit×item aggregate) →
+  * (within-unit pair join) → K²-row census, linear in units (never
+  * units²); the Bradley–Terry fit runs driver-side over the collected
+  * ≤K² census (the house K-row-stat allowance, the q230 pattern) in
+  * exact BigInt micro arithmetic so the oracle's unrolled HUGEINT
+  * rounds reproduce it bit-for-bit.
+  */
+object Preference {
+
+  /** Micro-integer scale shared with the oracle. */
+  val Micro = 1000000L
+
+  /** The MM update's intermediate scale: n_ij·SCALE div (w_i+w_j)
+    * keeps ~6 significant digits past the strength grid.
+    */
+  val MmScale: BigInt = BigInt(10).pow(12)
+
+  /** MATCHUP CENSUS: within each unit (a user, an annotation session),
+    * every pair of items both observed there is one "game"; the item
+    * whose micro-value total is larger wins, exact ties are counted
+    * but are not decisions. Output per unordered pair (item_a <
+    * item_b): (item_a, item_b, wins_a, wins_b, ties, n_decisions).
+    *
+    * Values quantize to micro at the scan and the per-unit totals are
+    * exact BIGINT sums, so the winner predicate is cross-engine exact.
+    * The pair join is unit-keyed: cells = units×K rows, pairs =
+    * units×K²/2 — linear in units, and the census output is ≤K² rows.
+    */
+  def matchupCensus(df: DataFrame, unitCol: String, itemCol: String,
+      valCol: String): DataFrame = {
+    val vm = round(col(valCol).cast("double") * Micro).cast("long")
+    val totals = df
+      .select(col(unitCol).as("u"), col(itemCol).as("it"), vm.as("v"))
+      .groupBy("u", "it").agg(sum("v").as("sv"))
+    val a = totals.select(col("u"), col("it").as("item_a"),
+      col("sv").as("sa"))
+    val b = totals.select(col("u"), col("it").as("item_b"),
+      col("sv").as("sb"))
+    a.join(b, Seq("u")).filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(sum(when(col("sa") > col("sb"), 1L).otherwise(0L))
+        .as("wins_a"),
+        sum(when(col("sa") < col("sb"), 1L).otherwise(0L))
+          .as("wins_b"),
+        sum(when(col("sa") === col("sb"), 1L).otherwise(0L))
+          .as("ties"))
+      .withColumn("n_decisions", col("wins_a") + col("wins_b"))
+      .orderBy("item_a", "item_b")
+  }
+
+  /** BRADLEY–TERRY strength fit by `rounds` MM iterations over a
+    * matchup census (columns item_a/item_b/wins_a/wins_b). Strengths
+    * live on the micro grid; each MM round is, per item,
+    *
+    *   d_i  = Σ_j  (n_ij · SCALE) div (w_i + w_j)
+    *   w'_i = (W_i · SCALE)       div d_i
+    *
+    * followed by a sum-normalization back to K·10⁶ total mass —
+    * every operation a positive-integer truncating division, so the
+    * oracle's HUGEINT `//` unroll is bit-identical. Items with zero
+    * decisions are excluded (their likelihood is flat). The census is
+    * ≤K² rows, so the fit is driver-side under the house K-row-stat
+    * allowance; no data row ever leaves the cluster.
+    *
+    * Output per item: (item, wins, games, strength_micro, rank) with
+    * rank by (strength desc, item asc).
+    */
+  def bradleyTerry(matchups: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, "rounds in [1,8]")
+    val rows = matchups
+      .select(col("item_a").cast("string"), col("item_b").cast("string"),
+        col("wins_a").cast("long"), col("wins_b").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // directed view: (i, j, n_ij, wins of i over j)
+    val games = rows.flatMap { case (a, b, wa, wb) =>
+      val n = wa + wb
+      if (n == 0L) Nil
+      else Seq((a, b, n, wa), (b, a, n, wb))
+    }
+    val items = games.map(_._1).distinct.sorted
+    val wins = games.groupBy(_._1).map { case (i, g) =>
+      i -> BigInt(g.map(_._4).sum)
+    }
+    var w: Map[String, BigInt] =
+      items.map(_ -> BigInt(Micro)).toMap
+    val totalMass = BigInt(items.length) * Micro
+    for (_ <- 1 to rounds) {
+      val raw = items.map { i =>
+        val d = games.filter(_._1 == i).map { case (_, j, n, _) =>
+          (BigInt(n) * MmScale) / (w(i) + w(j))
+        }.sum
+        i -> (if (d > 0) (wins(i) * MmScale) / d else BigInt(0))
+      }
+      val tot = raw.map(_._2).sum
+      w = raw.map { case (i, r) =>
+        i -> (if (tot > 0) (r * totalMass) / tot else BigInt(0))
+      }.toMap
+    }
+    val out = items.map { i =>
+      val g = games.filter(_._1 == i).map(_._3).sum
+      (i, wins(i).toLong, g, w(i).toLong)
+    }.sortBy { case (i, _, _, s) => (-s, i) }
+      .zipWithIndex
+      .map { case ((i, win, g, s), idx) =>
+        (i, win, g, s, (idx + 1).toLong)
+      }
+    val spark = matchups.sparkSession
+    import spark.implicits._
+    out.toSeq
+      .toDF("item", "wins", "games", "strength_micro", "rank")
+  }
+
+  /** WILSON-bounded win-rate matrix over a matchup census: for each
+    * ordered pair with at least one decision, the plug-in win rate in
+    * exact ppm plus the Wilson score interval at the frozen z — the
+    * interval that stays inside [0,1] and stays honest at n=1 where
+    * the Wald interval collapses. Bounds are the only doubles,
+    * assembled from the exact integers by the formula the oracle
+    * repeats verbatim, rounded at 6.
+    *
+    * Output per ordered pair: (item, opponent, wins, n_decisions,
+    * win_rate_ppm, wilson_lo, wilson_hi).
+    */
+  def winRateMatrix(matchups: DataFrame,
+      z: Double = 1.96): DataFrame = {
+    val base = matchups.select(col("item_a"), col("item_b"),
+      col("wins_a").cast("long"), col("wins_b").cast("long"))
+    val fwd = base.select(col("item_a").as("item"),
+      col("item_b").as("opponent"), col("wins_a").as("wins"),
+      (col("wins_a") + col("wins_b")).as("n"))
+    val rev = base.select(col("item_b").as("item"),
+      col("item_a").as("opponent"), col("wins_b").as("wins"),
+      (col("wins_a") + col("wins_b")).as("n"))
+    val zz = z * z
+    val p = col("wins").cast("double") / col("n").cast("double")
+    val nD = col("n").cast("double")
+    val denom = lit(1.0) + lit(zz) / nD
+    val center = (p + lit(zz) / (lit(2.0) * nD)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      lit(zz) / (lit(4.0) * nD * nD))) / denom
+    fwd.unionByName(rev).filter(col("n") > 0)
+      .select(col("item"), col("opponent"), col("wins"),
+        col("n").as("n_decisions"),
+        expr(s"(wins * ${Micro}L) div n").as("win_rate_ppm"),
+        round(center - half, 6).as("wilson_lo"),
+        round(center + half, 6).as("wilson_hi"))
+      .orderBy("item", "opponent")
+  }
+
+  /** McNEMAR's paired test (public method: McNemar 1947) on paired
+    * binary outcomes — "did the condition's rate CHANGE on the same
+    * units", the within-subject sibling of the two-proportion z
+    * (q193): only the discordant units carry information. Input is
+    * one row per unit with boolean columns a and b; the statistic is
+    * the continuity-corrected (|b01 − b10| − 1)² / (b01 + b10).
+    *
+    * One aggregate row; the four concordance cells are exact counts
+    * and the statistic is the only double, rounded at 6 (NULL when
+    * there are no discordant units — the test is undefined).
+    *
+    * Output (1 row): (n, a_only, b_only, n_both, n_neither, chi2_cc).
+    */
+  def mcnemar(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val a = col(aCol)
+    val b = col(bCol)
+    pairs.agg(
+      count(lit(1)).as("n"),
+      sum(when(a && !b, 1L).otherwise(0L)).as("a_only"),
+      sum(when(!a && b, 1L).otherwise(0L)).as("b_only"),
+      sum(when(a && b, 1L).otherwise(0L)).as("n_both"),
+      sum(when(!a && !b, 1L).otherwise(0L)).as("n_neither"))
+      .withColumn("chi2_cc",
+        when(col("a_only") + col("b_only") > 0,
+          round(
+            (abs(col("a_only") - col("b_only")).cast("double") -
+              lit(1.0)) *
+              (abs(col("a_only") - col("b_only")).cast("double") -
+                lit(1.0)) /
+              (col("a_only") + col("b_only")).cast("double"), 6)))
+  }
+
+  /** FLEISS' κ (public method: Fleiss 1971) — chance-corrected
+    * agreement for n raters per item, the multi-rater generalization
+    * of Cohen's κ (q225): the annotation-quality number for any
+    * labeling pipeline with more than two raters. Items without
+    * exactly `nRaters` ratings are excluded (Fleiss requires a
+    * balanced panel) and the exclusion is reported.
+    *
+    * All sufficient statistics are exact integers — the agreement
+    * numerator Σ_i Σ_c n_ic² − n, and the category masses S_c — and
+    * P̄, P̄e, κ are the only doubles, assembled by the formula the
+    * oracle repeats verbatim, rounded at 6. Stat grain after the
+    * item×category census; one aggregate row out.
+    *
+    * Output (1 row): (n_items, n_raters, n_categories, p_observed,
+    * p_expected, kappa).
+    */
+  def fleissKappa(ratings: DataFrame, itemCol: String, catCol: String,
+      nRaters: Int): DataFrame = {
+    require(nRaters >= 2, "nRaters >= 2")
+    val cen = ratings
+      .select(col(itemCol).as("item"), col(catCol).as("cat"))
+      .groupBy("item", "cat").agg(count(lit(1)).as("c"))
+    val keep = cen
+      .withColumn("tot", sum("c").over(Window.partitionBy("item")))
+      .filter(col("tot") === nRaters)
+    // per-category masses over the kept panel; Σ S_c² stays integer in
+    // DECIMAL (S_c ≤ N·n, squares pass long at ~10⁹ ratings)
+    val byCat = keep.groupBy("cat")
+      .agg(sum("c").as("s_c"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(expr("cast(s_c as decimal(38,0)) * s_c")).as("pe_num"))
+    val byItem = keep.groupBy("item")
+      .agg(sum(expr("cast(c as decimal(38,0)) * c")).as("sq"))
+      .agg(count(lit(1)).as("n_items"),
+        sum("sq").as("sq_sum"))
+    val n = lit(nRaters.toLong)
+    byItem.crossJoin(byCat)
+      .select(col("n_items"), n.as("n_raters"), col("n_categories"),
+        col("sq_sum"), col("pe_num"))
+      .withColumn("p_observed", round(
+        (col("sq_sum").cast("double") -
+          col("n_items").cast("double") * n.cast("double")) /
+          (col("n_items").cast("double") * n.cast("double") *
+            (n.cast("double") - lit(1.0))), 6))
+      .withColumn("p_expected", round(
+        col("pe_num").cast("double") /
+          (col("n_items").cast("double") * n.cast("double") *
+            col("n_items").cast("double") * n.cast("double")), 6))
+      .withColumn("kappa",
+        when(col("p_expected") < 1.0, round(
+          (col("p_observed") - col("p_expected")) /
+            (lit(1.0) - col("p_expected")), 6)))
+      .select("n_items", "n_raters", "n_categories", "p_observed",
+        "p_expected", "kappa")
+  }
+}

@@ -50,7 +50,11 @@ class Round8fSpec extends AnyFunSuite {
     "q240_kruskal_wallis" -> 0,       // K-row driver finish
     "q241_brown_forsythe" -> 0,       // K-row driver finish
     "q242_fdr_welch" -> 1,            // one group-stats scan, reused
-    "q243_page_hinkley" -> 1)         // one daily census scan
+    "q243_page_hinkley" -> 1,         // one daily census scan
+    "q244_bradley_terry" -> 0,        // K-row driver MM finish
+    "q245_mcnemar" -> 1,              // one paired aggregate scan
+    "q246_fleiss_kappa" -> 1,         // one panel census scan
+    "q247_win_rate_wilson" -> 0)      // matchup census cached
 
   gates.foreach { case (name, maxLeaves) =>
     test(s"$name: ≤ $maxLeaves parquet leaves in the final plan") {
