@@ -371,4 +371,69 @@ object Evaluation {
         expr("(covered * 1000000L) div n_test").as("coverage_ppm"))
       .orderBy(groupCol)
   }
+
+  /** ISOTONIC calibration (public method: pool-adjacent-violators,
+    * Ayer et al. 1955; computed by the Robertson–Wright–Dykstra
+    * minimax identity) — the monotone completion of
+    * [[calibrationReport]]: the weighted L2-optimal NON-DECREASING
+    * fit of the per-bin positive rate, i.e. the calibration map a
+    * score column actually supports. The raw per-bin rate can zigzag
+    * on noise; the isotonic fit is what a downstream thresholding
+    * pass should consume.
+    *
+    * Instead of the sequential PAV stack (order-dependent, hostile to
+    * both engines), the fit uses the exact minimax identity
+    *
+    *   iso_i = max_{j ≤ i} min_{k ≥ i} rate(j..k),
+    *
+    * where rate(j..k) is the POOLED rate over occupied bins j..k —
+    * a (j,k) pair fan-out over the ≤nBins bin census (stat grain,
+    * B² pairs, never touching data rows) with one suffix-min window
+    * per j and one max per i. Pooled rates are exact floor-ppm from
+    * prefix sums, so the oracle mirrors bit-for-bit; the quantization
+    * to ppm happens per pooled average (documented — the fit is PAV
+    * over the ppm grid). Binning is [[calibrationReport]]'s frozen
+    * equal-width rule.
+    *
+    * Output per occupied bin: (bin, n_rows, n_pos, pos_rate_ppm,
+    * iso_rate_ppm), bin-ordered; iso_rate_ppm is non-decreasing.
+    */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+      label: Column, nBins: Int = 20): DataFrame = {
+    val v = df.select(col(scoreCol).cast("long").as("s"),
+      when(label, 1L).otherwise(0L).as("y"))
+    val bounds = v.agg(min("s").as("mn"), max("s").as("mx"))
+    val census = graft.util.Caches.cached(
+      v.crossJoin(broadcast(bounds))
+        .withColumn("bin",
+          expr(s"((s - mn) * $nBins) div (mx - mn + 1)"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_rows"), sum("y").as("n_pos")))
+    val wCum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pref = census
+      .withColumn("cum_n", sum("n_rows").over(wCum))
+      .withColumn("cum_p", sum("n_pos").over(wCum))
+    val lo = pref.select(col("bin").as("j"),
+      (col("cum_n") - col("n_rows")).as("n_before"),
+      (col("cum_p") - col("n_pos")).as("p_before"))
+    val hi = pref.select(col("bin").as("k"), col("cum_n"),
+      col("cum_p"))
+    // B² stat-grain pairs; both sides are the ≤nBins census
+    val pairs = broadcast(lo).crossJoin(hi)
+      .filter(col("j") <= col("k"))
+      .withColumn("avg_ppm", expr(
+        "((cum_p - p_before) * 1000000L) div (cum_n - n_before)"))
+    val wSuffix = Window.partitionBy("j").orderBy(col("k").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val iso = pairs
+      .withColumn("sm", min("avg_ppm").over(wSuffix))
+      .groupBy(col("k").as("bin"))
+      .agg(max("sm").as("iso_rate_ppm"))
+    census.join(iso, Seq("bin"))
+      .select(col("bin"), col("n_rows"), col("n_pos"),
+        expr("(n_pos * 1000000L) div n_rows").as("pos_rate_ppm"),
+        col("iso_rate_ppm"))
+      .orderBy("bin")
+  }
 }

@@ -438,4 +438,51 @@ object Experiment {
           expr("syc div (n_used - n_treated_used)"))
           .as("ate_naive_micro"))
   }
+
+  /** COCHRAN–ARMITAGE trend test (public method: Cochran 1954;
+    * Armitage 1955) — "does the positive rate TREND across ordered
+    * groups": the dose-response reading the pairwise two-proportion z
+    * (proportionZ) can't give, because it uses the group ORDER. Input
+    * rows carry an integer group score t (the dose: a decile index, a
+    * bucket bound) and a binary outcome.
+    *
+    * With per-group (n_g, r_g) and totals (N, R): the trend statistic
+    * assembles from four exact integer sufficient statistics — Σt·n,
+    * Σt·r, Σt²·n, all in DECIMAL — as
+    *
+    *   A   = N·Σt·r − R·Σt·n
+    *   z   = A / sqrt( R·(N−R)·(N·Σt²·n − (Σt·n)²) / N )
+    *
+    * (the N-scaled form of the usual p̂(1−p̂) variance; only z is a
+    * double, rounded at 6, NULL when the variance is 0 — one group or
+    * an all/none outcome). Shape: one group census, one stat row.
+    *
+    * Output (1 row): (n, n_pos, n_groups, z_trend).
+    */
+  def cochranArmitage(df: DataFrame, scoreCol: String,
+      label: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cen = df
+      .select(col(scoreCol).cast("long").as("t"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_g"), sum("y").as("r_g"))
+    cen.agg(
+      sum("n_g").as("n"), sum("r_g").as("n_pos"),
+      count(lit(1)).as("n_groups"),
+      sum(expr(s"cast(t as $dec) * n_g")).as("stn"),
+      sum(expr(s"cast(t as $dec) * r_g")).as("str"),
+      sum(expr(s"cast(t as $dec) * t * n_g")).as("sttn"))
+      .withColumn("a_num", expr(
+        "cast(n as decimal(38,0)) * str - " +
+          "cast(n_pos as decimal(38,0)) * stn"))
+      .withColumn("var_num", expr(
+        "cast(n_pos as decimal(38,0)) * (n - n_pos) * " +
+          "(cast(n as decimal(38,0)) * sttn - stn * stn)"))
+      .select(col("n"), col("n_pos"), col("n_groups"),
+        when(col("var_num") > 0, round(
+          col("a_num").cast("double") /
+            sqrt(col("var_num").cast("double") /
+              col("n").cast("double")), 6)).as("z_trend"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -106,5 +106,60 @@ object Relevance {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("block", "term", "score", "rank")
+  }
+
+  /** DATA-SELECTION importance weights (public method: DSIR — Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling", reduced to its unigram form): score every document
+    * by how much more likely its tokens are under the TARGET slice's
+    * unigram distribution than under the whole corpus's,
+    *
+    *   logw(d) = Σ_w tf_w(d) · [ln p̂_target(w) − ln p̂_source(w)],
+    *
+    * with add-one smoothing over the corpus vocabulary on both sides.
+    * High-logw documents "look like" the target slice — the ranking a
+    * curation pass resamples from.
+    *
+    * Exactness: each ln factors into ln(count+1) − ln(total+V) with
+    * every ln taken of an INTEGER-valued double and nano-rounded (the
+    * heapsFit/zipfFit convention), so per-word λ_w and per-doc sums
+    * are exact integers; the two corpus-level terms ride a broadcast
+    * 1-row stat relation. Shape: one token explode, a word-grain
+    * census join (vocabulary grain, never doc×vocab), per-doc sum,
+    * top-k by (logw desc, doc_id) — a TakeOrdered, no corpus sort.
+    *
+    * Output top-k rows: (doc_id, n_tokens, logw_nano, rank).
+    */
+  def importanceWeights(docs: DataFrame, targetPred: Column,
+      k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def lnNano(e: Column) =
+      round(log(e.cast("double")) * lit(1e9)).cast("long")
+    val tf = graft.util.Caches.cached(
+      graft.util.Parallelism.ensure(docs)
+        .select(col(idCol).as("id"), targetPred.as("tgt"),
+          explode(TextOps.tokens(col(textCol))).as("w"))
+        .groupBy("id", "tgt", "w").agg(count(lit(1)).as("tf")))
+    val wordCensus = tf.groupBy("w")
+      .agg(sum("tf").as("cs"),
+        sum(when(col("tgt"), col("tf")).otherwise(0L)).as("ct"))
+    val totals = wordCensus.agg(
+      sum("cs").as("n_src"), sum("ct").as("n_tgt"),
+      count(lit(1)).as("vocab"))
+    val lambda = wordCensus.crossJoin(broadcast(totals))
+      .select(col("w"),
+        (lnNano(col("ct") + 1) - lnNano(col("n_tgt") + col("vocab")) -
+          lnNano(col("cs") + 1) +
+          lnNano(col("n_src") + col("vocab"))).as("lam_nano"))
+    val scored = tf.join(lambda, Seq("w"))
+      .groupBy("id")
+      .agg(sum("tf").as("n_tokens"),
+        sum(expr("cast(tf as decimal(38,0)) * lam_nano"))
+          .cast("long").as("logw_nano"))
+    val w = Window.orderBy(col("logw_nano").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("n_tokens"),
+        col("logw_nano"), col("rank"))
   }
 }

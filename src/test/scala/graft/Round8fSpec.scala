@@ -54,7 +54,10 @@ class Round8fSpec extends AnyFunSuite {
     "q244_bradley_terry" -> 0,        // K-row driver MM finish
     "q245_mcnemar" -> 1,              // one paired aggregate scan
     "q246_fleiss_kappa" -> 1,         // one panel census scan
-    "q247_win_rate_wilson" -> 0)      // matchup census cached
+    "q247_win_rate_wilson" -> 0,      // matchup census cached
+    "q248_isotonic_calibration" -> 0, // bin census cached
+    "q249_dsir_importance" -> 0,      // tf relation cached
+    "q250_cochran_armitage" -> 1)     // one decile census scan
 
   gates.foreach { case (name, maxLeaves) =>
     test(s"$name: ≤ $maxLeaves parquet leaves in the final plan") {
