@@ -485,4 +485,70 @@ object Experiment {
             sqrt(col("var_num").cast("double") /
               col("n").cast("double")), 6)).as("z_trend"))
   }
+
+  /** MANTEL–HAENSZEL pooled odds ratio + the CMH test (public
+    * methods: Mantel & Haenszel 1959; Cochran 1954) — the
+    * Simpson's-paradox-proof effect readout: the exposure↔outcome
+    * association pooled ACROSS strata, each stratum's 2×2 weighted by
+    * its own size, so a confounder that varies by stratum can't
+    * manufacture the marginal association (the companion to
+    * [[proportionsByGroup]]'s Simpson decomposition, which can only
+    * SHOW the reversal).
+    *
+    * Per stratum i with cells (a=exposed-pos, b=exposed-neg,
+    * c=unexposed-pos, d=unexposed-neg), n_i = a+b+c+d:
+    *
+    *   OR_MH    = Σ a·d/n_i ÷ Σ b·c/n_i
+    *   CMH χ²   = (|Σa − ΣE_i| − ½)² / ΣV_i,   E = (a+b)(a+c)/n,
+    *              V = (a+b)(c+d)(a+c)(b+d)/(n²(n−1))
+    *
+    * The per-stratum fractions are floor-quantized to MICRO integers
+    * (documented — both engines apply the identical `div`/`//`, so
+    * the quantization is part of the operator's contract, the q210a
+    * convention) and summed in DECIMAL; OR and χ² are the only
+    * doubles, rounded at 6, NULL when the respective denominator is
+    * 0. Single-group strata (no exposed or no unexposed rows)
+    * contribute 0 to every sum, exactly as the formulas imply.
+    * Shape: one stratum×cell census, one stat row out.
+    *
+    * Output (1 row): (n, n_strata, sum_a, or_mh, chi2_cmh).
+    */
+  def mantelHaenszel(df: DataFrame, stratumCol: String,
+      exposure: Column, outcome: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .select(col(stratumCol).as("s"),
+        when(exposure, 1L).otherwise(0L).as("e"),
+        when(outcome, 1L).otherwise(0L).as("y"))
+      .groupBy("s")
+      .agg(sum(expr("e * y")).as("a"),
+        sum(expr("e * (1 - y)")).as("b"),
+        sum(expr("(1 - e) * y")).as("c"),
+        sum(expr("(1 - e) * (1 - y)")).as("d"))
+      .withColumn("n_i", expr("a + b + c + d"))
+    cells.agg(
+      sum("n_i").as("n"), count(lit(1)).as("n_strata"),
+      sum("a").as("sum_a"),
+      sum(expr(s"(cast(a as $dec) * d * 1000000) div n_i"))
+        .as("r_micro"),
+      sum(expr(s"(cast(b as $dec) * c * 1000000) div n_i"))
+        .as("s_micro"),
+      sum(expr(s"(cast(a + b as $dec) * (a + c) * 1000000) div n_i"))
+        .as("e_micro"),
+      sum(expr(s"case when n_i > 1 then (cast(a + b as $dec) * " +
+        "(c + d) * (a + c) * (b + d) * 1000000) div " +
+        s"(cast(n_i as $dec) * n_i * (n_i - 1)) else cast(0 as $dec) " +
+        "end")).as("v_micro"))
+      .select(col("n"), col("n_strata"), col("sum_a"),
+        when(col("s_micro") > 0, round(
+          col("r_micro").cast("double") /
+            col("s_micro").cast("double"), 6)).as("or_mh"),
+        when(col("v_micro") > 0, round(
+          (abs(col("sum_a").cast("double") -
+            col("e_micro").cast("double") / lit(1e6)) - lit(0.5)) *
+            (abs(col("sum_a").cast("double") -
+              col("e_micro").cast("double") / lit(1e6)) - lit(0.5)) /
+            (col("v_micro").cast("double") / lit(1e6)), 6))
+          .as("chi2_cmh"))
+  }
 }

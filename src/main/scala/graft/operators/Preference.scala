@@ -253,4 +253,61 @@ object Preference {
       .select("n_items", "n_raters", "n_categories", "p_observed",
         "p_expected", "kappa")
   }
+
+  /** KRIPPENDORFF's α, nominal data (public method: Krippendorff
+    * 1970/2004) — the agreement coefficient that TOLERATES missing
+    * ratings: items keep contributing with however many (≥2) ratings
+    * they have, where [[fleissKappa]] must throw unbalanced panels
+    * away. The real annotation-QA default once raters drop out.
+    *
+    * Exactness: the only fractional step — each item's off-diagonal
+    * coincidence mass (m_i² − Σ_c n_ic²)/(m_i − 1) — is cleared by
+    * the constant S = lcm(1..maxRaters−1), so `S | (m_i−1)`-scaled
+    * terms are exact integers; the coincidence MARGINALS collapse to
+    * the plain category counts (Σ_k o_ck = n_ic telescopes), so
+    *
+    *   α = 1 − (n−1)·o_off_S / (S·(n² − Σ_c n_c²))
+    *
+    * assembles from integer sufficient statistics (DECIMAL sums) with
+    * α the only double, rounded at 6 and NULL when the expected
+    * disagreement is 0 (a single category). Shape: one item×category
+    * census, stat-grain algebra, one row out.
+    *
+    * Output (1 row): (n_items, n_ratings, n_categories, alpha).
+    */
+  def krippendorffAlpha(ratings: DataFrame, itemCol: String,
+      catCol: String, maxRaters: Int): DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 16, "maxRaters in [2,16]")
+    val scale = (1 until maxRaters)
+      .foldLeft(BigInt(1))((l, i) => l * i / l.gcd(BigInt(i))).toLong
+    val dec = "decimal(38,0)"
+    // the census feeds three branches (per-item stats, the panel
+    // filter, the category marginals) — cache it so the scan runs once
+    val cen = graft.util.Caches.cached(ratings
+      .select(col(itemCol).as("item"), col(catCol).as("cat"))
+      .groupBy("item", "cat").agg(count(lit(1)).as("c")))
+    val perItem = cen.groupBy("item")
+      .agg(sum("c").as("m"),
+        sum(expr(s"cast(c as $dec) * c")).as("sq"))
+      .filter(col("m") >= 2)
+    require(scale > 0, "scale")
+    val items = perItem.agg(
+      count(lit(1)).as("n_items"), sum("m").as("n_ratings"),
+      sum(expr(s"(cast(m as $dec) * m - sq) * ${scale}L " +
+        "div (m - 1)")).as("o_off_s"))
+    // category marginals over the SAME ≥2-rating panel
+    val cats = cen
+      .join(perItem.select("item"), Seq("item"))
+      .groupBy("cat").agg(sum("c").as("n_c"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(expr(s"cast(n_c as $dec) * n_c")).as("sq_c"))
+    items.crossJoin(cats)
+      .withColumn("d_e_s", expr(
+        s"(cast(n_ratings as $dec) * n_ratings - sq_c) * ${scale}L"))
+      .select(col("n_items"), col("n_ratings"), col("n_categories"),
+        when(col("d_e_s") > 0, round(lit(1.0) -
+          ((col("n_ratings") - 1).cast("double") *
+            col("o_off_s").cast("double")) /
+            col("d_e_s").cast("double"), 6)).as("alpha"))
+  }
 }

@@ -57,7 +57,9 @@ class Round8fSpec extends AnyFunSuite {
     "q247_win_rate_wilson" -> 0,      // matchup census cached
     "q248_isotonic_calibration" -> 0, // bin census cached
     "q249_dsir_importance" -> 0,      // tf relation cached
-    "q250_cochran_armitage" -> 1)     // one decile census scan
+    "q250_cochran_armitage" -> 1,     // one decile census scan
+    "q251_krippendorff_alpha" -> 0,   // panel census cached
+    "q252_mantel_haenszel" -> 1)      // one stratum census scan
 
   gates.foreach { case (name, maxLeaves) =>
     test(s"$name: ≤ $maxLeaves parquet leaves in the final plan") {
