@@ -669,4 +669,62 @@ object Correlate {
         (col("adj_p_ppm") <= alphaPpm).as("significant")): _*)
       .orderBy("rank")
   }
+
+  /** DUNN's post-hoc test (public method: Dunn 1964) — WHICH groups
+    * differ once [[kruskalWallis]] has said "some do": pairwise z on
+    * the mean ranks over the POOLED ranking (never per-pair
+    * re-ranking — that's Dunn's point), with the shared tie
+    * correction. Feed the output through [[fdrBh]] for the
+    * multiplicity-honest read (the q242 composition).
+    *
+    * Same doubled-rank census internals as [[kruskalWallis]]: every
+    * sufficient statistic (per-group n_h and doubled rank sum r2_h,
+    * pooled N and tie mass T = Σt³−t) is an exact integer, the K-row
+    * group relation broadcast-pairs with itself, and z is the only
+    * double, assembled by the formula the oracle repeats verbatim,
+    * rounded at 6 (NULL when the variance term degenerates).
+    *
+    * Output per pair (a < b): (group_a, group_b, n_a, n_b, z_dunn).
+    */
+  def dunnPairs(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val vm = round(col(valCol).cast("double") * 1e6).cast("long")
+    val cells = graft.util.Caches.cached(df
+      .select(col(groupCol).as("g"), vm.as("vm"))
+      .groupBy("g", "vm").agg(count(lit(1)).as("c")))
+    val w = Window.orderBy("vm")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = cells.groupBy("vm").agg(sum("c").as("ct"))
+      .withColumn("cum", sum("ct").over(w))
+      .select(col("vm"),
+        (lit(2L) * (col("cum") - col("ct")) + col("ct") + 1L).as("r2"),
+        col("ct"))
+    val perG = cells.join(ranked.select("vm", "r2"), Seq("vm"))
+      .groupBy("g")
+      .agg(sum("c").as("n_h"),
+        sum(col("c").cast(dec) * col("r2")).as("r2_h"))
+    val tot = perG.agg(sum("n_h").as("n"))
+    val ties = ranked.agg(
+      sum(expr(s"cast(ct as $dec) * ct * ct - ct")).as("t3"))
+    val a = perG.select(col("g").as("group_a"), col("n_h").as("n_a"),
+      col("r2_h").as("r2_a"))
+    val b = perG.select(col("g").as("group_b"), col("n_h").as("n_b"),
+      col("r2_h").as("r2_b"))
+    def d(c: String) = col(c).cast("double")
+    // mean ranks are r2/(2n); the pooled variance term carries the
+    // shared tie correction
+    val varTerm = (d("n") * (d("n") + lit(1.0)) / lit(12.0) -
+      d("t3") / (lit(12.0) * (d("n") - lit(1.0)))) *
+      (lit(1.0) / d("n_a") + lit(1.0) / d("n_b"))
+    broadcast(a).crossJoin(b)
+      .filter(col("group_a") < col("group_b"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        when(col("n") > 1 && varTerm > 0, round(
+          (d("r2_a") / (lit(2.0) * d("n_a")) -
+            d("r2_b") / (lit(2.0) * d("n_b"))) / sqrt(varTerm), 6))
+          .as("z_dunn"))
+      .orderBy("group_a", "group_b")
+  }
 }

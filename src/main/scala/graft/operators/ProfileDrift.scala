@@ -596,4 +596,58 @@ object ProfileDrift {
         col("t_stat"), col("df_w"))
       .orderBy(groupCol)
   }
+
+  /** WASSERSTEIN-1 (earth-mover) drift per group (public metric:
+    * Kantorovich–Rubinstein; the 1-D closed form ∫|F_ref − F_cur|) —
+    * the drift number with UNITS: "the distributions are 0.37 value
+    * units of mass-transport apart", where PSI (q98) is bin-relative
+    * and KS (q158) is a single worst-point gap. The standard metric
+    * when the magnitude of a shift matters, not just its existence.
+    *
+    * 1-D W1 is exact on the merged value census: between consecutive
+    * distinct values the CDF gap is constant, so
+    *
+    *   W1 = Σ_gaps |cum_ref·n_cur − cum_cur·n_ref| · gap
+    *        ───────────────────────────────────────────   (micro)
+    *                      n_ref · n_cur
+    *
+    * with every numerator term an exact DECIMAL integer (the common-
+    * denominator form never divides per gap) and ONE floor division
+    * per group at the end. Same merged-census scan shape as
+    * [[rankSumReport]] — the whole two-sample battery shares it.
+    *
+    * Output per group: (group, n_ref, n_cur, w1_micro) — w1 in micro
+    * value units; NULL when either side is empty.
+    */
+  def wassersteinReport(ref: DataFrame, cur: DataFrame,
+      groupCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def census(df: DataFrame, cName: String) = df
+      .select(col(groupCol).as("g"),
+        round(col(valCol).cast("double") * 1e6).cast("long").as("vm"))
+      .groupBy("g", "vm").agg(count(lit(1)).as(cName))
+    val h = census(ref, "c_ref")
+      .join(census(cur, "c_cur"), Seq("g", "vm"), "full_outer")
+      .na.fill(0L, Seq("c_ref", "c_cur"))
+    val wg = Window.partitionBy("g")
+    val wCum = wg.orderBy("vm")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wLead = wg.orderBy("vm")
+    h.withColumn("cum_ref", sum("c_ref").over(wCum))
+      .withColumn("cum_cur", sum("c_cur").over(wCum))
+      .withColumn("n_ref", sum("c_ref").over(wg))
+      .withColumn("n_cur", sum("c_cur").over(wg))
+      .withColumn("nxt", lead("vm", 1).over(wLead))
+      .groupBy("g", "n_ref", "n_cur")
+      .agg(sum(expr(
+        "case when nxt is null then cast(0 as decimal(38,0)) else " +
+          "abs(cast(cum_ref as decimal(38,0)) * n_cur - " +
+          "cast(cum_cur as decimal(38,0)) * n_ref) * (nxt - vm) end"))
+        .as("num"))
+      .select(col("g").as(groupCol), col("n_ref"), col("n_cur"),
+        when(col("n_ref") > 0 && col("n_cur") > 0, expr(
+          "cast(num div (cast(n_ref as decimal(38,0)) * n_cur) " +
+            "as long)")).as("w1_micro"))
+      .orderBy(groupCol)
+  }
 }

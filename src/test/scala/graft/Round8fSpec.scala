@@ -59,7 +59,9 @@ class Round8fSpec extends AnyFunSuite {
     "q249_dsir_importance" -> 0,      // tf relation cached
     "q250_cochran_armitage" -> 1,     // one decile census scan
     "q251_krippendorff_alpha" -> 0,   // panel census cached
-    "q252_mantel_haenszel" -> 1)      // one stratum census scan
+    "q252_mantel_haenszel" -> 1,      // one stratum census scan
+    "q253_wasserstein" -> 2,          // the two half-window scans
+    "q254_dunn_pairs" -> 0)           // rank census cached
 
   gates.foreach { case (name, maxLeaves) =>
     test(s"$name: ≤ $maxLeaves parquet leaves in the final plan") {
