@@ -61,7 +61,9 @@ class Round8fSpec extends AnyFunSuite {
     "q251_krippendorff_alpha" -> 0,   // panel census cached
     "q252_mantel_haenszel" -> 1,      // one stratum census scan
     "q253_wasserstein" -> 2,          // the two half-window scans
-    "q254_dunn_pairs" -> 0)           // rank census cached
+    "q254_dunn_pairs" -> 0,           // rank census cached
+    "q255_rake_weights" -> 0,         // cell census cached
+    "q256_weight_ess" -> 0)           // same cached census
 
   gates.foreach { case (name, maxLeaves) =>
     test(s"$name: ≤ $maxLeaves parquet leaves in the final plan") {
