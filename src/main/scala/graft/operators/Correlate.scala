@@ -727,4 +727,80 @@ object Correlate {
           .as("z_dunn"))
       .orderBy("group_a", "group_b")
   }
+
+  /** JONCKHEERE–TERPSTRA ordered-alternative test (public method:
+    * Jonckheere 1954; Terpstra 1952; tie-corrected variance per
+    * Hollander & Wolfe) — "does the value distribution SHIFT
+    * MONOTONICALLY across ordered groups": the continuous-outcome
+    * sibling of [[graft.operators.Experiment.cochranArmitage]] (which
+    * orders proportions) and the directional power [[kruskalWallis]]
+    * throws away. Groups order by their numeric key.
+    *
+    * JT doubles to stay integer: JT2 = Σ_{i<j} Σ_v c_j(v)·(2·cum_i(<v)
+    * + c_i(v)) over the DENSE per-group cumulative census (distinct
+    * values × K groups — value-domain grain, K²·|values| join rows,
+    * never data²); the null mean E2 = N² − Σn², and the three
+    * tie-corrected variance pieces A, B₁·B₂, C₁·C₂ are exact DECIMAL
+    * integers from the group-size and tie censuses:
+    *
+    *   Var = A/72 + B₁B₂/(36·N(N−1)(N−2)) + C₁C₂/(8·N(N−1))
+    *
+    * z = (JT2 − E2)/(2√Var) is the only double, rounded at 6, NULL
+    * when Var degenerates. Output (1 row): (n, n_groups, jt2, e2,
+    * z_jt).
+    */
+  def jonckheereTerpstra(df: DataFrame, groupOrdCol: String,
+      valCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val vm = round(col(valCol).cast("double") * 1e6).cast("long")
+    val cells = graft.util.Caches.cached(df
+      .select(col(groupOrdCol).cast("long").as("g"), vm.as("vm"))
+      .groupBy("g", "vm").agg(count(lit(1)).as("c")))
+    val vs = cells.select("vm").distinct()
+    val gs = cells.select("g").distinct()
+    val dense = vs.crossJoin(broadcast(gs))
+      .join(cells, Seq("g", "vm"), "left").na.fill(0L, Seq("c"))
+    val wCum = Window.partitionBy("g").orderBy("vm")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dc = dense
+      .withColumn("cumlt", sum("c").over(wCum) - col("c"))
+    val a = dc.select(col("g").as("ga"), col("vm"),
+      col("c").as("ca"), col("cumlt").as("cumlt_a"))
+    val b = dc.select(col("g").as("gb"), col("vm"),
+      col("c").as("cb"))
+    val jt = a.join(b, Seq("vm")).filter(col("ga") < col("gb"))
+      .agg(sum(expr(
+        s"cast(cb as $dec) * (2 * cumlt_a + ca)")).as("jt2"))
+    val ng = cells.groupBy("g").agg(sum("c").as("n_k"))
+      .agg(count(lit(1)).as("n_groups"), sum("n_k").as("n"),
+        sum(expr(s"cast(n_k as $dec) * n_k")).as("sq_n"),
+        sum(expr(s"cast(n_k as $dec) * (n_k - 1) * (2 * n_k + 5)"))
+          .as("a_g"),
+        sum(expr(s"cast(n_k as $dec) * (n_k - 1) * (n_k - 2)"))
+          .as("b1"),
+        sum(expr(s"cast(n_k as $dec) * (n_k - 1)")).as("c1"))
+    val tiesAgg = cells.groupBy("vm").agg(sum("c").as("t"))
+      .agg(
+        sum(expr(s"cast(t as $dec) * (t - 1) * (2 * t + 5)"))
+          .as("a_t"),
+        sum(expr(s"cast(t as $dec) * (t - 1) * (t - 2)")).as("b2"),
+        sum(expr(s"cast(t as $dec) * (t - 1)")).as("c2"))
+    def d(c: String) = col(c).cast("double")
+    val varJt =
+      (d("n") * (d("n") - 1.0) * (lit(2.0) * d("n") + 5.0) -
+        d("a_g") - d("a_t")) / lit(72.0) +
+        d("b1") * d("b2") / (lit(36.0) * d("n") * (d("n") - 1.0) *
+          (d("n") - 2.0)) +
+        d("c1") * d("c2") / (lit(8.0) * d("n") * (d("n") - 1.0))
+    jt.crossJoin(ng).crossJoin(tiesAgg)
+      // E[JT2] = Σ_{i<j} n_i·n_j = (N² − Σn²)/2, always an integer
+      .withColumn("e2", expr(
+        s"(cast(n as $dec) * n - sq_n) div 2"))
+      .select(col("n"), col("n_groups"),
+        col("jt2").cast("long").as("jt2"),
+        col("e2").cast("long").as("e2"),
+        when(col("n") > 2 && varJt > 0, round(
+          (d("jt2") - d("e2")) / (lit(2.0) * sqrt(varJt)), 6))
+          .as("z_jt"))
+  }
 }

@@ -63,7 +63,8 @@ class Round8fSpec extends AnyFunSuite {
     "q253_wasserstein" -> 2,          // the two half-window scans
     "q254_dunn_pairs" -> 0,           // rank census cached
     "q255_rake_weights" -> 0,         // cell census cached
-    "q256_weight_ess" -> 0)           // same cached census
+    "q256_weight_ess" -> 0,           // same cached census
+    "q257_jonckheere" -> 0)           // value census cached
 
   gates.foreach { case (name, maxLeaves) =>
     test(s"$name: ≤ $maxLeaves parquet leaves in the final plan") {
