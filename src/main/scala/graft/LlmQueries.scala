@@ -18,8 +18,8 @@ object LlmQueries {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
-  private val annQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
-  private val annK = 5
+  private[graft] val annQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
+  private[graft] val annK = 5
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting (whitespace/regex tokenizer) rolled up per language.

@@ -64,6 +64,39 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** ANN-FIDELITY report: recall@k of the LSH tier ([[lshTopK]])
+    * against the exact brute-force ranking ([[bruteForceTopK]]) — the
+    * number that justifies (or indicts) the scale path: an ANN index
+    * with recall 0.4 is a different operator than the one the user
+    * asked for, and nothing else in the suite would say so. Per
+    * query: how many of the true top-k the bucketed search returned.
+    *
+    * Both rankings use the same rounded-cosine total order, so the
+    * intersection is exact set algebra; recall_ppm is one floor
+    * division. Output per query: (query_id, n_exact, n_lsh, n_hits,
+    * recall_ppm), query-ordered.
+    */
+  def annRecallReport(embeddings: DataFrame, queryIds: Seq[Long],
+      k: Int): DataFrame = {
+    val exact = bruteForceTopK(embeddings, queryIds, k)
+      .select("query_id", "vec_id")
+    val approx = lshTopK(embeddings, queryIds, k)
+      .select(col("query_id"), col("vec_id"))
+    val hits = exact
+      .join(approx.withColumn("hit", lit(1L)),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    val lshCounts = approx.groupBy("query_id")
+      .agg(count(lit(1)).as("n_lsh"))
+    hits.join(lshCounts, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_lsh"), lit(0L)).as("n_lsh"), col("n_hits"),
+        expr("(n_hits * 1000000L) div n_exact").as("recall_ppm"))
+      .orderBy("query_id")
+  }
+
   /** (query_id, vec_id, cos_sim) → top-k rows per query with 1-based
     * rank, ordered (cos_sim desc, vec_id asc).
     *

@@ -64,7 +64,8 @@ class Round8fSpec extends AnyFunSuite {
     "q254_dunn_pairs" -> 0,           // rank census cached
     "q255_rake_weights" -> 0,         // cell census cached
     "q256_weight_ess" -> 0,           // same cached census
-    "q257_jonckheere" -> 0)           // value census cached
+    "q257_jonckheere" -> 0,           // value census cached
+    "q258_ann_recall" -> 2)           // exact + LSH embedding scans
 
   gates.foreach { case (name, maxLeaves) =>
     test(s"$name: ≤ $maxLeaves parquet leaves in the final plan") {
