@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** CUPED variance-reduced experiment readout (Controlled-experiment
@@ -513,6 +514,66 @@ object Experiment {
     *
     * Output (1 row): (n, n_strata, sum_a, or_mh, chi2_cmh).
     */
+  /** WALD's SPRT (public method: Wald 1945) — the sequential
+    * probability ratio test on a Bernoulli stream: monitor a success
+    * rate EVENT BY EVENT and stop the moment the evidence crosses a
+    * boundary, with α/β guaranteed by construction — the
+    * always-monitoring sibling of the group-sequential look schedule
+    * (q203), for the "did the error rate move" question nobody wants
+    * to wait a day to answer.
+    *
+    * Per-event log-likelihood-ratio increments are the two constants
+    * y·ln(p₁/p₀) + (1−y)·ln((1−p₁)/(1−p₀)); every ln is taken of an
+    * INTEGER-valued double (ppm parameters) and nano-rounded, so the
+    * cumulative path and both boundaries ln((1−β)/α), ln(β/(1−α))
+    * are exact integers — first-crossing indices are exact row
+    * numbers, cross-engine. One ordered window per group (groups are
+    * the high-cardinality axis).
+    *
+    * Output per group: (group, n, n_pos, llr_final_nano, decision ∈
+    * h1/h0/none, n_at_decision).
+    */
+  def sprtReport(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      success: Column, p0Ppm: Long, p1Ppm: Long, alphaPpm: Long,
+      betaPpm: Long): DataFrame = {
+    require(p0Ppm > 0 && p1Ppm > 0 && p0Ppm < 1000000L &&
+      p1Ppm < 1000000L && p0Ppm != p1Ppm, "ppm rates in (0,1e6)")
+    require(alphaPpm > 0 && betaPpm > 0 && alphaPpm < 1000000L &&
+      betaPpm < 1000000L, "ppm errors in (0,1e6)")
+    def lnNano(x: Double): Long = math.round(math.log(x) * 1e9)
+    val posInc = lnNano(p1Ppm.toDouble) - lnNano(p0Ppm.toDouble)
+    val negInc = lnNano(1e6 - p1Ppm) - lnNano(1e6 - p0Ppm)
+    val upper = lnNano(1e6 - betaPpm) - lnNano(alphaPpm.toDouble)
+    val lower = lnNano(betaPpm.toDouble) - lnNano(1e6 - alphaPpm)
+    val w = Window.partitionBy("g")
+      .orderBy(orderCols.map(col): _*)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val path = df
+      .select((col(groupCol).as("g") +:
+        when(success, 1L).otherwise(0L).as("y") +:
+        orderCols.map(col)): _*)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("llr", sum(
+        when(col("y") === 1L, posInc).otherwise(negInc)).over(wCum))
+    path.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        min(when(col("llr") >= upper, col("rn"))).as("first_h1"),
+        min(when(col("llr") <= lower, col("rn"))).as("first_h0"))
+      .select(col("g").as(groupCol), col("n"), col("n_pos"),
+        // the path ends at posInc·n_pos + negInc·(n − n_pos) exactly
+        (lit(posInc) * col("n_pos") +
+          lit(negInc) * (col("n") - col("n_pos")))
+          .as("llr_final_nano"),
+        when(col("first_h1").isNotNull &&
+          (col("first_h0").isNull ||
+            col("first_h1") <= col("first_h0")), "h1")
+          .when(col("first_h0").isNotNull, "h0")
+          .otherwise("none").as("decision"),
+        // least() skips NULLs on both engines (the Postgres rule)
+        least(col("first_h1"), col("first_h0")).as("n_at_decision"))
+      .orderBy(groupCol)
+  }
+
   def mantelHaenszel(df: DataFrame, stratumCol: String,
       exposure: Column, outcome: Column): DataFrame = {
     val dec = "decimal(38,0)"

@@ -65,7 +65,8 @@ class Round8fSpec extends AnyFunSuite {
     "q255_rake_weights" -> 0,         // cell census cached
     "q256_weight_ess" -> 0,           // same cached census
     "q257_jonckheere" -> 0,           // value census cached
-    "q258_ann_recall" -> 2)           // exact + LSH embedding scans
+    "q258_ann_recall" -> 2,           // exact + LSH embedding scans
+    "q259_sprt" -> 1)                 // one ordered event scan
 
   gates.foreach { case (name, maxLeaves) =>
     test(s"$name: ≤ $maxLeaves parquet leaves in the final plan") {
