@@ -62,6 +62,17 @@ class Round8iSpec extends AnyFunSuite {
     assert(s("b") === 0L && s("a") === 2000000L, s.toString)
   }
 
+  test("bradleyTerry: input row order cannot move a strength") {
+    import spark.implicits._
+    val rows = Seq(("a", "b", 9L, 1L), ("b", "c", 9L, 1L),
+      ("a", "c", 10L, 0L))
+    def fit(s: Seq[(String, String, Long, Long)]) =
+      Preference.bradleyTerry(
+        s.toDF("item_a", "item_b", "wins_a", "wins_b"), 2)
+        .collect().map(r => (r.getString(0), r.getLong(3))).toSeq
+    assert(fit(rows) === fit(rows.reverse))
+  }
+
   test("winRateMatrix: sweep and Wilson bounds behave") {
     import spark.implicits._
     val m = Seq(("a", "b", 8L, 2L)).toDF("item_a", "item_b",

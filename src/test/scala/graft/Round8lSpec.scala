@@ -33,6 +33,18 @@ class Round8lSpec extends AnyFunSuite {
     graft.util.Caches.releaseAll()
   }
 
+  test("wassersteinReport: W1 is symmetric in its two sides") {
+    import spark.implicits._
+    val x = (1 to 40).map(i => ("a", (i % 9).toDouble)).toDF("g", "v")
+    val y = (1 to 25).map(i => ("a", (i % 4) * 3.0)).toDF("g", "v")
+    val xy = ProfileDrift.wassersteinReport(x, y, "g", "v")
+      .collect()(0).getLong(3)
+    val yx = ProfileDrift.wassersteinReport(y, x, "g", "v")
+      .collect()(0).getLong(3)
+    assert(xy === yx && xy > 0, s"$xy $yx")
+    graft.util.Caches.releaseAll()
+  }
+
   test("dunnPairs: separated group flags against both others") {
     import spark.implicits._
     val df = ((1 to 30).map(i => ("lo", (i % 5).toDouble)) ++
