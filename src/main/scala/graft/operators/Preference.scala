@@ -275,6 +275,64 @@ object Preference {
     *
     * Output (1 row): (n_items, n_ratings, n_categories, alpha).
     */
+  /** CRONBACH's α (public method: Cronbach 1951) — internal
+    * consistency of a multi-item score: do the k items of a scale
+    * (here: a unit's scores on k fixed items) move together enough to
+    * be averaged into one number. The reliability sibling of the
+    * agreement family ([[fleissKappa]]/[[krippendorffAlpha]] ask "do
+    * raters agree"; this asks "do items cohere").
+    *
+    *   α = k/(k−1) · (1 − Σᵢ σ²ᵢ / σ²_total)
+    *
+    * over COMPLETE units only (units scored on all k items — the
+    * classic listwise rule, reported). Variances are ddof-1 in the
+    * exact integer domain: every σ² is (n·Σx² − (Σx)²) over micro
+    * scores in DECIMAL, and the shared n·(n−1) denominators cancel,
+    * so α = k/(k−1) · (1 − Σᵢ vᵢ / v_tot) with vᵢ, v_tot exact
+    * integers; α is the only double, rounded at 6 (NULL when the
+    * total variance is 0). Shape: one unit×item aggregate, one
+    * unit-total relation, two stat rows joined.
+    *
+    * Output (1 row): (n_units, n_items, alpha).
+    */
+  def cronbachAlpha(df: DataFrame, unitCol: String, itemCol: String,
+      valCol: String, items: Seq[String]): DataFrame = {
+    require(items.nonEmpty && items.size >= 2, "need >= 2 items")
+    val dec = "decimal(38,0)"
+    val k = items.size
+    val vm = round(col(valCol).cast("double") * Micro).cast("long")
+    val cells = df
+      .filter(col(itemCol).isin(items: _*))
+      .select(col(unitCol).as("u"), col(itemCol).as("it"), vm.as("v"))
+      .groupBy("u", "it").agg(sum("v").as("s"))
+    // complete cases: units holding all k items
+    val complete = graft.util.Caches.cached(cells
+      .withColumn("n_it", count(lit(1))
+        .over(Window.partitionBy("u")))
+      .filter(col("n_it") === k)
+      .drop("n_it"))
+    // per-item variance cores v_i = n·Σs² − (Σs)², summed over items
+    val perItem = complete.groupBy("it")
+      .agg(count(lit(1)).as("n"),
+        sum(col("s").cast(dec)).as("sx"),
+        sum(expr(s"cast(s as $dec) * s")).as("sxx"))
+      .agg(sum(lit(1L)).as("n_items"), max("n").as("n_units"),
+        sum(expr(s"cast(n as $dec) * sxx - sx * sx")).as("v_items"))
+    // total-score variance core on the same units
+    val totals = complete.groupBy("u")
+      .agg(sum("s").as("t"))
+      .agg(count(lit(1)).as("n_t"),
+        sum(col("t").cast(dec)).as("st"),
+        sum(expr(s"cast(t as $dec) * t")).as("stt"))
+      .select(expr(s"cast(n_t as $dec) * stt - st * st").as("v_tot"))
+    perItem.crossJoin(totals)
+      .select(col("n_units"), col("n_items"),
+        when(col("v_tot") > 0, round(
+          lit(k.toDouble / (k - 1.0)) *
+            (lit(1.0) - col("v_items").cast("double") /
+              col("v_tot").cast("double")), 6)).as("alpha"))
+  }
+
   def krippendorffAlpha(ratings: DataFrame, itemCol: String,
       catCol: String, maxRaters: Int): DataFrame = {
     require(maxRaters >= 2 && maxRaters <= 16, "maxRaters in [2,16]")

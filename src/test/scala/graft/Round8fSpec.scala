@@ -66,7 +66,8 @@ class Round8fSpec extends AnyFunSuite {
     "q256_weight_ess" -> 0,           // same cached census
     "q257_jonckheere" -> 0,           // value census cached
     "q258_ann_recall" -> 2,           // exact + LSH embedding scans
-    "q259_sprt" -> 1)                 // one ordered event scan
+    "q259_sprt" -> 1,                 // one ordered event scan
+    "q260_cronbach_alpha" -> 0)       // complete-case panel cached
 
   gates.foreach { case (name, maxLeaves) =>
     test(s"$name: ≤ $maxLeaves parquet leaves in the final plan") {
