@@ -52,6 +52,10 @@ object Bench {
     val cal = scala.collection.mutable.ArrayBuffer[(Int, Double, String)]()
     def calPoint(pos: Int): Unit =
       cal += ((pos, timeOnce(calibrate), loadavg()))
+    // unrecorded warmup of the calibration shape: JIT + codegen-cache
+    // cold-start would otherwise inflate calibration[0], making the
+    // timeline read as early contention on a quiet host
+    timeOnce(calibrate)
     calPoint(0)
     // optional comma-separated query filter for local spot measurement
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -99,12 +99,15 @@ object LlmQueries {
       Similarity.ivfTopK(embs(s, dir), annQueryIds, annK, ivfCentroidIds)
         .orderBy("query_id", "rank")),
 
-    // The 100 TB profiling path: HLL distincts + approx percentiles in one
-    // scan. Sketch outputs aren't bit-reproducible across engines, so this
-    // is a rows-only entry (exactness is q11's job; spec asserts the grid).
+    // The approx-profile FIDELITY report: the sketch tier (HLL
+    // distincts, approx percentiles) graded in-plan against the exact
+    // order stats — value = exact (oracle-hashable), within_bound = the
+    // frozen-constant sketch check. Fully driver-green; the one-scan
+    // production approx tier itself stays numericProfile(exact=false),
+    // spec-pinned in ProfilerSpec.
     "q43_profile_approx" -> ((s, dir) =>
-      graft.core.Profiler.numericProfile(Tables.load(s, dir, "lineitem"),
-        graft.core.ProfileConfig(exact = false))),
+      graft.core.Profiler.approxFidelityProfile(
+        Tables.load(s, dir, "lineitem"))),
 
     // The exact half of the approx profile: count/null/min/max/mean/std
     // come from the same codegen moments aggregate in BOTH modes, so this
@@ -212,6 +215,20 @@ object LlmQueries {
   val minhashPairsCtes: String = minhashPairsCtesCapped(None)
 
   val oracleSql: Map[String, String] = Map(
+    // The fidelity report's exact grid is q11's oracle verbatim; the
+    // sketch rows additionally carry within_bound = TRUE (the Spark side
+    // goes red — hash mismatch — the day a sketch breaches its frozen
+    // bound; moment rows carry NULL, they are exact in both modes).
+    "q43_profile_approx" -> {
+      val base = SparkEntry.numericProfileOracle("lineitem",
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      s"""SELECT col_name, metric, value,
+         |  CASE WHEN metric IN ('distinct_count', 'p25', 'median', 'p75')
+         |    THEN TRUE END AS within_bound
+         |FROM ($base) ORDER BY col_name, metric""".stripMargin
+    },
+
     "q29_token_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
          |  CAST(sum(len($tokSql)) AS BIGINT) AS total_tokens,

@@ -29,15 +29,18 @@ object Round5Queries {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Scale-safe token-length deciles: approx_percentile boundaries (one
-    // agg) + scan-stage classification — no data-path window, no serial
-    // per-source sort. The 100 TB twin of q58.
+    // The approx-decile boundary FIDELITY report: the scale path's
+    // percentile_approx boundaries graded in-plan against the exact
+    // per-source quantiles — q_exact is oracle-hashable, within_bound
+    // is the frozen ±0.01-quantile window check. Fully driver-green;
+    // the production approx tier itself stays Deciles.report(exact =
+    // false), spec-pinned in Round5Spec.
     "q58a_token_deciles_approx" -> ((s, dir) =>
-      Deciles.report(
+      Deciles.boundaryFidelity(
         docs(s, dir)
           .select(col("source"), col("doc_id"),
             TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
-        "source", "n_tokens", "doc_id", exact = false)),
+        "source", "n_tokens")),
 
     // As-of join, strictly-before quadrant: each click attributed to the
     // most recent purchase with ts < click ts (ASOF `>`): a purchase at
@@ -227,6 +230,24 @@ object Round5Queries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Exact per-source quantiles (quantile_cont ≡ the value-domain
+    // interp, the q11 idiom) + within_bound TRUE: the Spark side goes
+    // hash-red the day a sketch boundary leaves its frozen window.
+    "q58a_token_deciles_approx" -> {
+      val blocks = (1 to 9).map { i =>
+        s"""SELECT source, CAST($i AS INTEGER) AS bound_idx,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  round(quantile_cont(CAST(n_tokens AS DOUBLE), ${i / 10.0}), 4)
+           |    AS q_exact,
+           |  TRUE AS within_bound FROM t GROUP BY source""".stripMargin
+      }
+      s"""WITH t AS (SELECT source,
+         |    CAST(len(${LlmQueries.tokSql}) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT * FROM (${blocks.mkString(" UNION ALL ")})
+         |ORDER BY source, bound_idx""".stripMargin
+    },
+
     "q62a_asof_strict" ->
       s"""WITH $asofCtes
          |SELECT c.user_id, c.event_id, c.ts, p.p_event, p.p_value

@@ -22,11 +22,14 @@ object Round6hQueries {
         docs(s, dir).withColumn("len_bucket", expr("n_chars div 100")),
         Seq("source", "lang", "len_bucket"), col("lang") === "en")),
 
-    // Weekly distinct users from UNIONED daily HLL sketches — the
-    // persisted-rollup pattern; rows-only (DataSketches has no DuckDB
-    // mirror), union ≡ direct + accuracy laws spec-pinned.
+    // Weekly distinct users from UNIONED daily HLL sketches, graded
+    // in-plan against the exact twin — distinct_exact is oracle-hashable
+    // and within_bound is the frozen ~5σ HLL band, so the rollup is
+    // fully driver-green (DataSketches itself has no DuckDB mirror; the
+    // union-≡-direct law stays spec-pinned in Round6hSpec). The 100 TB
+    // production path remains weeklyDistinct over persisted sketches.
     "q153_sketch_rollup" -> ((s, dir) =>
-      SketchRollup.weeklyDistinct(Tables.load(s, dir, "events"))),
+      SketchRollup.weeklyDistinctChecked(Tables.load(s, dir, "events"))),
 
     // q153a: the exact twin of the sketch rollup — same week buckets
     // and row accounting with count_distinct, so the bucketing and
@@ -62,6 +65,16 @@ object Round6hQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // q153a's exact relation + within_bound TRUE: the Spark side goes
+    // hash-red the day the HLL estimate leaves its frozen 8%+10 band.
+    "q153_sketch_rollup" ->
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_exact,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY 1 ORDER BY week_start""".stripMargin,
+
     "q153a_weekly_distinct_exact" ->
       """SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
         |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,

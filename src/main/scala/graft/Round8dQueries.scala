@@ -90,10 +90,10 @@ object Round8dQueries {
          |    CAST((sum(y) * 1000000) // count(*) AS BIGINT) AS obar_all
          |  FROM v2),
          |parts AS (SELECT CAST(count(*) AS BIGINT) AS n_bins_used,
-         |    CAST(sum(CAST(n_k * (fbar - obar) * (fbar - obar)
-         |      AS HUGEINT)) AS HUGEINT) AS rel_num,
-         |    CAST(sum(CAST(n_k * (obar - obar_all) * (obar - obar_all)
-         |      AS HUGEINT)) AS HUGEINT) AS res_num
+         |    CAST(sum(CAST(n_k AS HUGEINT) * (fbar - obar)
+         |      * (fbar - obar)) AS HUGEINT) AS rel_num,
+         |    CAST(sum(CAST(n_k AS HUGEINT) * (obar - obar_all)
+         |      * (obar - obar_all)) AS HUGEINT) AS res_num
          |  FROM bins, tot)
          |SELECT n, n_pos, n_bins_used,
          |  round(bsum::DOUBLE / (n::DOUBLE * 1e12), 6) AS brier,

@@ -74,8 +74,9 @@ object Round8fQueries {
         |  WHERE (nt_b * 1000000) // n_b > 0
         |    AND (nt_b * 1000000) // n_b < 1000000),
         |cl AS (SELECT t, ym, CASE WHEN t = 1
-        |      THEN (ym * 1000000) // e
-        |      ELSE -((ym * 1000000) // (1000000 - e)) END AS cell
+        |      THEN (CAST(ym AS HUGEINT) * 1000000) // e
+        |      ELSE -((CAST(ym AS HUGEINT) * 1000000) // (1000000 - e))
+        |      END AS cell
         |  FROM b JOIN us ON us.g = b.g),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b)
         |SELECT tot.n, CAST(count(*) AS BIGINT) AS n_used,

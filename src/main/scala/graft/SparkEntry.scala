@@ -522,7 +522,8 @@ object SparkEntry {
   /** DuckDB oracle for Profiler.numericProfile: one UNION ALL block per
     * (column, metric), deterministically ordered like the Spark output.
     */
-  private def numericProfileOracle(table: String, cols: Seq[String]): String = {
+  private[graft] def numericProfileOracle(table: String,
+      cols: Seq[String]): String = {
     val blocks = cols.flatMap { c =>
       val v = s"CAST($c AS DOUBLE)"
       Seq(
@@ -571,27 +572,34 @@ object SparkEntry {
       Round7fQueries.queries ++ Round7iQueries.queries ++
       Round7jQueries.queries ++ Round7kQueries.queries ++
       Round7lQueries.queries ++ Round7mQueries.queries ++
-      Round7nQueries.queries ++ Round7oQueries.queries ++ Round7pQueries.queries ++ Round7qQueries.queries ++ Round7rQueries.queries ++ Round7sQueries.queries ++ Round7tQueries.queries ++ Round7uQueries.queries ++ Round7vQueries.queries ++ Round7wQueries.queries ++ Round7zQueries.queries ++ Round8cQueries.queries ++ Round8dQueries.queries ++ Round8eQueries.queries ++ Round8fQueries.queries ++ Round8gQueries.queries ++ Round8hQueries.queries ++ Round8iQueries.queries ++ Round8jQueries.queries ++ Round8kQueries.queries ++ Round8lQueries.queries ++ Round8mQueries.queries ++ Round8nQueries.queries ++ Round8oQueries.queries ++ Round8pQueries.queries ++ Round8qQueries.queries
+      Round7nQueries.queries ++ Round7oQueries.queries ++ Round7pQueries.queries ++ Round7qQueries.queries ++ Round7rQueries.queries ++ Round7sQueries.queries ++ Round7tQueries.queries ++ Round7uQueries.queries ++ Round7vQueries.queries ++ Round7wQueries.queries ++ Round7zQueries.queries ++ Round8cQueries.queries ++ Round8dQueries.queries ++ Round8eQueries.queries ++ Round8fQueries.queries ++ Round8gQueries.queries ++ Round8hQueries.queries ++ Round8iQueries.queries ++ Round8jQueries.queries ++ Round8kQueries.queries ++ Round8lQueries.queries ++ Round8mQueries.queries ++ Round8nQueries.queries ++ Round8oQueries.queries ++ Round8pQueries.queries ++ Round8qQueries.queries ++
+      Round9Queries.queries
 
-  /** Validation metadata for the queries that CANNOT carry a SQL
-    * oracle — each is sketch-valued by construction, and each is
-    * pinned by an exact hash-green TWIN over the same input at the
-    * same grain, so the right driver check is rows+schema on the
-    * sketch query plus the cited twin's hash row. Dumped by
-    * [[Verify]] as `queries_meta.json` next to `oracle_sql.json` so
-    * the artifact itself names the twin.
+  /** Validation metadata for the sketch-valued queries. Since round 9
+    * each emits an in-plan FIDELITY form — exact-twin values in the
+    * oracle-hashable columns plus a frozen-constant `within_bound`
+    * sketch check — so all three are fully driver-green (rows + schema
+    * + hash); a sketch breaching its bound flips within_bound and goes
+    * hash-red with no driver special-casing. Kept as documentation of
+    * the mechanism and the raw-sketch production twins. Dumped by
+    * [[Verify]] as `queries_meta.json` next to `oracle_sql.json`.
     */
   def queriesMeta: Map[String, String] = Map(
     "q43_profile_approx" ->
-      ("no_oracle_by_design: HLL/KLL sketch tier; exact twin " +
-        "q43a_approx_moments (hash-green) pins the same profile grain"),
+      ("fidelity_report: HLL/KLL sketch tier graded in-plan vs exact " +
+        "order stats (bounds: 3σ HLL band; ±0.01-quantile windows); " +
+        "raw production tier = Profiler.numericProfile(exact=false), " +
+        "moments twin q43a_approx_moments"),
     "q58a_token_deciles_approx" ->
-      ("no_oracle_by_design: approx-percentile bounds; exact twin " +
-        "q58_token_deciles (hash-green) pins the ntile deciles"),
+      ("fidelity_report: approx-percentile boundaries graded in-plan " +
+        "vs exact per-source quantiles (±0.01-quantile windows); raw " +
+        "production tier = Deciles.report(exact=false), exact twin " +
+        "q58_token_deciles"),
     "q153_sketch_rollup" ->
-      ("no_oracle_by_design: mergeable-sketch rollup; exact twin " +
-        "q153a_weekly_distinct_exact (hash-green) pins the weekly " +
-        "bucketing"))
+      ("fidelity_report: HLL union rollup graded in-plan vs the exact " +
+        "weekly distincts (8%+10 band ≈ 5σ at lgConfigK=12); raw " +
+        "production tier = SketchRollup.weeklyDistinct, exact twin " +
+        "q153a_weekly_distinct_exact"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -621,5 +629,6 @@ object SparkEntry {
       Round7fQueries.oracleSql ++ Round7iQueries.oracleSql ++
       Round7jQueries.oracleSql ++ Round7kQueries.oracleSql ++
       Round7lQueries.oracleSql ++ Round7mQueries.oracleSql ++
-      Round7nQueries.oracleSql ++ Round7oQueries.oracleSql ++ Round7pQueries.oracleSql ++ Round7qQueries.oracleSql ++ Round7rQueries.oracleSql ++ Round7sQueries.oracleSql ++ Round7tQueries.oracleSql ++ Round7uQueries.oracleSql ++ Round7vQueries.oracleSql ++ Round7wQueries.oracleSql ++ Round7zQueries.oracleSql ++ Round8cQueries.oracleSql ++ Round8dQueries.oracleSql ++ Round8eQueries.oracleSql ++ Round8fQueries.oracleSql ++ Round8gQueries.oracleSql ++ Round8hQueries.oracleSql ++ Round8iQueries.oracleSql ++ Round8jQueries.oracleSql ++ Round8kQueries.oracleSql ++ Round8lQueries.oracleSql ++ Round8mQueries.oracleSql ++ Round8nQueries.oracleSql ++ Round8oQueries.oracleSql ++ Round8pQueries.oracleSql ++ Round8qQueries.oracleSql
+      Round7nQueries.oracleSql ++ Round7oQueries.oracleSql ++ Round7pQueries.oracleSql ++ Round7qQueries.oracleSql ++ Round7rQueries.oracleSql ++ Round7sQueries.oracleSql ++ Round7tQueries.oracleSql ++ Round7uQueries.oracleSql ++ Round7vQueries.oracleSql ++ Round7wQueries.oracleSql ++ Round7zQueries.oracleSql ++ Round8cQueries.oracleSql ++ Round8dQueries.oracleSql ++ Round8eQueries.oracleSql ++ Round8fQueries.oracleSql ++ Round8gQueries.oracleSql ++ Round8hQueries.oracleSql ++ Round8iQueries.oracleSql ++ Round8jQueries.oracleSql ++ Round8kQueries.oracleSql ++ Round8lQueries.oracleSql ++ Round8mQueries.oracleSql ++ Round8nQueries.oracleSql ++ Round8oQueries.oracleSql ++ Round8pQueries.oracleSql ++ Round8qQueries.oracleSql ++
+      Round9Queries.oracleSql
 }

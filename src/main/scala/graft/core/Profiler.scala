@@ -220,6 +220,108 @@ object Profiler {
       .orderBy("col_name", "metric")
   }
 
+  /** Approx-profile FIDELITY report — the sketch tier (HLL distincts,
+    * approx percentiles) graded IN-PLAN against the exact order
+    * statistics it approximates, which is what makes the approx profile
+    * driver-checkable (q43): `value` carries the EXACT statistic for
+    * every grid row (oracle-computable by construction), and
+    * `within_bound` carries the sketch check on the 4 sketch metrics
+    * (NULL on moment rows — those are the same aggregate in both modes):
+    *
+    *  - distinct_count: |HLL − exact| ≤ 3·rsd·exact + 5, the 3σ band of
+    *    `approx_count_distinct` at `cfg.approxRsd` plus a small-column
+    *    absolute slack; deterministic per dataset (Spark's HLL hashing
+    *    is deterministic).
+    *  - p25/median/p75: the approx value must land inside the exact
+    *    ±0.01-QUANTILE value window [pick(p−.01, floor),
+    *    pick(p+.01, ceil)]. `percentile_approx` carries a DETERMINISTIC
+    *    n/accuracy rank guarantee (n/2500 = 0.0004 at the default), so
+    *    the 0.01 window is 25× its contract: a green flag is certain,
+    *    while a sketch regression far past contract goes red.
+    *
+    * Cost: the exact profile's two scans plus the one-scan sketch pass —
+    * a VALIDATION query by design; the production approx tier remains
+    * [[numericProfile]](exact = false), one scan, no exact pass.
+    */
+  def approxFidelityProfile(df0: DataFrame,
+      cfg: ProfileConfig = ProfileConfig(exact = false)): DataFrame = {
+    val df = graft.util.Parallelism.ensure(df0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cols = numericColumns(df)
+    require(cols.nonEmpty, "no numeric columns to profile")
+    val momentsLong = momentsLongOf(df, cols, cfg)
+      .withColumn("within_bound", lit(null).cast("boolean"))
+    val stackArgs = cols.map(c => s"'$c', ${cleanedSql(df, c)}").mkString(", ")
+    // two independent melt subtrees (sketch agg + exact census), same
+    // trade as numericProfile's exact mode: re-scanning beats caching
+    // the full-width melt
+    def melted = df.selectExpr(
+      s"stack(${cols.length}, $stackArgs) as (col_name, value)")
+      .where(col("value").isNotNull)
+    val approx = melted.groupBy("col_name").agg(
+      percentile_approx(col("value"), array(lit(0.25), lit(0.5), lit(0.75)),
+        lit(cfg.approxPercentileAccuracy)).as("apcts"),
+      approx_count_distinct(col("value"), cfg.approxRsd)
+        .cast(DoubleType).as("adc"))
+    val grouped = melted.groupBy("col_name", "value")
+      .agg(count(lit(1)).as("cnt"))
+    val byVal = Window.partitionBy("col_name").orderBy("value")
+    val byCol = Window.partitionBy("col_name")
+    val cum = grouped.select(col("col_name"), col("value"), col("cnt"),
+      sum("cnt").over(byVal).cast(DoubleType).as("cum"),
+      sum("cnt").over(byCol).cast(DoubleType).as("n"),
+      count(lit(1)).over(byCol).cast(DoubleType).as("dcv"))
+    def pick(p: Double, end: Column => Column) =
+      min(when(end((col("n") - 1) * p) >= col("cum") - col("cnt") &&
+        end((col("n") - 1) * p) < col("cum"), col("value")))
+    def interp(p: Double): Column = {
+      val pos = (first(col("n")) - 1) * p
+      val frac = pos - floor(pos)
+      round(pick(p, floor) + (pick(p, ceil) - pick(p, floor)) * frac, 4)
+    }
+    val qw = 0.01
+    val ex = cum.groupBy("col_name").agg(
+      first(col("dcv")).as("dc"),
+      interp(0.25).as("p25v"), interp(0.5).as("medianv"),
+      interp(0.75).as("p75v"),
+      pick(0.25 - qw, floor).as("lo25"), pick(0.25 + qw, ceil).as("hi25"),
+      pick(0.50 - qw, floor).as("lo50"), pick(0.50 + qw, ceil).as("hi50"),
+      pick(0.75 - qw, floor).as("lo75"), pick(0.75 + qw, ceil).as("hi75"))
+    val sketchRows = ex.join(approx, Seq("col_name"), "left")
+      .withColumn("wb_dc", abs(col("adc") - col("dc")) <=
+        lit(3.0 * cfg.approxRsd) * col("dc") + lit(5.0))
+      .withColumn("wb_p25",
+        col("apcts")(0) >= col("lo25") && col("apcts")(0) <= col("hi25"))
+      .withColumn("wb_p50",
+        col("apcts")(1) >= col("lo50") && col("apcts")(1) <= col("hi50"))
+      .withColumn("wb_p75",
+        col("apcts")(2) >= col("lo75") && col("apcts")(2) <= col("hi75"))
+      .select(col("col_name"), expr(
+        """stack(4,
+          |'distinct_count', dc, wb_dc,
+          |'p25', p25v, wb_p25,
+          |'median', medianv, wb_p50,
+          |'p75', p75v, wb_p75) as (metric, value, within_bound)"""
+          .stripMargin))
+    val longResult = momentsLong
+      .select("col_name", "metric", "value", "within_bound")
+      .unionByName(sketchRows
+        .select("col_name", "metric", "value", "within_bound"))
+    val grid = cols.flatMap(c => numericMetrics.map(m => (c, m)))
+      .toDF("col_name", "metric")
+    val sketchMetrics = Seq("distinct_count", "p25", "median", "p75")
+    grid.join(longResult, Seq("col_name", "metric"), "left")
+      .withColumn("value", when(col("metric") === "distinct_count",
+        coalesce(col("value"), lit(0.0))).otherwise(col("value")))
+      // an all-null column drops out of both sides: trivially within
+      .withColumn("within_bound",
+        when(col("metric").isin(sketchMetrics: _*),
+          coalesce(col("within_bound"), lit(true))))
+      .orderBy("col_name", "metric")
+  }
+
   /** Long-format (col_name, metric, value) moments for `cols`: one wide
     * codegen HashAggregate per `statColumnsPerJob` batch, melted via stack.
     */

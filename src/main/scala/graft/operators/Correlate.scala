@@ -547,8 +547,9 @@ object Correlate {
     // K-row group relation collects (the house allowance) and the
     // final reduction runs in unbounded BigInt, flooring per group
     // exactly like the oracle's HUGEINT `//`
-    val gs = perG.collect().map(r =>
-      (BigInt(r.getLong(1)), BigInt(r.getDecimal(2).toBigInteger)))
+    val gs = graft.util.Guards.countedCollect(perG, "kruskalWallis")
+      .map(r =>
+        (BigInt(r.getLong(1)), BigInt(r.getDecimal(2).toBigInteger)))
     val tiesRow = ranked.agg(
       sum(expr(s"cast(ct as $dec) * ct * ct - ct")).as("t3"),
       sum("ct").as("n")).collect()(0)
@@ -610,9 +611,10 @@ object Correlate {
     // s_h² brushes DECIMAL(38) at warehouse scale — the K-row group
     // relation collects and the F assembles in BigInt (floors per
     // group ≡ the oracle's HUGEINT `//`)
-    val gs = perG.collect().map(r =>
-      (BigInt(r.getLong(1)), BigInt(r.getDecimal(2).toBigInteger),
-        BigInt(r.getDecimal(3).toBigInteger)))
+    val gs = graft.util.Guards.countedCollect(perG, "brownForsythe")
+      .map(r =>
+        (BigInt(r.getLong(1)), BigInt(r.getDecimal(2).toBigInteger),
+          BigInt(r.getDecimal(3).toBigInteger)))
     val k = gs.length
     val n = gs.map(_._1).sum
     val s = gs.map(_._2).sum

@@ -60,6 +60,67 @@ object Deciles {
         max(col(valCol)).as(s"max_tokens"))
       .orderBy(col(groupCol), col("decile"))
 
+  /** Approx-decile boundary FIDELITY report (q58a's driver-green form):
+    * the approx path's per-group `percentile_approx` boundaries graded
+    * IN-PLAN against the exact order statistics they approximate. One
+    * row per (group, boundary i=1..n-1): `q_exact` is the exact
+    * interpolated quantile at i/n (quantile_cont semantics, the q11
+    * cross-engine idiom) and `within_bound` checks the approx boundary
+    * landed inside the exact ±0.01-QUANTILE value window
+    * [pick(i/n−.01, floor), pick(i/n+.01, ceil)] — `percentile_approx`
+    * carries a deterministic n/accuracy rank guarantee (n/10000 at the
+    * default), so the window is 100× its contract: green is certain,
+    * a far-past-contract sketch regression goes red. All exact values
+    * come from ONE value-domain census (group, value, count) — the
+    * boundary grading never sorts raw rows.
+    *
+    * Output per (group, bound_idx): (group, bound_idx, n_rows, q_exact,
+    * within_bound).
+    */
+  def boundaryFidelity(df: DataFrame, groupCol: String, valCol: String,
+      n: Int = 10, accuracy: Int = 10000): DataFrame = {
+    require(n >= 2, "need at least 2 buckets")
+    val qw = 0.01
+    val pcts = array((1 until n).map(i => lit(i.toDouble / n)): _*)
+    val approx = df.groupBy(col(groupCol).as("g"))
+      .agg(percentile_approx(col(valCol).cast("double"), pcts,
+        lit(accuracy)).as("apcts"))
+    val census = df
+      .select(col(groupCol).as("g"), col(valCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    val byVal = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val byGrp = Window.partitionBy("g")
+    val cum = census.select(col("g"), col("v"), col("cnt"),
+      sum("cnt").over(byVal).cast("double").as("cum"),
+      sum("cnt").over(byGrp).cast("double").as("nr"))
+    def pick(p: Double, end: Column => Column) =
+      min(when(end((col("nr") - 1) * p) >= col("cum") - col("cnt") &&
+        end((col("nr") - 1) * p) < col("cum"), col("v")))
+    def interp(p: Double): Column = {
+      val pos = (first(col("nr")) - 1) * p
+      val frac = pos - floor(pos)
+      round(pick(p, floor) + (pick(p, ceil) - pick(p, floor)) * frac, 4)
+    }
+    val aggs = (1 until n).flatMap { i =>
+      val p = i.toDouble / n
+      Seq(interp(p).as(s"q$i"),
+        pick(p - qw, floor).as(s"lo$i"), pick(p + qw, ceil).as(s"hi$i"))
+    } :+ first(col("nr")).cast("long").as("n_rows")
+    val ex = cum.groupBy("g").agg(aggs.head, aggs.tail: _*)
+    val flags = ex.join(approx, Seq("g"))
+    val stackArgs = (1 until n).map { i =>
+      s"$i, n_rows, q$i, apcts[${i - 1}] >= lo$i AND apcts[${i - 1}] <= hi$i"
+    }.mkString(", ")
+    flags.selectExpr("g",
+        s"stack(${n - 1}, $stackArgs) as " +
+          "(bound_idx, n_rows, q_exact, within_bound)")
+      .select(col("g").as(groupCol), col("bound_idx").cast("int"),
+        col("n_rows"), col("q_exact"), col("within_bound"))
+      .orderBy(groupCol, "bound_idx")
+  }
+
   /** WEIGHTED median per group — "the median doc length by TOKEN MASS,
     * not by document count": the value where half the total weight
     * sits at or below, the pick any mixture/packing decision should

@@ -121,10 +121,10 @@ object Evaluation {
       .withColumn("obar_all", expr("(n_pos * 1000000) div n"))
     val parts = bins.crossJoin(broadcast(tot))
       .agg(count(lit(1)).as("n_bins_used"),
-        sum(expr(s"cast(n_k * (fbar - obar) * (fbar - obar) as $dec)"))
+        sum(expr(s"cast(n_k as $dec) * (fbar - obar) * (fbar - obar)"))
           .as("rel_num"),
-        sum(expr("cast(n_k * (obar - obar_all) * (obar - obar_all) " +
-          s"as $dec)")).as("res_num"))
+        sum(expr(s"cast(n_k as $dec) * (obar - obar_all) * " +
+          "(obar - obar_all)")).as("res_num"))
     tot.crossJoin(broadcast(parts))
       .select(col("n"), col("n_pos"), col("n_bins_used"),
         round(col("bsum").cast("double") /

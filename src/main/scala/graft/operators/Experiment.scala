@@ -424,8 +424,10 @@ object Experiment {
       .select("b", "e")
     val cells = base.join(broadcast(usable), Seq("b"))
       .select(col("t"), col("ym"),
-        when(col("t") === 1, expr("(ym * 1000000) div e"))
-          .otherwise(-expr("(ym * 1000000) div (1000000 - e)"))
+        when(col("t") === 1,
+            expr("(cast(ym as decimal(38,0)) * 1000000) div e"))
+          .otherwise(-expr("(cast(ym as decimal(38,0)) * 1000000) " +
+            "div (1000000 - e)"))
           .as("cell"))
     val tot = base.agg(count(lit(1)).as("n"))
     cells.agg(count(lit(1)).as("n_used"), sum("t").as("n_treated_used"),

@@ -229,9 +229,12 @@ object Graph {
     // pack the pair into ONE long key so the grouping shuffles half
     // the key bytes (a 1-row stat read decides; ids ≥ 2³¹ take the
     // two-column path, same result)
-    val maxId = deg.agg(max(col("z")).cast("long")).collect()(0)
-    val packable = !maxId.isNullAt(0) && maxId.getLong(0) < (1L << 31) &&
-      maxId.getLong(0) >= 0
+    val idRange = deg.agg(max(col("z")).cast("long"),
+      min(col("z")).cast("long")).collect()(0)
+    // a negative node_b would sign-corrupt shiftleft(a,32)+b and merge
+    // distinct pairs — both bounds must sit in [0, 2³¹)
+    val packable = !idRange.isNullAt(0) &&
+      idRange.getLong(0) < (1L << 31) && idRange.getLong(1) >= 0
     val cand0 =
       if (packable)
         wedges

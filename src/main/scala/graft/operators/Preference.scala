@@ -83,10 +83,11 @@ object Preference {
     */
   def bradleyTerry(matchups: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 8, "rounds in [1,8]")
-    val rows = matchups
-      .select(col("item_a").cast("string"), col("item_b").cast("string"),
-        col("wins_a").cast("long"), col("wins_b").cast("long"))
-      .collect()
+    val rows = graft.util.Guards.countedCollect(matchups
+        .select(col("item_a").cast("string"),
+          col("item_b").cast("string"),
+          col("wins_a").cast("long"), col("wins_b").cast("long")),
+        "bradleyTerry")
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getLong(3)))
     // directed view: (i, j, n_ij, wins of i over j)
@@ -96,7 +97,10 @@ object Preference {
       else Seq((a, b, n, wa), (b, a, n, wb))
     }
     val items = games.map(_._1).distinct.sorted
-    val wins = games.groupBy(_._1).map { case (i, g) =>
+    // indexed once: the MM loop reads each item's games every round,
+    // and a full-array filter there would make the fit O(rounds·K·|games|)
+    val bySrc = games.groupBy(_._1)
+    val wins = bySrc.map { case (i, g) =>
       i -> BigInt(g.map(_._4).sum)
     }
     var w: Map[String, BigInt] =
@@ -104,7 +108,7 @@ object Preference {
     val totalMass = BigInt(items.length) * Micro
     for (_ <- 1 to rounds) {
       val raw = items.map { i =>
-        val d = games.filter(_._1 == i).map { case (_, j, n, _) =>
+        val d = bySrc(i).map { case (_, j, n, _) =>
           (BigInt(n) * MmScale) / (w(i) + w(j))
         }.sum
         i -> (if (d > 0) (wins(i) * MmScale) / d else BigInt(0))
@@ -115,7 +119,7 @@ object Preference {
       }.toMap
     }
     val out = items.map { i =>
-      val g = games.filter(_._1 == i).map(_._3).sum
+      val g = bySrc(i).map(_._3).sum
       (i, wins(i).toLong, g, w(i).toLong)
     }.sortBy { case (i, _, _, s) => (-s, i) }
       .zipWithIndex
@@ -348,6 +352,15 @@ object Preference {
       .agg(sum("c").as("m"),
         sum(expr(s"cast(c as $dec) * c")).as("sq"))
       .filter(col("m") >= 2)
+    // the lcm-clearing exactness contract needs (m-1) | scale for
+    // every item — an item rated by MORE than the declared panel cap
+    // would silently floor the div, so fail loudly instead (1-row agg
+    // on the already-cached census, not a per-row pass)
+    val mMax = perItem.agg(max(col("m"))).collect()(0)
+    require(mMax.isNullAt(0) || mMax.getLong(0) <= maxRaters,
+      s"krippendorffAlpha: an item has ${mMax.getLong(0)} ratings, " +
+        s"over the declared maxRaters=$maxRaters — the lcm scale " +
+        "no longer clears (m-1); raise maxRaters")
     require(scale > 0, "scale")
     val items = perItem.agg(
       count(lit(1)).as("n_items"), sum("m").as("n_ratings"),

@@ -77,22 +77,40 @@ object Similarity {
     * recall_ppm), query-ordered.
     */
   def annRecallReport(embeddings: DataFrame, queryIds: Seq[Long],
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    recallVsExact(embeddings, lshTopK(embeddings, queryIds, k),
+      queryIds, k, approxCountCol = "n_lsh")
+
+  /** Recall@k of ANY approximate ranking against the exact brute-force
+    * top-k — [[annRecallReport]] generalized so every ANN tier gets the
+    * same grade: LSH (q258), IVF (q261), PQ (q262), IVF-PQ (q263). A
+    * recall cliff in any tier becomes a hash-red row the day it
+    * happens, instead of hiding behind a plausible-looking ranking.
+    *
+    * `approx0` must carry (query_id, vec_id); extra columns are
+    * dropped. Same exact set algebra as before: both rankings share
+    * the rounded-cosine total order, recall_ppm is one floor division.
+    * Output per query: (query_id, n_exact, <approxCountCol>, n_hits,
+    * recall_ppm), query-ordered.
+    */
+  def recallVsExact(embeddings: DataFrame, approx0: DataFrame,
+      queryIds: Seq[Long], k: Int,
+      approxCountCol: String = "n_approx"): DataFrame = {
     val exact = bruteForceTopK(embeddings, queryIds, k)
       .select("query_id", "vec_id")
-    val approx = lshTopK(embeddings, queryIds, k)
-      .select(col("query_id"), col("vec_id"))
+    val approx = approx0.select(col("query_id"), col("vec_id"))
     val hits = exact
       .join(approx.withColumn("hit", lit(1L)),
         Seq("query_id", "vec_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-    val lshCounts = approx.groupBy("query_id")
-      .agg(count(lit(1)).as("n_lsh"))
-    hits.join(lshCounts, Seq("query_id"), "left")
+    val approxCounts = approx.groupBy("query_id")
+      .agg(count(lit(1)).as(approxCountCol))
+    hits.join(approxCounts, Seq("query_id"), "left")
       .select(col("query_id"), col("n_exact"),
-        coalesce(col("n_lsh"), lit(0L)).as("n_lsh"), col("n_hits"),
+        coalesce(col(approxCountCol), lit(0L)).as(approxCountCol),
+        col("n_hits"),
         expr("(n_hits * 1000000L) div n_exact").as("recall_ppm"))
       .orderBy("query_id")
   }
@@ -737,7 +755,13 @@ object Similarity {
     var v = cov.select(col("i").as("dim")).distinct()
       .select(col("dim"), lit(1000000L).as("v_micro"))
     for (_ <- 1 to rounds) {
-      val w = matvec(v)
+      // w feeds TWO consumers (the ∞-norm agg and the renormalize) and
+      // v compounds across rounds — localCheckpoint (the Graph/Dedup
+      // round idiom, d stat rows) truncates the lineage so the DAG
+      // stays O(1) per round instead of doubling; without it the
+      // unrolled plan re-derives each round's matvec 2^round times
+      // and analysis/codegen time creeps run-over-run
+      val w = matvec(v).localCheckpoint()
       val mx = w.agg(max(abs(col("w"))).as("mx"))
       v = w.crossJoin(broadcast(mx))
         .select(col("dim"),

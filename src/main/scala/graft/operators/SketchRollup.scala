@@ -53,6 +53,33 @@ object SketchRollup {
         count_distinct(col("id")).as("distinct_exact"))
       .orderBy("week_start")
 
+  /** The sketch rollup graded IN-PLAN against its exact twin — q153's
+    * driver-green form: [[weeklyDistinct]]'s HLL estimate joined back to
+    * [[weeklyDistinctExact]] per week, emitting the EXACT values
+    * (oracle-computable) plus `within_bound` = |est − exact| ≤
+    * 8%·exact + 10. Spark's `hll_sketch_agg` defaults to lgConfigK=12
+    * (rsd ≈ 1.625%), so 8% is ~5σ — deterministic-green per dataset
+    * (HLL hashing is deterministic), red only on a genuine sketch
+    * regression. The exact side touches every event, which is the
+    * point: this is the VALIDATION query; the 100 TB path remains
+    * [[weeklyDistinct]] over persisted daily sketches.
+    *
+    * Output: (week_start, n_days, n_rows, distinct_exact, within_bound).
+    */
+  def weeklyDistinctChecked(events: DataFrame, tsCol: String = "ts",
+      idCol: String = "user_id"): DataFrame =
+    weeklyDistinctExact(events, tsCol, idCol)
+      .join(weeklyDistinct(events, tsCol, idCol)
+          .select(col("week_start"), col("distinct_est")),
+        Seq("week_start"))
+      .select(col("week_start"), col("n_days"), col("n_rows"),
+        col("distinct_exact"),
+        (abs(col("distinct_est").cast("double") -
+            col("distinct_exact").cast("double")) <=
+          lit(0.08) * col("distinct_exact").cast("double") + lit(10.0))
+          .as("within_bound"))
+      .orderBy("week_start")
+
   /** Weekly distinct estimates from unioning the daily sketches —
     * (week_start, n_days, n_rows, distinct_est).
     */

@@ -209,8 +209,8 @@ object Transitions {
     // distributed loop paid in pure scheduling overhead (31 s → <1 s
     // at sf0.1, bit-identical output — the same truncating integer
     // ops the SQL oracle unrolls).
-    val mat = m.collect().map(r =>
-      (r.getString(0), r.getString(1), r.getLong(2)))
+    val mat = graft.util.Guards.countedCollect(m, "removalEffect")
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val channels = mat.map(_._1).filter(_ != Start).distinct.sorted
     def absorb(variant: Option[String]): Long = {
       val edges0 = variant match {

@@ -53,12 +53,37 @@ object Lineage {
     }.toMap
 
   private def walk(plan: LogicalPlan): Map[ExprId, Set[String]] =
+    walk0(plan, Map.empty)
+
+  /** `cteOut`: CTE def id → per-position source sets of the def's
+    * output. The ANALYZED plan of a `spark.sql` query keeps CTEs as
+    * WithCTE/CTERelationRef (inlining is an optimizer rule), and a
+    * CTERelationRef is a LeafNode with FRESH exprIds — without this
+    * context every column read through a SQL `WITH` clause would
+    * report the ref itself as its source and the true table columns
+    * would vanish.
+    */
+  private def walk0(plan: LogicalPlan,
+      cteOut: Map[Long, Seq[Set[String]]]): Map[ExprId, Set[String]] =
     plan match {
+      case w: WithCTE =>
+        // defs may reference earlier defs — fold the context forward
+        val defs = w.cteDefs.foldLeft(cteOut) { (acc, d) =>
+          val m = walk0(d.child, acc)
+          acc + (d.id -> d.child.output.map(a =>
+            m.getOrElse(a.exprId, Set.empty[String])))
+        }
+        walk0(w.plan, defs)
+      case r: CTERelationRef =>
+        val srcs = cteOut.getOrElse(r.cteId, Seq.empty)
+        r.output.zipWithIndex.map { case (a, i) =>
+          a.exprId -> srcs.lift(i).getOrElse(Set.empty[String])
+        }.toMap
       case l: LeafNode =>
         val t = leafName(l)
         l.output.map(a => a.exprId -> Set(s"$t.${a.name}")).toMap
       case p =>
-        val child = p.children.map(walk)
+        val child = p.children.map(walk0(_, cteOut))
           .foldLeft(Map.empty[ExprId, Set[String]])(_ ++ _)
         val added: Map[ExprId, Set[String]] = p match {
           case Project(exprs, _) => fromNamed(exprs, child)

@@ -215,7 +215,7 @@ class Round5Spec extends AnyFunSuite {
     graft.util.Caches.releaseAll()
   }
 
-  test("round-5 queries are wired with oracles (q58a rows-only by design)") {
+  test("round-5 queries are wired with oracles") {
     val qs = SparkEntry.queries
     val os = SparkEntry.oracleSql
     Seq("q58a_token_deciles_approx", "q62a_asof_strict", "q62b_asof_left",
@@ -225,14 +225,13 @@ class Round5Spec extends AnyFunSuite {
       "q70a_semantic_dedup_lsh", "q71_corpus_pipeline").foreach { q =>
       assert(qs.contains(q), s"$q missing from SparkEntry.queries")
     }
-    Seq("q61_minhash_capped", "q61a_minhash_cap_bind", "q62a_asof_strict",
+    Seq("q58a_token_deciles_approx",
+      "q61_minhash_capped", "q61a_minhash_cap_bind", "q62a_asof_strict",
       "q62b_asof_left", "q64a_split_leakage_safe", "q66_chunking",
       "q67_incremental_dedup", "q68_stratified_sample",
       "q69_mixture_rebalance", "q70_semantic_dedup",
       "q70a_semantic_dedup_lsh", "q71_corpus_pipeline").foreach { q =>
       assert(os.contains(q), s"$q missing from SparkEntry.oracleSql")
     }
-    assert(!os.contains("q58a_token_deciles_approx"),
-      "q58a is sketch-based — rows-only by design, like q43")
   }
 }

@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamingOps
+
+/** Round-9 part two: checkpoint KILL-RESTART durability for EVERY
+  * stateful stream, not just the moment-state profile (Round8bSpec).
+  * One harness: feed half the fixture, kill the query mid-stream
+  * (windows/sessions still open in the state store), restart from the
+  * checkpoint, feed the rest plus a watermark-flush row, and require
+  * the recovered output to equal the BATCH run of the same transform
+  * bit-for-bit with zero double-emission. The batch twin is the same
+  * StreamingOps function over the static fixture (watermarks are
+  * no-ops in batch; window/session_window aggregate identically), so
+  * the comparison has no second implementation to drift.
+  */
+class Round9bSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val flushTs = java.sql.Timestamp.valueOf("2044-01-01 00:00:00")
+  private val flushCut = java.sql.Date.valueOf("2043-12-01")
+
+  private def fixture(): DataFrame =
+    Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+
+  /** Streamed-with-restart output of `transform`, drained and flushed. */
+  private def killRestart(
+      transform: DataFrame => DataFrame): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val all = fixture()
+      .as[(java.sql.Timestamp, Long, String, Double)].collect()
+      .sortBy(_._1.getTime).toSeq
+    val (firstHalf, secondHalf) = all.splitAt(all.size / 2)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("kr_out").toString
+    val cpDir = java.nio.file.Files
+      .createTempDirectory("kr_cp").toString
+    val input = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val out = transform(
+      input.toDS().toDF("ts", "user_id", "event_type", "value"))
+    def start() = out.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // phase 1: half the stream, then KILL — state straddles the split
+    val q1 = start()
+    try { input.addData(firstHalf); q1.processAllAvailable() }
+    finally q1.stop()
+    // phase 2: restart from checkpoint, rest of the stream + flush
+    val q2 = start()
+    try {
+      input.addData(secondHalf)
+      q2.processAllAvailable()
+      input.addData(Seq((flushTs, -1L, "flush", 0.0)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    spark.read.parquet(outDir)
+  }
+
+  /** recovered ≡ batch, and zero double-emission across the restart. */
+  private def assertRecoveredEqualsBatch(recovered0: DataFrame,
+      batch0: DataFrame): Unit = {
+    val cols = batch0.columns.sorted.toSeq
+    val recovered = recovered0.select(cols.map(col): _*)
+    val dups = recovered.groupBy(cols.map(col): _*)
+      .count().filter(col("count") > 1).count()
+    assert(dups == 0, "restart must not re-emit closed state")
+    def canon(df: DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.map {
+        case d: java.sql.Timestamp => d.getTime
+        case x => x
+      }).toSeq.sortBy(_.mkString("|"))
+    val r = canon(recovered)
+    val b = canon(batch0.select(cols.map(col): _*))
+    assert(r.nonEmpty, "expected closed state to have been emitted")
+    assert(r == b, s"recovered (${r.size} rows) != batch (${b.size} rows)")
+  }
+
+  test("keyCensusStream survives kill-restart ≡ batch") {
+    val f: DataFrame => DataFrame =
+      df => StreamingOps.keyCensusStream(df, "1 day", "0 seconds")
+    assertRecoveredEqualsBatch(
+      killRestart(f).filter(col("window_start") < lit(flushCut)),
+      f(fixture()))
+    graft.util.Caches.releaseAll()
+  }
+
+  test("keyedValueCensusStream survives kill-restart ≡ batch") {
+    val f: DataFrame => DataFrame =
+      df => StreamingOps.keyedValueCensusStream(df, "1 day", "0 seconds")
+    assertRecoveredEqualsBatch(
+      killRestart(f).filter(col("window_start") < lit(flushCut)),
+      f(fixture()))
+    graft.util.Caches.releaseAll()
+  }
+
+  test("dpCountsStream survives kill-restart ≡ the batch release " +
+    "(same window-epoch salts)") {
+    val f: DataFrame => DataFrame = df =>
+      StreamingOps.dpCountsStream(df, "1 day", "0 seconds",
+        epsilonPermille = 1000L)
+    assertRecoveredEqualsBatch(
+      killRestart(f).filter(col("window_start") < lit(flushCut)),
+      f(fixture()))
+    graft.util.Caches.releaseAll()
+  }
+
+  test("sessionStream survives kill-restart ≡ batch (sessions spanning " +
+    "the kill merge correctly)") {
+    val f: DataFrame => DataFrame =
+      df => StreamingOps.sessionStream(df, "1 hour", "0 seconds")
+    // exclude the flush user's own (never-closed) session on the
+    // streamed side; the batch twin never sees the flush row at all
+    assertRecoveredEqualsBatch(
+      killRestart(f).filter(col("user_id") =!= -1L),
+      f(fixture()))
+    graft.util.Caches.releaseAll()
+  }
+
+  test("dropDuplicatesStream survives kill-restart: one row per key, " +
+    "duplicates arriving after the restart stay suppressed") {
+    val f: DataFrame => DataFrame = df =>
+      StreamingOps.dropDuplicatesStream(df, Seq("user_id"), "ts",
+        "3650 days")
+    val out = killRestart(f).filter(col("user_id") =!= -1L)
+    val keys = out.select("user_id").collect().map(_.getLong(0)).toSeq
+    assert(keys.size == keys.distinct.size,
+      "a key emitted twice across the restart")
+    val expected = fixture().select("user_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(keys.toSet == expected,
+      s"expected ${expected.size} distinct keys, got ${keys.size}")
+    graft.util.Caches.releaseAll()
+  }
+}
