@@ -56,12 +56,12 @@ object Round7qQueries {
          |      v$EigenRounds.v_micro) AS HUGEINT) AS w
          |  FROM cf JOIN v$EigenRounds ON v$EigenRounds.dim = cf.j
          |  GROUP BY 1),
-         |ray AS (SELECT CASE WHEN sum(CAST(v.v_micro AS HUGEINT) *
-         |      v.v_micro) > 0 THEN
-         |    round(sum(CAST(v.v_micro AS HUGEINT) * wf.w)::DOUBLE /
-         |      sum(CAST(v.v_micro AS HUGEINT) * v.v_micro)::DOUBLE, 6)
-         |    END AS lambda
-         |  FROM v$EigenRounds v JOIN wf ON wf.dim = v.dim)
+         |rs AS (SELECT sum(CAST(v.v_micro AS HUGEINT) * wf.w) AS num,
+         |    sum(CAST(v.v_micro AS HUGEINT) * v.v_micro) AS den
+         |  FROM v$EigenRounds v JOIN wf ON wf.dim = v.dim),
+         |ray AS (SELECT CASE WHEN den > 0 THEN
+         |    CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+         |      (abs(num) // den) AS BIGINT) END AS lambda FROM rs)
          |SELECT v.dim, v.v_micro, ray.lambda
          |FROM v$EigenRounds v, ray ORDER BY v.dim""".stripMargin
     })

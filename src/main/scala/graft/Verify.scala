@@ -6,6 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
+    // the storage-monitor oracles (q27/q28) read FILE metadata, so
+    // their SQL must name the same fixture directory the queries scan —
+    // publish it before SparkEntry.oracleSql is rendered (caught by the
+    // round-9 second-scale artifact: a glob pinned to sf0.01 passed
+    // there and silently failed at every other scale)
+    System.setProperty("graft.sf.dir", sfDir)
     // optional 3rd arg: comma-separated query-name filter (local iteration)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None

@@ -736,8 +736,10 @@ object Similarity {
     *
     * Output (dim-grain): (dim, v_micro, lambda) — v the ∞-normalized
     * eigenvector estimate after `rounds` iterations, lambda the
-    * Rayleigh quotient in cov units (vᵀCv/vᵀv off exact DECIMAL sums,
-    * the one rounded double, repeated per row).
+    * Rayleigh quotient in cov units as an EXACT floor integer
+    * (sign·(|vᵀCv| div vᵀv) off the DECIMAL sums, repeated per row —
+    * at λ ~ 10¹⁵ a double quotient differs across engines by a full
+    * ULP unit, so only the integer form hashes).
     */
   def topEigenReport(embeddings: DataFrame, rounds: Int = 3,
       vecCol: String = "embedding"): DataFrame = {
@@ -772,11 +774,17 @@ object Similarity {
     }
     val vc = graft.util.Caches.cached(v)
     val w = matvec(vc)
+    // lambda is EXACT: sign·(|num| div den) on the DECIMAL sums. The
+    // round-9 sf0.001 artifact caught the old double quotient: at
+    // λ ≈ 5.8e15 one ULP is 1.0, so the two engines' division differed
+    // by a full unit and round(·,6) could not hide it — the integer
+    // floor is the only cross-engine-stable form at this magnitude.
     val ray = vc.join(w, Seq("dim"))
       .agg(sum(col("v_micro").cast(dec) * col("w")).as("num"),
         sum(col("v_micro").cast(dec) * col("v_micro")).as("den"))
-      .select(when(col("den") > 0, round(
-        col("num").cast("double") / col("den").cast("double"), 6))
+      .select(when(col("den") > 0,
+        signum(col("num").cast("double")).cast("long") *
+          expr("cast(abs(num) div den as bigint)"))
         .as("lambda"))
     vc.crossJoin(broadcast(ray)).select("dim", "v_micro", "lambda")
       .orderBy("dim")

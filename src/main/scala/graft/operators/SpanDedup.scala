@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT duplicated-SPAN detection across a corpus — the substring-level
+  * complement of the document-level dedup family (MinHash/SimHash/
+  * fingerprint drop whole documents; this finds the duplicated RUNS
+  * inside otherwise-distinct documents, the operator behind
+  * "deduplicating training data" span removal: boilerplate headers,
+  * licence blocks, templated paragraphs).
+  *
+  * Method (public: Lee et al. 2022, "Deduplicating Training Data Makes
+  * Language Models Better" — the ExactSubstr idea re-expressed
+  * relationally; their suffix array is a single-machine structure, the
+  * Spark-shaped equivalent is a positioned window-hash census):
+  *
+  *  1. every L-token window of every document hashes to
+  *     (doc_id, pos, h) — h the house rolling PolyHash over the
+  *     space-joined window, the [[Dedup.shingled]] convention with
+  *     POSITIONS kept;
+  *  2. one global census groups by h: windows whose hash occurs ≥ 2
+  *     times anywhere (other docs OR the same doc) are duplicated; the
+  *     lexicographically first occurrence (min doc_id, then min pos) is
+  *     the CANONICAL copy and stays;
+  *  3. every other occurrence is flagged, and per doc the flagged
+  *     windows — each covering token positions [pos, pos+L) — merge
+  *     into maximal spans by the island rule (a window extends the
+  *     current span iff its start sits at or inside the running
+  *     covered end).
+  *
+  * Scale shape: the census is ONE hash-keyed aggregate (map-side
+  * combine; no key joins back to more than one census row, so hot
+  * "stop windows" fan nothing out); the island merge sorts only each
+  * doc's flagged windows (doc-bounded, never corpus-bounded). All
+  * arithmetic is exact integers — position algebra and counts — so the
+  * DuckDB oracle replays it bit-for-bit.
+  */
+object SpanDedup {
+
+  /** (doc_id, pos, h): the rolling hash of every L-token window.
+    * Documents shorter than L tokens contribute nothing.
+    */
+  def windowHashes(docs: DataFrame, l: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(l >= 2, "window length")
+    val toks = TextOps.tokens(col(textCol))
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("ws"))
+      .where(size(col("ws")) >= l)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("ws")) - l),
+          p => TextOps.rollingHash(
+            concat_ws(" ", slice(col("ws"), p + 1, lit(l)))))))
+      .toDF("doc_id", "pos", "h")
+  }
+
+  /** Flagged (non-canonical) duplicated windows: (doc_id, pos). */
+  private def extraWindows(wh: DataFrame): DataFrame = {
+    val census = wh.groupBy("h")
+      .agg(count(lit(1)).as("c"), min(struct("doc_id", "pos")).as("first"))
+      .filter(col("c") >= 2)
+      .select(col("h"), col("first.doc_id").as("fd"),
+        col("first.pos").as("fp"))
+    wh.join(census, Seq("h"))
+      .filter(col("doc_id") =!= col("fd") || col("pos") =!= col("fp"))
+      .select("doc_id", "pos")
+  }
+
+  /** Maximal duplicated spans per document: (doc_id, span_start,
+    * span_end, n_windows) with token positions [span_start, span_end)
+    * half-open. The canonical first occurrence of each window is NOT a
+    * span — only the copies are.
+    */
+  def duplicatedSpans(docs: DataFrame, l: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ex = extraWindows(windowHashes(docs, l, idCol, textCol))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    // island rule over each doc's flagged windows: a window EXTENDS the
+    // current span iff its coverage [pos, pos+L) overlaps or touches
+    // the running covered end [.., max(prev pos)+L) — i.e. a new span
+    // starts only past a strictly positive gap (pos > prev_max + L).
+    // Touching regions merge because two back-to-back duplicated runs
+    // are one contiguous duplicated region for removal purposes.
+    val isles = ex
+      .withColumn("prev_max", max(col("pos")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_max").isNull ||
+          col("pos") > col("prev_max") + l, 1L).otherwise(0L))
+      .withColumn("span_id", sum("new_span").over(byDoc))
+    isles.groupBy(col("doc_id"), col("span_id"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + l).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
+  /** Per-document duplication report, docs with ≥1 flagged span only:
+    * (doc_id, n_tokens, n_spans, dup_windows, dup_tokens, dup_ppm) —
+    * dup_tokens = Σ span lengths (spans are disjoint by construction),
+    * dup_ppm the exact floor share of the doc's tokens sitting in a
+    * duplicated copy.
+    */
+  def docReport(docs: DataFrame, l: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spans = duplicatedSpans(docs, l, idCol, textCol)
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum("n_windows").as("dup_windows"),
+        sum(col("span_end") - col("span_start")).as("dup_tokens"))
+    val sizes = docs.select(col(idCol).as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+    perDoc.join(sizes, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        col("dup_windows"), col("dup_tokens"),
+        expr("(dup_tokens * 1000000) div n_tokens").as("dup_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-group rollup — the corpus-health number a pretraining pipeline
+    * tracks per source: (group, n_docs, docs_flagged, total_tokens,
+    * dup_tokens, dup_ppm).
+    */
+  def report(docs: DataFrame, groupCol: String, l: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = duplicatedSpans(docs, l, idCol, textCol)
+      .groupBy("doc_id")
+      .agg(sum(col("span_end") - col("span_start")).as("dup_tokens"))
+    val base = docs.select(col(groupCol).as("g"), col(idCol).as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+    base.join(spans, Seq("doc_id"), "left")
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup_tokens").isNotNull, 1L).otherwise(0L))
+          .as("docs_flagged"),
+        sum("n_tokens").as("total_tokens"),
+        sum(coalesce(col("dup_tokens"), lit(0L))).as("dup_tokens"))
+      .select(col("g").as(groupCol), col("n_docs"), col("docs_flagged"),
+        col("total_tokens"), col("dup_tokens"),
+        expr("(dup_tokens * 1000000) div total_tokens").as("dup_ppm"))
+      .orderBy(groupCol)
+  }
+
+  /** Span REMOVAL — the scrubbed corpus itself: per doc, the tokens
+    * outside every duplicated span, emitted as (doc_id, n_tokens,
+    * kept_tokens, kept_hash) where kept_hash is the rolling hash of the
+    * space-joined kept sequence — the exact fingerprint a downstream
+    * re-ingest can verify against. Docs with no spans pass through
+    * (kept_tokens = n_tokens, hash of the full token sequence).
+    */
+  def scrub(docs: DataFrame, l: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spans = duplicatedSpans(docs, l, idCol, textCol)
+      .groupBy("doc_id")
+      .agg(collect_list(struct("span_start", "span_end")).as("spans"))
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("ws"))
+    base.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        filter(
+          transform(col("ws"),
+            (w, i) => when(
+              coalesce(exists(col("spans"),
+                s => i >= s("span_start") && i < s("span_end")),
+                lit(false)), lit(null).cast("string")).otherwise(w)),
+          w => w.isNotNull).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        TextOps.rollingHash(concat_ws(" ", col("kept"))).as("kept_hash"))
+      .orderBy("doc_id")
+  }
+}

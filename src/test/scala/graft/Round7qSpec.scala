@@ -22,7 +22,7 @@ class Round7qSpec extends AnyFunSuite {
     }
     val embs = rows.toDF("vec_id", "embedding")
     val r = Similarity.topEigenReport(embs).collect()
-      .map(x => x.getInt(0) -> (x.getLong(1), x.getDouble(2))).toMap
+      .map(x => x.getInt(0) -> (x.getLong(1), x.getLong(2))).toMap
     assert(r.size == 64)
     // the planted direction dominates: dim 1 at full ∞-norm scale,
     // every other component at least 10× smaller
@@ -31,7 +31,7 @@ class Round7qSpec extends AnyFunSuite {
       assert(math.abs(r(d)._1) < 100000L, s"dim $d leaked ${r(d)._1}")
     }
     // Rayleigh quotient positive (a covariance is PSD up to floor noise)
-    assert(r(1)._2 > 0.0)
+    assert(r(1)._2 > 0L)
   }
 
   test("topEigenReport: more rounds do not change a converged direction") {

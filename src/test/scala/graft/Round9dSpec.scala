@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SpanDedup, TextOps}
+
+/** Round-9 part four specs: exact duplicated-span detection/removal.
+  * Hand-built corpora with known shared runs; window length 3 keeps the
+  * arithmetic checkable on paper.
+  */
+class Round9dSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val L = 3
+
+  private def corpus(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("duplicatedSpans: a shared run flags only the LATER copy, " +
+    "merged to one maximal span") {
+    // docs share the 5-token run "a b c d e" → three 3-windows, all
+    // flagged in doc 2 only, merging to span [1, 6) (6-1=5 tokens)
+    val df = corpus(
+      (1L, "a b c d e x y"),
+      (2L, "z a b c d e q"))
+    val spans = SpanDedup.duplicatedSpans(df, L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(spans.toSeq == Seq((2L, 1, 6, 3L)), spans.mkString(";"))
+  }
+
+  test("duplicatedSpans: disjoint shared runs stay separate spans; " +
+    "touching runs merge") {
+    // doc 3 copies doc 1's head run at positions 0.. and its tail run
+    // far apart → two spans; doc 4 copies them adjacent → one span
+    val df = corpus(
+      (1L, "a b c x y z q w e r"),
+      (3L, "a b c k k k k q w e"),
+      (4L, "a b c q w e k k k k"))
+    val spans = SpanDedup.duplicatedSpans(df, L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // doc 3 flags "a b c"@0, the second "k k k"@4 (canonical is its
+    // own @3), and "q w e"@7; [4,7) and [7,10) touch → merged [4,10)
+    assert(spans.filter(_._1 == 3L) == Set((3L, 0, 3), (3L, 4, 10)),
+      spans.toString)
+    // doc 4 flags @0 @3 @6 @7 — every region touches → one span [0,10)
+    assert(spans.filter(_._1 == 4L) == Set((4L, 0, 10)), spans.toString)
+  }
+
+  test("duplicatedSpans: WITHIN-doc repetition flags the second copy") {
+    val df = corpus((7L, "a b c x a b c"))
+    val spans = SpanDedup.duplicatedSpans(df, L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(spans.toSeq == Seq((7L, 4, 7, 1L)), spans.mkString(";"))
+  }
+
+  test("docReport + report: exact token accounting") {
+    val df = corpus(
+      (1L, "a b c d e x y"),
+      (2L, "z a b c d e q"))
+      .withColumn("source", lit("s1"))
+    val doc = SpanDedup.docReport(df, L).collect()
+    assert(doc.length == 1)
+    val r = doc.head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 7L &&
+      r.getLong(2) == 1L && r.getLong(3) == 3L && r.getLong(4) == 5L,
+      r.toString)
+    assert(r.getLong(5) == (5L * 1000000L) / 7L, r.toString)
+    val rep = SpanDedup.report(df, "source", L).collect()
+    assert(rep.length == 1)
+    val g = rep.head
+    assert(g.getString(0) == "s1" && g.getLong(1) == 2L &&
+      g.getLong(2) == 1L && g.getLong(3) == 14L && g.getLong(4) == 5L,
+      g.toString)
+    assert(g.getLong(5) == (5L * 1000000L) / 14L, g.toString)
+  }
+
+  test("scrub: kept sequence drops exactly the span tokens and hashes " +
+    "the remainder; clean docs hash their full sequence") {
+    val df = corpus(
+      (1L, "a b c d e x y"),
+      (2L, "z a b c d e q"))
+    val out = SpanDedup.scrub(df, L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    import spark.implicits._
+    def hashOf(s: String): Long =
+      Seq(s).toDF("x").select(TextOps.rollingHash(col("x")))
+        .collect()(0).getLong(0)
+    assert(out(1L) == ((7L, 7L, hashOf("a b c d e x y"))), out.toString)
+    // doc 2 loses positions [1,6) = "a b c d e" → kept "z q"
+    assert(out(2L) == ((7L, 2L, hashOf("z q"))), out.toString)
+  }
+
+  test("windowHashes: short docs contribute nothing; counts are n-L+1") {
+    val df = corpus((1L, "a b"), (2L, "a b c d"))
+    val wh = SpanDedup.windowHashes(df, L).collect()
+    assert(wh.forall(_.getLong(0) == 2L))
+    assert(wh.length == 2, wh.mkString(";"))
+  }
+}

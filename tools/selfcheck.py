@@ -29,6 +29,7 @@ import duckdb
 args = []
 only = None
 run = False
+json_out = None
 argv = sys.argv[1:]
 i = 0
 while i < len(argv):
@@ -42,6 +43,8 @@ while i < len(argv):
         only = set(argv[i].split(","))
     elif a == "--run":
         run = True
+    elif a.startswith("--json="):  # driver-style per-query artifact
+        json_out = a.split("=", 1)[1]
     elif a.startswith("--"):
         sys.exit(f"unrecognized flag: {a}")
     else:
@@ -123,6 +126,14 @@ def cells_loose(a, b):
 
 fails = 0
 warn_loose = []
+results = {}
+def record(name, rows_match, schema_match, hash_match,
+           spark_rows=None, oracle_rows=None, err=None):
+    results[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                     "hash_match": hash_match, "spark_rows": spark_rows,
+                     "oracle_rows": oracle_rows}
+    if err:
+        results[name]["err"] = err
 for name, sql in sorted(oracle.items()):
     try:
         expect = norm(con.execute(sql).fetchdf())
@@ -130,14 +141,18 @@ for name, sql in sorted(oracle.items()):
             f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf())
     except Exception as e:
         print(f"FAIL {name}: {e}")
+        record(name, None, None, None, err=str(e)[:200])
         fails += 1
         continue
     if list(expect.columns) != list(got.columns):
         print(f"FAIL {name}: columns {list(got.columns)} != {list(expect.columns)}")
+        record(name, len(expect) == len(got), False, False,
+               len(got), len(expect))
         fails += 1
         continue
     if len(expect) != len(got):
         print(f"FAIL {name}: rows {len(got)} != {len(expect)}")
+        record(name, False, True, False, len(got), len(expect))
         fails += 1
         continue
     # Dtype-kind gate: catches HUGEINT (float64/object) vs BIGINT (int64)
@@ -147,6 +162,7 @@ for name, sql in sorted(oracle.items()):
               if kind(expect[c].dtype) != kind(got[c].dtype)]
     if dt_bad:
         print(f"FAIL {name}: dtype kind mismatch (oracle vs spark): {dt_bad}")
+        record(name, True, False, False, len(got), len(expect))
         fails += 1
         continue
     bad = []
@@ -168,10 +184,16 @@ for name, sql in sorted(oracle.items()):
                           f"(WOULD FAIL DRIVER HASH), first: {loose_only[:3]}")
             warn_loose.append(name)
         print(f"FAIL {name}: " + "; ".join(detail))
+        record(name, True, True, False, len(got), len(expect))
         fails += 1
     else:
         print(f"PASS {name} ({len(expect)} rows, exact, "
               f"hash {typed_hash(got)})")
+        record(name, True, True, True, len(got), len(expect))
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(f"wrote {json_out}")
 if warn_loose:
     print(f"\nWARN: {len(warn_loose)} queries pass only under float "
           f"tolerance and would be red at the driver: {warn_loose}")
