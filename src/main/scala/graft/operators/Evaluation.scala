@@ -436,4 +436,53 @@ object Evaluation {
         col("iso_rate_ppm"))
       .orderBy("bin")
   }
+
+  /** SPLIT-CONFORMAL interval report (public method: Vovk's inductive
+    * conformal prediction; Angelopoulos & Bates 2023 tutorial form) —
+    * the distribution-free miscoverage guarantee a model-eval pipeline
+    * should report INSTEAD of a hand-tuned tolerance: with calibration
+    * nonconformity scores s = |y − ŷ| and q̂ = the k-th smallest where
+    * k = ⌈(n_cal+1)(1−α)⌉, the interval ŷ ± q̂ covers a fresh point
+    * with probability ≥ 1−α, no matter the model.
+    *
+    * Everything is exact: s are micro integers, k is one integer
+    * ceiling ((n+1)·(1000−α‰) + 999) div 1000, q̂ the value-domain
+    * order-statistic pick (min s with cum ≥ k — the q11 census pick),
+    * and the held-out coverage a floor-ppm count. When k > n_cal the
+    * conformal interval is infinite — q̂ and the coverage go NULL
+    * rather than pretending a finite width (the honest small-n answer).
+    *
+    * Output (1 row): (n_cal, n_eval, qhat_micro, n_covered,
+    * coverage_ppm, target_ppm).
+    */
+  def splitConformal(df: DataFrame, isCalib: Column, yMicro: Column,
+      yhatMicro: Column, alphaPermille: Long = 100L): DataFrame = {
+    require(alphaPermille > 0 && alphaPermille < 1000, "alpha in (0,1)")
+    val base = graft.util.Caches.cached(df.select(isCalib.as("cal"),
+      abs(yMicro - yhatMicro).cast("long").as("s")))
+    val census = base.filter(col("cal"))
+      .groupBy("s").agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val q = census
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n_cal", sum("c").over(wAll))
+      .withColumn("k", expr(
+        s"((n_cal + 1) * ${1000 - alphaPermille} + 999) div 1000"))
+      .groupBy(col("n_cal"))
+      .agg(min(when(col("cum") >= col("k"), col("s"))).as("qhat_micro"))
+    val eval0 = base.filter(!col("cal"))
+    eval0.crossJoin(broadcast(q))
+      .groupBy(col("n_cal"), col("qhat_micro"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("s") <= col("qhat_micro"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("n_cal"), col("n_eval"), col("qhat_micro"),
+        when(col("qhat_micro").isNotNull, col("n_covered"))
+          .as("n_covered"),
+        when(col("qhat_micro").isNotNull,
+          expr("(n_covered * 1000000) div n_eval")).as("coverage_ppm"),
+        lit((1000 - alphaPermille) * 1000).as("target_ppm"))
+  }
 }

@@ -115,6 +115,81 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE rerank (public method: Carbonell &
+    * Goldstein 1998) — diversity-aware top-k: greedily pick the
+    * candidate maximizing λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s), so the
+    * result covers the query's neighborhood instead of returning k
+    * near-copies of the same passage — the selection a RAG context
+    * builder or a diverse-sampling stage wants where plain top-k
+    * returns redundancy. [[hardNegatives]]' diversity-side sibling.
+    *
+    * Exactness: relevance and pair similarities are the 4-dp rounded
+    * cosines lifted to micro integers (the q36 cross-engine form);
+    * scores are permille-weighted integer combinations
+    * λ‰·rel − (1000−λ‰)·maxsim with (score desc, vec_id asc) total
+    * order. Shape: ONE corpus scan pools the top-`poolN` candidates per
+    * query (brute-force tier), the candidate×candidate similarity
+    * relation is queries·poolN² STAT rows, and the greedy k-step
+    * selection runs driver-side under the K-row allowance
+    * ([[graft.util.Guards.countedCollect]]) — the same trade as
+    * bradleyTerry: k tiny argmax passes beat 2k scheduled stages. The
+    * oracle unrolls the identical k steps in CTEs.
+    *
+    * Output per query: (query_id, rank, vec_id, rel_micro, mmr_score)
+    * with mmr_score in micro·permille units.
+    */
+  def mmrRerank(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      poolN: Int, lambdaPermille: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && poolN >= k, "k <= poolN")
+    require(lambdaPermille >= 0 && lambdaPermille <= 1000, "lambda")
+    val lam = lambdaPermille
+    val cand = bruteForceTopK(embeddings, queryIds, poolN, idCol, vecCol)
+      .select(col("query_id"), col("vec_id"),
+        round(col("cos_sim") * 1e6).cast("long").as("rel"))
+    val vecs = graft.util.Parallelism.ensure(embeddings)
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm(col("v")))
+    val cv = cand.join(vecs, Seq("vec_id"))
+    val pairs = cv.as("a").join(cv.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.vec_id").as("da"), col("b.vec_id").as("db"),
+        round(round(dot(col("a.v"), col("b.v")) /
+          (col("a.nv") * col("b.nv")), 4) * 1e6).cast("long").as("sim"))
+    val cRows = graft.util.Guards.countedCollect(cand, "mmrRerank")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pRows = graft.util.Guards.countedCollect(pairs, "mmrRerank")
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        r.getLong(3))).toMap
+    val out = cRows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (q, cs) =>
+        var rem = cs.map(c => (c._2, c._3)).sortBy(_._1).toList
+        val sel = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        for (rank <- 1 to math.min(k, rem.size)) {
+          val scored = rem.map { case (id, rel) =>
+            val maxSim =
+              if (sel.isEmpty) 0L
+              else sel.map(s => pRows((q, id, s._3))).max
+            (lam * rel - (1000L - lam) * maxSim, id, rel)
+          }
+          // (score desc, vec_id asc) — the oracle's total order
+          val pick = scored.minBy { case (sc, id, _) => (-sc, id) }
+          sel += ((pick._1, rank.toLong, pick._2))
+          rem = rem.filterNot(_._1 == pick._2)
+        }
+        val relOf = cs.map(c => c._2 -> c._3).toMap
+        sel.map { case (score, rank, id) =>
+          (q, rank, id, relOf(id), score)
+        }
+    }
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    out.toDF("query_id", "rank", "vec_id", "rel_micro", "mmr_score")
+      .orderBy("query_id", "rank")
+  }
+
   /** (query_id, vec_id, cos_sim) → top-k rows per query with 1-based
     * rank, ordered (cos_sim desc, vec_id asc).
     *

@@ -48,7 +48,9 @@ class Round9eSpec extends AnyFunSuite {
     // than the corpus; the jaccardPairs trade, measured there)
     "q264_dup_spans" -> 3,
     "q265_span_dedup_report" -> 3,
-    "q266_span_scrub" -> 3)
+    "q266_span_scrub" -> 3,
+    "q267_conformal" -> 0,              // event relation cached
+    "q268_mmr_rerank" -> 0)             // driver greedy over stat rows
 
   gates.foreach { case (name, maxLeaves) =>
     test(s"$name: ≤ $maxLeaves parquet leaves in the final plan") {
