@@ -22,6 +22,12 @@ object Round9fQueries {
       Similarity.mmrRerank(Tables.load(s, dir, "embeddings"),
         Round3Queries.AnnQueryIds, MmrK, MmrPool, MmrLambda)),
 
+    // q160's cumulative-hazard twin: same severe-error lifetimes,
+    // H(t) = Σ d/n in exact floor micro — no ln/exp ULP exposure.
+    "q269_nelson_aalen" -> ((s, dir) =>
+      graft.operators.Survival.nelsonAalen(Tables.load(s, dir, "events"),
+        col("event_type") === "error" && col("value") > 150)),
+
     // Does "per-type mean value" cover at the promised 90%? q̂ from the
     // odd-user calibration half, coverage on the even-user half.
     "q267_conformal" -> ((s, dir) => {
@@ -93,6 +99,34 @@ object Round9fQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q268_mmr_rerank" -> mmrOracle,
+
+    "q269_nelson_aalen" ->
+      """WITH u AS (SELECT user_id AS u,
+        |    min(date_trunc('day', ts)::DATE) AS entry,
+        |    min(CASE WHEN event_type = 'error' AND value > 150
+        |      THEN date_trunc('day', ts)::DATE END) AS event_day
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT max(date_trunc('day', ts)::DATE) AS horizon
+        |  FROM events),
+        |lt AS (SELECT CAST(CASE WHEN event_day IS NOT NULL
+        |      THEN event_day - entry ELSE horizon - entry END AS BIGINT)
+        |      AS t,
+        |    event_day IS NOT NULL AS observed FROM u, b),
+        |cs AS (SELECT t, sum(CASE WHEN observed THEN 1 ELSE 0 END) AS d,
+        |    sum(CASE WHEN observed THEN 0 ELSE 1 END) AS c
+        |  FROM lt GROUP BY t),
+        |w AS (SELECT *, CAST(sum(d + c) OVER () -
+        |      coalesce(sum(d + c) OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_at_risk FROM cs),
+        |k AS (SELECT *, CASE WHEN d > 0
+        |    THEN (CAST(d AS BIGINT) * 1000000) // n_at_risk
+        |    ELSE 0 END AS cell_micro FROM w)
+        |SELECT t, n_at_risk, CAST(d AS BIGINT) AS n_events,
+        |  CAST(c AS BIGINT) AS n_censored,
+        |  CAST(sum(cell_micro) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS BIGINT) AS hazard_micro
+        |FROM k ORDER BY t""".stripMargin,
 
     "q267_conformal" ->
       """WITH b AS (SELECT event_type AS g, (user_id % 2 = 1) AS cal,

@@ -82,6 +82,58 @@ object Survival {
       .orderBy("t")
   }
 
+  /** NELSON–AALEN cumulative hazard (public method: Nelson 1972;
+    * Aalen 1978) — H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ over the same right-censored
+    * lifetime census as [[kaplanMeier]]. The hazard is the curve a
+    * capacity/reliability read wants (additive, defined even after the
+    * risk set empties), and unlike the KM product it needs NO
+    * transcendental: every increment is one micro floor division
+    * (dᵢ·10⁶ div nᵢ — the documented q210a quantization contract) and
+    * the curve is a cumulative integer sum, so the oracle is
+    * bit-identical with no ln/exp ULP exposure at any scale.
+    *
+    * Output per distinct lifetime t: (t, n_at_risk, n_events,
+    * n_censored, hazard_micro).
+    */
+  def nelsonAalen(events: DataFrame, eventPred: Column,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val users = graft.util.Caches.cached(events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"),
+        eventPred.as("hit"))
+      .groupBy("u")
+      .agg(min("day").as("entry"),
+        min(when(col("hit"), col("day"))).as("event_day"),
+        max("day").as("last_day")))
+    val horizon = users.agg(max("last_day").as("horizon"))
+    val lt = users.crossJoin(broadcast(horizon))
+      .select(
+        when(col("event_day").isNotNull,
+          datediff(col("event_day"), col("entry")))
+          .otherwise(datediff(col("horizon"), col("entry")))
+          .cast("long").as("t"),
+        col("event_day").isNotNull.as("observed"))
+    val census = lt.groupBy("t")
+      .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("observed"), 0L).otherwise(1L)).as("c"))
+    val wAll = Window.partitionBy()
+    val wBefore = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    census
+      .withColumn("n_total", sum(col("d") + col("c")).over(wAll))
+      .withColumn("n_at_risk",
+        col("n_total") - coalesce(sum(col("d") + col("c")).over(wBefore),
+          lit(0L)))
+      .withColumn("cell_micro",
+        when(col("d") > 0, expr("(d * 1000000) div n_at_risk"))
+          .otherwise(lit(0L)))
+      .withColumn("hazard_micro", sum("cell_micro").over(wCum))
+      .select(col("t"), col("n_at_risk"), col("d").as("n_events"),
+        col("c").as("n_censored"), col("hazard_micro"))
+      .orderBy("t")
+  }
+
   /** Log-rank test — "do the two arms' survival curves differ": the
     * standard two-sample comparison over right-censored lifetimes
     * (Mantel–Haenszel form), the inferential companion

@@ -85,6 +85,31 @@ class Round9fSpec extends AnyFunSuite {
       s"step 2 must pick the diverse candidate: ${r.mkString(";")}")
   }
 
+  test("nelsonAalen: hand-computed hazard increments accumulate " +
+    "exactly, censoring adds nothing") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")
+    // 5 users entering day 0: u5 fails t=1, u1/u2 fail t=2, u3/u4
+    // censored at the day-4 horizon
+    val rows =
+      (1 to 5).map(u => (u.toLong, "view", ts(0))) ++ Seq(
+        (5L, "error", ts(1)),
+        (1L, "error", ts(2)), (2L, "error", ts(2)),
+        (3L, "view", ts(4)), (4L, "view", ts(4)))
+    val ev = rows.toDF("user_id", "event_type", "ts")
+    val r = graft.operators.Survival
+      .nelsonAalen(ev, col("event_type") === "error")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    // t=1: 1/5 → 200000; t=2: 2/4 → +500000; t=4: censor only → flat
+    assert(r.toSeq == Seq(
+      (1L, 5L, 1L, 0L, 200000L),
+      (2L, 4L, 2L, 0L, 700000L),
+      (4L, 2L, 0L, 2L, 700000L)), r.mkString(";"))
+    graft.util.Caches.releaseAll()
+  }
+
   test("mmrRerank: lambda = 1000 degenerates to pure relevance order") {
     import spark.implicits._
     val embs = Seq(
