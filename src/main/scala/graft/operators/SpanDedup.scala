@@ -74,15 +74,19 @@ object SpanDedup {
     * span — only the copies are.
     */
   def duplicatedSpans(docs: DataFrame, l: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val ex = extraWindows(windowHashes(docs, l, idCol, textCol))
+      textCol: String = "text"): DataFrame =
+    mergeSpans(extraWindows(windowHashes(docs, l, idCol, textCol)), l)
+
+  /** Island merge of flagged (doc_id, pos) windows into maximal spans:
+    * a window EXTENDS the current span iff its coverage [pos, pos+L)
+    * overlaps or touches the running covered end [.., max(prev pos)+L)
+    * — i.e. a new span starts only past a strictly positive gap
+    * (pos > prev_max + L). Touching regions merge because two
+    * back-to-back duplicated runs are one contiguous duplicated region
+    * for removal purposes. The sort is doc-bounded.
+    */
+  private def mergeSpans(ex: DataFrame, l: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    // island rule over each doc's flagged windows: a window EXTENDS the
-    // current span iff its coverage [pos, pos+L) overlaps or touches
-    // the running covered end [.., max(prev pos)+L) — i.e. a new span
-    // starts only past a strictly positive gap (pos > prev_max + L).
-    // Touching regions merge because two back-to-back duplicated runs
-    // are one contiguous duplicated region for removal purposes.
     val isles = ex
       .withColumn("prev_max", max(col("pos")).over(
         byDoc.rowsBetween(Window.unboundedPreceding, -1)))
@@ -95,6 +99,53 @@ object SpanDedup {
         (max("pos") + l).as("span_end"),
         count(lit(1)).as("n_windows"))
       .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
+  /** Corpus spans that appear in a REFERENCE set — span-level benchmark
+    * decontamination, the removal-grade complement of
+    * [[Decontaminate.overlapScores]]' doc-level shingle overlap: a
+    * corpus window flags iff its hash occurs ANYWHERE in `reference`
+    * (no canonical-first rule — the reference copy always wins), and
+    * flagged windows island-merge into the spans an eval-set scrubber
+    * would cut. Same scale shape as [[duplicatedSpans]] with the
+    * census replaced by a semi-join against the reference's distinct
+    * window hashes.
+    */
+  def spansAgainst(corpus: DataFrame, reference: DataFrame, l: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cw = windowHashes(corpus, l, idCol, textCol)
+    val rw = windowHashes(reference, l, idCol, textCol)
+      .select("h").distinct()
+    mergeSpans(cw.join(rw, Seq("h")).select("doc_id", "pos"), l)
+  }
+
+  /** Per-group span-decontamination rollup: (group, n_docs,
+    * docs_contaminated, total_tokens, contaminated_tokens,
+    * contaminated_ppm) of `corpus` against `reference`.
+    */
+  def decontReport(corpus: DataFrame, reference: DataFrame,
+      groupCol: String, l: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spans = spansAgainst(corpus, reference, l, idCol, textCol)
+      .groupBy("doc_id")
+      .agg(sum(col("span_end") - col("span_start")).as("bad_tokens"))
+    val base = corpus.select(col(groupCol).as("g"),
+      col(idCol).as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+    base.join(spans, Seq("doc_id"), "left")
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bad_tokens").isNotNull, 1L).otherwise(0L))
+          .as("docs_contaminated"),
+        sum("n_tokens").as("total_tokens"),
+        sum(coalesce(col("bad_tokens"), lit(0L)))
+          .as("contaminated_tokens"))
+      .select(col("g").as(groupCol), col("n_docs"),
+        col("docs_contaminated"), col("total_tokens"),
+        col("contaminated_tokens"),
+        expr("(contaminated_tokens * 1000000) div total_tokens")
+          .as("contaminated_ppm"))
+      .orderBy(groupCol)
   }
 
   /** Per-document duplication report, docs with ≥1 flagged span only:

@@ -93,6 +93,27 @@ class Round9dSpec extends AnyFunSuite {
     assert(out(2L) == ((7L, 2L, hashOf("z q"))), out.toString)
   }
 
+  test("spansAgainst: corpus spans matching the reference flag with no " +
+    "canonical-first exemption; clean docs stay clean") {
+    import spark.implicits._
+    val reference = corpus((100L, "a b c d e"))
+    val c = corpus(
+      (1L, "x a b c d e y"), // carries the reference run at [1,6)
+      (2L, "p q r s t u v")) // clean
+    val spans = graft.operators.SpanDedup
+      .spansAgainst(c, reference, L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(spans.toSeq == Seq((1L, 1, 6)), spans.mkString(";"))
+    val rep = graft.operators.SpanDedup
+      .decontReport(c.withColumn("source", lit("s")), reference,
+        "source", L).collect()
+    val g = rep.head
+    // 2 docs, 1 contaminated, 14 tokens, 5 contaminated
+    assert(g.getLong(1) == 2L && g.getLong(2) == 1L &&
+      g.getLong(3) == 14L && g.getLong(4) == 5L, g.toString)
+    assert(g.getLong(5) == (5L * 1000000L) / 14L, g.toString)
+  }
+
   test("windowHashes: short docs contribute nothing; counts are n-L+1") {
     val df = corpus((1L, "a b"), (2L, "a b c d"))
     val wh = SpanDedup.windowHashes(df, L).collect()
