@@ -45,6 +45,18 @@ object Round9dQueries {
         d.filter(col("doc_id") % Round3Queries.BenchMod =!= 0),
         d.filter(col("doc_id") % Round3Queries.BenchMod === 0),
         "source", SpanL)
+    }),
+
+    // The SCAN-STAGE tier of q270: the benchmark's window hashes ride
+    // the plan as one literal array and every doc folds once — no
+    // explode, no join, no shuffle; streaming-safe. Same oracle as
+    // q270 (differential pair by construction).
+    "q271_span_decon_scan" -> ((s, dir) => {
+      val d = docs(s, dir)
+      SpanDedup.decontReportScan(
+        d.filter(col("doc_id") % Round3Queries.BenchMod =!= 0),
+        d.filter(col("doc_id") % Round3Queries.BenchMod === 0),
+        "source", SpanL)
     }))
 
   /** Shared CTE chain: tokens → positioned window hashes → census with
@@ -85,6 +97,53 @@ object Round9dQueries {
        |  FROM isl3 GROUP BY 1, 2)""".stripMargin
   }
 
+  /** Shared by q270 (join tier) and q271 (scan tier): the two
+    * implementations are value-identical by construction, so one oracle
+    * doubles as a standing differential test between them.
+    */
+  private def decontOracle: String = {
+    val l = SpanL
+    val win = s"array_to_string(list_slice(ws, i, i + ${l - 1}), ' ')"
+    s"""WITH t AS (SELECT doc_id, source,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |  FROM documents),
+       |wi AS (SELECT doc_id, ws,
+       |    unnest(range(1, len(ws) - $l + 2)) AS i
+       |  FROM t WHERE len(ws) >= $l),
+       |wh AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+       |    ${LlmQueries.rollSql(win)} AS h
+       |  FROM wi),
+       |rw AS (SELECT DISTINCT h FROM wh
+       |  WHERE doc_id % ${Round3Queries.BenchMod} = 0),
+       |ex AS (SELECT wh.doc_id, wh.pos FROM wh JOIN rw ON rw.h = wh.h
+       |  WHERE wh.doc_id % ${Round3Queries.BenchMod} <> 0),
+       |isl AS (SELECT doc_id, pos, max(pos) OVER (PARTITION BY doc_id
+       |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+       |    PRECEDING) AS prev_max FROM ex),
+       |isl2 AS (SELECT *, CASE WHEN prev_max IS NULL OR
+       |    pos > prev_max + $l THEN 1 ELSE 0 END AS ns FROM isl),
+       |isl3 AS (SELECT *, sum(ns) OVER (PARTITION BY doc_id ORDER BY
+       |    pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS span_id FROM isl2),
+       |sp AS (SELECT doc_id, span_id, CAST(min(pos) AS INTEGER)
+       |    AS span_start, CAST(max(pos) + $l AS INTEGER) AS span_end
+       |  FROM isl3 GROUP BY 1, 2),
+       |pd AS (SELECT doc_id,
+       |    CAST(sum(span_end - span_start) AS BIGINT) AS bad_tokens
+       |  FROM sp GROUP BY 1)
+       |SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN pd.bad_tokens IS NOT NULL THEN 1 ELSE 0
+       |    END) AS BIGINT) AS docs_contaminated,
+       |  CAST(sum(len(t.ws)) AS BIGINT) AS total_tokens,
+       |  CAST(sum(coalesce(pd.bad_tokens, 0)) AS BIGINT)
+       |    AS contaminated_tokens,
+       |  (CAST(sum(coalesce(pd.bad_tokens, 0)) AS BIGINT) * 1000000)
+       |    // CAST(sum(len(t.ws)) AS BIGINT) AS contaminated_ppm
+       |FROM t LEFT JOIN pd ON pd.doc_id = t.doc_id
+       |WHERE t.doc_id % ${Round3Queries.BenchMod} <> 0
+       |GROUP BY t.source ORDER BY t.source""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q264_dup_spans" ->
       s"""WITH $spanCtes,
@@ -113,49 +172,11 @@ object Round9dQueries {
          |FROM t LEFT JOIN pd ON pd.doc_id = t.doc_id
          |GROUP BY t.source ORDER BY t.source""".stripMargin,
 
-    "q270_span_decontaminate" -> {
-      val l = SpanL
-      val win =
-        s"array_to_string(list_slice(ws, i, i + ${l - 1}), ' ')"
-      s"""WITH t AS (SELECT doc_id, source,
-         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
-         |  FROM documents),
-         |wi AS (SELECT doc_id, ws,
-         |    unnest(range(1, len(ws) - $l + 2)) AS i
-         |  FROM t WHERE len(ws) >= $l),
-         |wh AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
-         |    ${LlmQueries.rollSql(win)} AS h
-         |  FROM wi),
-         |rw AS (SELECT DISTINCT h FROM wh
-         |  WHERE doc_id % ${Round3Queries.BenchMod} = 0),
-         |ex AS (SELECT wh.doc_id, wh.pos FROM wh JOIN rw ON rw.h = wh.h
-         |  WHERE wh.doc_id % ${Round3Queries.BenchMod} <> 0),
-         |isl AS (SELECT doc_id, pos, max(pos) OVER (PARTITION BY doc_id
-         |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1
-         |    PRECEDING) AS prev_max FROM ex),
-         |isl2 AS (SELECT *, CASE WHEN prev_max IS NULL OR
-         |    pos > prev_max + $l THEN 1 ELSE 0 END AS ns FROM isl),
-         |isl3 AS (SELECT *, sum(ns) OVER (PARTITION BY doc_id ORDER BY
-         |    pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |    AS span_id FROM isl2),
-         |sp AS (SELECT doc_id, span_id, CAST(min(pos) AS INTEGER)
-         |    AS span_start, CAST(max(pos) + $l AS INTEGER) AS span_end
-         |  FROM isl3 GROUP BY 1, 2),
-         |pd AS (SELECT doc_id,
-         |    CAST(sum(span_end - span_start) AS BIGINT) AS bad_tokens
-         |  FROM sp GROUP BY 1)
-         |SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(CASE WHEN pd.bad_tokens IS NOT NULL THEN 1 ELSE 0
-         |    END) AS BIGINT) AS docs_contaminated,
-         |  CAST(sum(len(t.ws)) AS BIGINT) AS total_tokens,
-         |  CAST(sum(coalesce(pd.bad_tokens, 0)) AS BIGINT)
-         |    AS contaminated_tokens,
-         |  (CAST(sum(coalesce(pd.bad_tokens, 0)) AS BIGINT) * 1000000)
-         |    // CAST(sum(len(t.ws)) AS BIGINT) AS contaminated_ppm
-         |FROM t LEFT JOIN pd ON pd.doc_id = t.doc_id
-         |WHERE t.doc_id % ${Round3Queries.BenchMod} <> 0
-         |GROUP BY t.source ORDER BY t.source""".stripMargin
-    },
+    "q270_span_decontaminate" -> decontOracle,
+    // the scan-stage tier is value-identical by construction — the two
+    // implementations (census join vs literal-array fold) share one
+    // oracle, making the pair a standing differential test
+    "q271_span_decon_scan" -> decontOracle,
 
     "q266_span_scrub" -> {
       val keptHash = LlmQueries.rollSql(

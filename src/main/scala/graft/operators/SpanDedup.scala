@@ -119,6 +119,85 @@ object SpanDedup {
     mergeSpans(cw.join(rw, Seq("h")).select("doc_id", "pos"), l)
   }
 
+  /** Plan-size cap for [[contaminatedTokens]]' literal reference array
+    * (the randomProjection literal-plan convention): eval benchmarks
+    * fit comfortably; a corpus-sized reference must use the
+    * [[spansAgainst]] join tier instead. */
+  val MaxInPlanRefHashes = 65536
+
+  /** SCAN-STAGE contaminated-token counter — the second tier of span
+    * decontamination for a DRIVER-BOUNDED reference (an eval benchmark,
+    * not a second corpus): the reference window hashes materialize as
+    * ONE literal array in the plan and each document reduces in a
+    * single left fold over its positioned window hashes, accumulating
+    * the size of the UNION of flagged coverages [pos, pos+L) — the
+    * exact number [[spansAgainst]]' island merge sums, with no explode,
+    * no join, no shuffle and no state, so the expression drops into a
+    * streaming projection unchanged (continuous decontamination).
+    * Per-window membership is a linear scan of the literal array —
+    * that is the trade: O(|ref|) per window against the join tier's
+    * census shuffle; the require caps |ref| at [[MaxInPlanRefHashes]].
+    */
+  def contaminatedTokens(text: Column, refHashes: Seq[Long],
+      l: Int): Column = {
+    require(l >= 2, "window length")
+    require(refHashes.nonEmpty && refHashes.size <= MaxInPlanRefHashes,
+      s"in-plan reference must be 1..$MaxInPlanRefHashes window hashes" +
+        " — use spansAgainst (the join tier) for corpus-sized references")
+    val ref = array(refHashes.distinct.map(lit): _*)
+    val ws = TextOps.tokens(text)
+    val hs = when(size(ws) >= l,
+      transform(sequence(lit(0), size(ws) - l),
+        p => TextOps.rollingHash(concat_ws(" ", slice(ws, p + 1, lit(l))))))
+      .otherwise(array().cast("array<bigint>"))
+    // fold state (prev_end, total): a flagged window at position i adds
+    // (i+L) − max(prev_end, i) new covered tokens and advances the
+    // covered end to i+L (positions arrive in order, so the running
+    // max IS prev_end) — the union size, identical to the island sum
+    val indexed = zip_with(hs,
+      sequence(lit(0), greatest(size(hs) - 1, lit(0))),
+      (h, i) => struct(h.as("h"), i.as("i")))
+    aggregate(indexed,
+      struct(lit(0L).as("pe"), lit(0L).as("tot")),
+      (st, x) => when(array_contains(ref, x("h")),
+        struct(
+          (x("i") + l).cast("long").as("pe"),
+          (st("tot") + (x("i") + l) -
+            greatest(st("pe"), x("i").cast("long"))).as("tot")))
+        .otherwise(st),
+      st => st("tot"))
+  }
+
+  /** [[decontReport]]'s scan-stage twin over [[contaminatedTokens]]:
+    * same output schema and — by construction — the same values, with
+    * the reference collected once to the driver. The differential pair
+    * (join tier ↔ fold tier) shares one oracle.
+    */
+  def decontReportScan(corpus: DataFrame, reference: DataFrame,
+      groupCol: String, l: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val refHashes = graft.util.Guards.countedCollect(
+        windowHashes(reference, l, idCol, textCol).select("h").distinct(),
+        "decontReportScan", cap = MaxInPlanRefHashes.toLong)
+      .map(_.getLong(0)).toSeq
+    corpus
+      .select(col(groupCol).as("g"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
+        contaminatedTokens(col(textCol), refHashes, l).as("bad"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bad") > 0, 1L).otherwise(0L))
+          .as("docs_contaminated"),
+        sum("n_tokens").as("total_tokens"),
+        sum("bad").as("contaminated_tokens"))
+      .select(col("g").as(groupCol), col("n_docs"),
+        col("docs_contaminated"), col("total_tokens"),
+        col("contaminated_tokens"),
+        expr("(contaminated_tokens * 1000000) div total_tokens")
+          .as("contaminated_ppm"))
+      .orderBy(groupCol)
+  }
+
   /** Per-group span-decontamination rollup: (group, n_docs,
     * docs_contaminated, total_tokens, contaminated_tokens,
     * contaminated_ppm) of `corpus` against `reference`.

@@ -114,6 +114,56 @@ class Round9dSpec extends AnyFunSuite {
     assert(g.getLong(5) == (5L * 1000000L) / 14L, g.toString)
   }
 
+  test("contaminatedTokens: the scan-stage fold counts the exact " +
+    "coverage union, including overlapping flagged windows") {
+    import spark.implicits._
+    val reference = corpus((100L, "a b c d e"))
+    val refHashes = graft.operators.SpanDedup
+      .windowHashes(reference, L).select("h").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val c = corpus(
+      (1L, "x a b c d e y"), // union of 3 overlapping windows = 5
+      (2L, "p q r s t u v"), // clean → 0
+      (3L, "a b"))           // shorter than L → 0
+    val out = c.select(col("doc_id"), graft.operators.SpanDedup
+        .contaminatedTokens(col("text"), refHashes, L).as("bad"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 5L, 2L -> 0L, 3L -> 0L), out.toString)
+  }
+
+  test("contaminatedTokens: streaming-safe — the same expression runs " +
+    "in a streaming projection with no state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val reference = corpus((100L, "a b c d e"))
+    val refHashes = graft.operators.SpanDedup
+      .windowHashes(reference, L).select("h").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val input = MemoryStream[(Long, String)]
+    val out = input.toDS().toDF("doc_id", "text")
+      .select(col("doc_id"), graft.operators.SpanDedup
+        .contaminatedTokens(col("text"), refHashes, L).as("bad"))
+    val q = out.writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((1L, "x a b c d e y"), (2L, "p q r s t u v")))
+      q.processAllAvailable()
+      val rows = spark.table("decon_stream").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows == Map(1L -> 5L, 2L -> 0L), rows.toString)
+    } finally q.stop()
+  }
+
+  test("contaminatedTokens: reference cap enforced loudly") {
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.SpanDedup.contaminatedTokens(col("text"),
+        (0L to graft.operators.SpanDedup.MaxInPlanRefHashes.toLong)
+          .toSeq, L)
+    }
+    assert(e.getMessage.contains("join tier"), e.getMessage)
+  }
+
   test("windowHashes: short docs contribute nothing; counts are n-L+1") {
     val df = corpus((1L, "a b"), (2L, "a b c d"))
     val wh = SpanDedup.windowHashes(df, L).collect()
