@@ -51,6 +51,10 @@ object GraftExtensions {
     ("graft_ngrams",
       info("graft_ngrams", "graft_ngrams(str, n) - distinct adjacent word n-grams"),
       (args: Seq[Expression]) => WordNgrams(args.head, long(args(1), "n").toInt)),
+    ("graft_window_hashes",
+      info("graft_window_hashes", "graft_window_hashes(str, l) - positioned polynomial hashes of every adjacent l-token window (index = start token)"),
+      (args: Seq[Expression]) => PositionedWindowHashes(args.head,
+        long(args(1), "l").toInt, graft.operators.TextOps.HashMod)),
     ("graft_array_jaccard",
       info("graft_array_jaccard", "graft_array_jaccard(a, b) - Jaccard similarity of distinct string arrays"),
       (args: Seq[Expression]) => ArrayJaccard(args.head, args(1))),

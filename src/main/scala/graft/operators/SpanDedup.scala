@@ -40,19 +40,22 @@ import org.apache.spark.sql.functions._
 object SpanDedup {
 
   /** (doc_id, pos, h): the rolling hash of every L-token window.
-    * Documents shorter than L tokens contribute nothing.
+    * Documents shorter than L tokens contribute nothing. One native
+    * byte scan per doc ([[graft.functions.PositionedWindowHashes]],
+    * codegen'd) — no per-window string materialization, no interpreted
+    * lambda dispatch; values ≡ the built-ins formulation
+    * (differentially spec-pinned) and the oracle's
+    * `rollhash(array_to_string(list_slice(...)))`.
     */
   def windowHashes(docs: DataFrame, l: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(l >= 2, "window length")
-    val toks = TextOps.tokens(col(textCol))
     docs
-      .select(col(idCol).as("doc_id"), toks.as("ws"))
-      .where(size(col("ws")) >= l)
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), size(col("ws")) - l),
-          p => TextOps.rollingHash(
-            concat_ws(" ", slice(col("ws"), p + 1, lit(l)))))))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.PositionedWindowHashes
+          .positionedWindowHashes(col(textCol), l).as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(col("doc_id"), posexplode(col("hs")))
       .toDF("doc_id", "pos", "h")
   }
 
@@ -145,11 +148,8 @@ object SpanDedup {
       s"in-plan reference must be 1..$MaxInPlanRefHashes window hashes" +
         " — use spansAgainst (the join tier) for corpus-sized references")
     val ref = array(refHashes.distinct.map(lit): _*)
-    val ws = TextOps.tokens(text)
-    val hs = when(size(ws) >= l,
-      transform(sequence(lit(0), size(ws) - l),
-        p => TextOps.rollingHash(concat_ws(" ", slice(ws, p + 1, lit(l))))))
-      .otherwise(array().cast("array<bigint>"))
+    val hs = graft.functions.PositionedWindowHashes
+      .positionedWindowHashes(text, l)
     // fold state (prev_end, total): a flagged window at position i adds
     // (i+L) − max(prev_end, i) new covered tokens and advances the
     // covered end to i+L (positions arrive in order, so the running

@@ -170,4 +170,32 @@ class Round9dSpec extends AnyFunSuite {
     assert(wh.forall(_.getLong(0) == 2L))
     assert(wh.length == 2, wh.mkString(";"))
   }
+
+  test("PositionedWindowHashes ≡ the built-ins formulation " +
+    "(differential, fixture-wide)") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(200)
+    val ws = TextOps.tokens(col("text"))
+    val builtins = when(size(ws) >= L,
+      transform(sequence(lit(0), size(ws) - L),
+        p => TextOps.rollingHash(concat_ws(" ", slice(ws, p + 1, lit(L))))))
+      .otherwise(array().cast("array<bigint>"))
+    val bad = d.select(
+        graft.functions.PositionedWindowHashes
+          .positionedWindowHashes(col("text"), L).as("nat"),
+        builtins.as("ref"))
+      .filter(col("nat") =!= col("ref"))
+      .count()
+    assert(bad == 0L, s"$bad docs diverge from the built-ins form")
+    // punctuation/unicode edge: tokenizer equivalence rides TextTokens,
+    // already differential-pinned; empty text yields the empty array
+    import spark.implicits._
+    val e = Seq((1L, ""), (2L, "ab"), (3L, "A,b!C d☃e f"))
+      .toDF("doc_id", "text")
+      .select(graft.functions.PositionedWindowHashes
+        .positionedWindowHashes(col("text"), L).as("nat"), builtins.as("ref"))
+      .filter(col("nat") =!= col("ref")).count()
+    assert(e == 0L)
+  }
 }
