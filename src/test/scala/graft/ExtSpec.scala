@@ -132,9 +132,12 @@ class ExtSpec extends AnyFunSuite {
              graft_tokens('Hello, World!') AS t,
              graft_ngrams('a b c d', 3) AS g,
              graft_array_jaccard(array('x','y'), array('y','z')) AS j,
-             graft_array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d
+             graft_array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+             graft_window_hashes('a b c d', 3) AS wh
     """).collect().head
     assert(r.getAs[Long]("h") == 3105L)
+    // positioned: [hash('a b c'), hash('b c d')] — mirrors graft_ngrams
+    assert(r.getSeq[Long](5).length == 2)
     assert(r.getSeq[String](1).toList == List("hello", "world"))
     assert(r.getSeq[String](2).toList == List("a b c", "b c d"))
     assert(math.abs(r.getAs[Double]("j") - 1.0 / 3) < 1e-9)
