@@ -123,6 +123,61 @@ class Round9bSpec extends AnyFunSuite {
     graft.util.Caches.releaseAll()
   }
 
+  test("asofEnrichStream (flatMapGroupsWithState) survives kill-restart: " +
+    "carried per-user purchase state attributes post-restart clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val all = ev.select(col("user_id").cast("long"), col("ts"),
+        col("event_type"), col("event_id").cast("long"),
+        col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, String, Long, Double)]
+      .collect().sortBy(_._2.getTime).toSeq
+    // a ts-ordered split preserves the emit-once as-of semantics across
+    // the cut, so recovered output must equal the batch as-of join; the
+    // split lands mid-stream, leaving many users' latest-purchase state
+    // open in the store at the kill
+    val (firstHalf, secondHalf) = all.splitAt(all.size / 2)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("asof_out").toString
+    val cpDir = java.nio.file.Files
+      .createTempDirectory("asof_cp").toString
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Long,
+      Double)]
+    val out = StreamingOps.asofEnrichStream(
+      input.toDS().toDF("user_id", "ts", "event_type", "event_id",
+        "value"), "1 hour")
+    def start() = out.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    val q1 = start()
+    try { input.addData(firstHalf); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try { input.addData(secondHalf); q2.processAllAvailable() }
+    finally q2.stop()
+    val got = spark.read.parquet(outDir)
+      .select("user_id", "event_id", "p_event", "p_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2), r.get(3)))
+    assert(got.length == got.distinct.length,
+      "restart must not re-emit enriched clicks")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "event_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("p_event"),
+        max_by(col("value"), col("event_id")).as("p_value"))
+    val expect = graft.operators.AsOfJoin.asofLast(clicks, purchases,
+        Seq("user_id"), "ts", "ts", Seq("p_event", "p_value"))
+      .select("user_id", "event_id", "p_event", "p_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2), r.get(3))).toSet
+    assert(expect.nonEmpty && got.toSet == expect,
+      s"recovered ${got.length} != batch ${expect.size}")
+    graft.util.Caches.releaseAll()
+  }
+
   test("dropDuplicatesStream survives kill-restart: one row per key, " +
     "duplicates arriving after the restart stay suppressed") {
     val f: DataFrame => DataFrame = df =>
