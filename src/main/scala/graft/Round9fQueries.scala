@@ -28,6 +28,18 @@ object Round9fQueries {
       graft.operators.Survival.nelsonAalen(Tables.load(s, dir, "events"),
         col("event_type") === "error" && col("value") > 150)),
 
+    // The stream-stream interval join's BATCH twin (watermarks no-op):
+    // every purchase within the hour before each click. Oracled here;
+    // the streaming form + kill-restart ≡ this relation is Round9bSpec.
+    "q272_interval_join" -> ((s, dir) =>
+      graft.streaming.StreamingOps.intervalJoinStream(
+        Tables.load(s, dir, "events")
+          .select(col("user_id").cast("long"), col("ts"),
+            col("event_type"), col("event_id").cast("long"),
+            col("value").cast("double")),
+        window = "1 hour")
+        .orderBy("user_id", "click_id", "p_event")),
+
     // Does "per-type mean value" cover at the promised 90%? q̂ from the
     // odd-user calibration half, coverage on the even-user half.
     "q267_conformal" -> ((s, dir) => {
@@ -99,6 +111,14 @@ object Round9fQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q268_mmr_rerank" -> mmrOracle,
+
+    "q272_interval_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+        |  p.event_id AS p_event, p.value AS p_value, p.ts AS p_ts
+        |FROM events c JOIN events p ON p.user_id = c.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 1 HOUR
+        |ORDER BY c.user_id, click_id, p_event""".stripMargin,
 
     "q269_nelson_aalen" ->
       """WITH u AS (SELECT user_id AS u,

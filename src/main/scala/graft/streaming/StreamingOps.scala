@@ -248,6 +248,49 @@ object StreamingOps {
       .drop("__fp")
   }
 
+  /** NATIVE stream-stream INTERVAL join — every (click, purchase) pair
+    * of the same user with the purchase inside [click − `window`,
+    * click]: Spark's watermarked two-sided state join, the marquee
+    * Structured Streaming feature the rest of the suite approximates
+    * one-sidedly. Unlike [[asofEnrichStream]] (latest-ONE purchase,
+    * custom `flatMapGroupsWithState`), this emits EVERY qualifying
+    * purchase (the q92 interval-overlap twin), and BOTH sides' state is
+    * bounded automatically: the interval condition plus the watermark
+    * tell Spark exactly how long each side's rows can still match, so
+    * retention is `watermarkDelay + window` of event time — independent
+    * of stream lifetime.
+    *
+    * Inner-join matches emit eagerly per micro-batch (no flush row
+    * needed to drain); because eviction only drops rows too old to
+    * satisfy the interval condition, a drained run — even one killed
+    * and restarted from its checkpoint mid-stream — equals the batch
+    * join of the same two relations exactly (watermarks are no-ops in
+    * batch; Round9bSpec pins both).
+    *
+    * Output per match: (user_id, click_id, click_ts, p_event, p_value,
+    * p_ts).
+    */
+  def intervalJoinStream(events: DataFrame, window: String = "1 hour",
+      watermarkDelay: String = "0 seconds",
+      leftType: String = "click", rightType: String = "purchase")
+      : DataFrame = {
+    val clicks = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === rightType)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"), col("value").as("p_value"))
+      .withWatermark("p_ts", watermarkDelay)
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") <= col("click_ts") &&
+          col("p_ts") >= col("click_ts") - expr(s"INTERVAL $window"),
+        "inner")
+      .select("user_id", "click_id", "click_ts", "p_event", "p_value",
+        "p_ts")
+  }
+
   /** Streaming gap-based sessions via Spark's native `session_window`:
     * events within `gap` of each other merge into one session per user;
     * a session closes (and emits, in append mode) once the watermark

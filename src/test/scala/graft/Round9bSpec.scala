@@ -178,6 +178,45 @@ class Round9bSpec extends AnyFunSuite {
     graft.util.Caches.releaseAll()
   }
 
+  test("intervalJoinStream (stream-stream two-sided state) survives " +
+    "kill-restart ≡ the batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id").cast("long"), col("ts"), col("event_type"),
+        col("event_id").cast("long"), col("value").cast("double"))
+    val all = ev
+      .as[(Long, java.sql.Timestamp, String, Long, Double)]
+      .collect().sortBy(_._2.getTime).toSeq
+    val (firstHalf, secondHalf) = all.splitAt(all.size / 2)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("ssj_out").toString
+    val cpDir = java.nio.file.Files
+      .createTempDirectory("ssj_cp").toString
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Long,
+      Double)]
+    val out = StreamingOps.intervalJoinStream(
+      input.toDS().toDF("user_id", "ts", "event_type", "event_id",
+        "value"), window = "1 hour")
+    def start() = out.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // kill with purchases of in-flight intervals still in both-sided
+    // state; the restart must keep matching phase-2 clicks to phase-1
+    // purchases inside the hour
+    val q1 = start()
+    try { input.addData(firstHalf); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try { input.addData(secondHalf); q2.processAllAvailable() }
+    finally q2.stop()
+    // batch twin: the SAME operator over the static relation
+    // (watermarks no-op in batch — no second implementation)
+    assertRecoveredEqualsBatch(spark.read.parquet(outDir),
+      StreamingOps.intervalJoinStream(ev, window = "1 hour"))
+    graft.util.Caches.releaseAll()
+  }
+
   test("dropDuplicatesStream survives kill-restart: one row per key, " +
     "duplicates arriving after the restart stay suppressed") {
     val f: DataFrame => DataFrame = df =>

@@ -53,7 +53,8 @@ class Round9eSpec extends AnyFunSuite {
     "q268_mmr_rerank" -> 0,             // driver greedy over stat rows
     "q269_nelson_aalen" -> 0,           // user-grain relation cached
     "q270_span_decontaminate" -> 3,     // corpus + reference + sizes
-    "q271_span_decon_scan" -> 1)        // ONE corpus scan, pure fold
+    "q271_span_decon_scan" -> 1,        // ONE corpus scan, pure fold
+    "q272_interval_join" -> 2)          // the two event-side scans
 
   gates.foreach { case (name, maxLeaves) =>
     test(s"$name: ≤ $maxLeaves parquet leaves in the final plan") {
