@@ -58,6 +58,27 @@ class Round9Spec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // ipwAte: the decimal-first cast must survive warehouse-scale
+  // outcomes (|y| > 9.2e6 units overflowed the old LONG product)
+  // ---------------------------------------------------------------
+
+  test("ipwAte: 2e7-unit outcomes compute exactly (old LONG cell " +
+    "product wrapped at ~9.2e6)") {
+    import spark.implicits._
+    // one bin, e = 0.5: ATE = 2e7 − 1e7 = 1e7 units = 1e13 micro
+    val df = Seq(
+      ("b", true, 2.0e7), ("b", true, 2.0e7),
+      ("b", false, 1.0e7), ("b", false, 1.0e7))
+      .toDF("bin", "treat", "y")
+    val r = graft.operators.Experiment.ipwAte(df, col("treat"),
+      col("y"), col("bin")).collect()(0)
+    assert(r.getLong(0) === 4L && r.getLong(1) === 4L)
+    assert(r.getLong(3) === 10000000000000L, r.toString)
+    assert(r.getLong(4) === 10000000000000L, r.toString)
+    graft.util.Caches.releaseAll()
+  }
+
+  // ---------------------------------------------------------------
   // adamicAdarTopK: mixed-sign node ids must not take the packed path
   // ---------------------------------------------------------------
 
