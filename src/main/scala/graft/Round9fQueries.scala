@@ -47,8 +47,14 @@ object Round9fQueries {
         .select(col("event_type").as("g"),
           (col("user_id") % 2 === 1).as("cal"),
           round(col("value").cast("double") * 1e6).cast("long").as("vm"))
+      // sign split off before the floor division (house idiom, see
+      // topEigenReport): Spark `div` truncates toward zero, DuckDB `//`
+      // floors — they agree only on non-negative operands, and a group
+      // whose calibration sum went negative would otherwise shift yhat
+      // by one micro between the engines
       val means = ev.filter(col("cal")).groupBy("g")
-        .agg(expr("cast(sum(vm) as decimal(38,0)) div count(1)")
+        .agg(expr("(case when sum(vm) < 0 then -1 else 1 end) * " +
+          "(abs(cast(sum(vm) as decimal(38,0))) div count(1))")
           .as("yhat"))
       Evaluation.splitConformal(ev.join(broadcast(means), Seq("g")),
         col("cal"), col("vm"), col("yhat"))
@@ -151,7 +157,8 @@ object Round9fQueries {
     "q267_conformal" ->
       """WITH b AS (SELECT event_type AS g, (user_id % 2 = 1) AS cal,
         |    CAST(round(value * 1e6) AS BIGINT) AS vm FROM events),
-        |m AS (SELECT g, CAST(CAST(sum(vm) AS HUGEINT) // count(*)
+        |m AS (SELECT g, CAST((CASE WHEN sum(vm) < 0 THEN -1 ELSE 1 END)
+        |    * (abs(CAST(sum(vm) AS HUGEINT)) // count(*))
         |    AS BIGINT) AS yhat FROM b WHERE cal GROUP BY g),
         |e AS (SELECT b.cal, abs(b.vm - m.yhat) AS s
         |  FROM b JOIN m ON m.g = b.g),

@@ -105,8 +105,14 @@ object Deciles {
     }
     val aggs = (1 until n).flatMap { i =>
       val p = i.toDouble / n
+      // clamp the ±qw window to [0,1]: for n > 100 the extreme
+      // boundaries would otherwise probe quantiles outside the domain,
+      // pick() would return NULL bounds, and within_bound would go
+      // silently NULL instead of grading anything — clamped, the
+      // window falls back to the min/max order statistics
       Seq(interp(p).as(s"q$i"),
-        pick(p - qw, floor).as(s"lo$i"), pick(p + qw, ceil).as(s"hi$i"))
+        pick(math.max(0.0, p - qw), floor).as(s"lo$i"),
+        pick(math.min(1.0, p + qw), ceil).as(s"hi$i"))
     } :+ first(col("nr")).cast("long").as("n_rows")
     val ex = cum.groupBy("g").agg(aggs.head, aggs.tail: _*)
     val flags = ex.join(approx, Seq("g"))

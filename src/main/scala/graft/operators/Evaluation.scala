@@ -472,16 +472,29 @@ object Evaluation {
         s"((n_cal + 1) * ${1000 - alphaPermille} + 999) div 1000"))
       .groupBy(col("n_cal"))
       .agg(min(when(col("cum") >= col("k"), col("s"))).as("qhat_micro"))
+    // the q side collapses to ZERO rows when the calibration partition
+    // is empty (empty census → empty groupBy), and a crossJoin against
+    // an empty side vanishes — seed q back to exactly one row (n_cal=0,
+    // NULL q̂) so the report honors its 1-row contract on degenerate
+    // splits instead of returning an empty relation
+    val qRow = df.sparkSession.range(1).select(lit(1).as("seed1"))
+      .join(broadcast(q.withColumn("seed1", lit(1))), Seq("seed1"),
+        "left")
+      .select(coalesce(col("n_cal"), lit(0L)).as("n_cal"),
+        col("qhat_micro"))
     val eval0 = base.filter(!col("cal"))
-    eval0.crossJoin(broadcast(q))
-      .groupBy(col("n_cal"), col("qhat_micro"))
+    // global (non-grouped) agg: one row even when the eval partition
+    // is empty (n_eval = 0, NULL coverage)
+    val cov = eval0
+      .crossJoin(broadcast(qRow.select(col("qhat_micro").as("qh"))))
       .agg(count(lit(1)).as("n_eval"),
-        sum(when(col("s") <= col("qhat_micro"), 1L).otherwise(0L))
+        sum(when(col("s") <= col("qh"), 1L).otherwise(0L))
           .as("n_covered"))
+    cov.crossJoin(broadcast(qRow))
       .select(col("n_cal"), col("n_eval"), col("qhat_micro"),
-        when(col("qhat_micro").isNotNull, col("n_covered"))
-          .as("n_covered"),
-        when(col("qhat_micro").isNotNull,
+        when(col("qhat_micro").isNotNull && col("n_eval") > 0,
+          col("n_covered")).as("n_covered"),
+        when(col("qhat_micro").isNotNull && col("n_eval") > 0,
           expr("(n_covered * 1000000) div n_eval")).as("coverage_ppm"),
         lit((1000 - alphaPermille) * 1000).as("target_ppm"))
   }

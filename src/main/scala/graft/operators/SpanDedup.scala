@@ -180,10 +180,17 @@ object SpanDedup {
         windowHashes(reference, l, idCol, textCol).select("h").distinct(),
         "decontReportScan", cap = MaxInPlanRefHashes.toLong)
       .map(_.getLong(0)).toSeq
+    // an empty reference (every ref doc shorter than l tokens) yields
+    // zero window hashes: nothing can be contaminated, so short-circuit
+    // to bad = 0 — the join tier returns the same clean report on this
+    // edge and the differential pair must agree
+    val badCol =
+      if (refHashes.isEmpty) lit(0L)
+      else contaminatedTokens(col(textCol), refHashes, l)
     corpus
       .select(col(groupCol).as("g"),
         size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
-        contaminatedTokens(col(textCol), refHashes, l).as("bad"))
+        badCol.as("bad"))
       .groupBy("g")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("bad") > 0, 1L).otherwise(0L))

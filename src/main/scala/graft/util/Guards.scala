@@ -22,6 +22,11 @@ object Guards {
     */
   def countedCollect(df: DataFrame, op: String,
       cap: Long = MaxCensusRows): Array[Row] = {
+    // the cap feeds limit() as an Int: a cap at or above Int.MaxValue
+    // would silently wrap negative and the guard would misbehave
+    // instead of guarding — reject it loudly
+    require(cap > 0 && cap < Int.MaxValue,
+      s"$op: collect cap must be in (0, Int.MaxValue), got $cap")
     val rows = df.limit((cap + 1).toInt).collect()
     require(rows.length <= cap,
       s"$op: stat relation exceeds the driver-side cap of $cap rows " +
