@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
 import scala.util.control.NonFatal
 
 object Bench {
@@ -11,6 +13,75 @@ object Bench {
       val f = s.split("\\s+")
       s"""{"la1":${f(0)},"la5":${f(1)},"la15":${f(2)},"procs":"${f(3)}"}"""
     } catch { case NonFatal(_) => """{"la1":-1}""" }
+
+  /** Per-query task-metric accumulator: shuffle bytes, spill, GC and
+    * executor time summed over tasks, peak execution memory maxed —
+    * the numbers that adjudicate a heavy query's movement (GC pressure
+    * vs host weather vs a real plan change) from the artifact alone.
+    */
+  private final class MetricsListener extends SparkListener {
+    val shufRead = new AtomicLong; val shufWrite = new AtomicLong
+    val spillMem = new AtomicLong; val spillDisk = new AtomicLong
+    val gcMs = new AtomicLong; val taskMs = new AtomicLong
+    val peakMem = new AtomicLong; val events = new AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+        gcMs.addAndGet(m.jvmGCTime)
+        taskMs.addAndGet(m.executorRunTime)
+        peakMem.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+        events.incrementAndGet()
+        ()
+      }
+    }
+    def snap(): Seq[Long] = Seq(shufRead.get, shufWrite.get,
+      spillMem.get, spillDisk.get, gcMs.get, taskMs.get)
+  }
+
+  /** Drain the async listener bus so per-query metric deltas attribute
+    * to the query that produced them. `LiveListenerBus.waitUntilEmpty`
+    * is private[spark] (public in bytecode — reflection reaches it);
+    * the fallback polls the event counter until stable.
+    */
+  private def drainBus(spark: SparkSession, l: MetricsListener): Unit = {
+    val sc = spark.sparkContext
+    try {
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      ()
+    } catch {
+      case NonFatal(_) =>
+        var last = -1L
+        var spins = 0
+        while (spins < 20 && l.events.get != last) {
+          last = l.events.get; Thread.sleep(15); spins += 1
+        }
+    }
+  }
+
+  /** Minimal extractor for the previous artifact's "queries" block —
+    * enough to compute cross-round ratios without a JSON dependency in
+    * the hot path (the artifact is machine-written, single-line).
+    */
+  private def prevQueries(path: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val m = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+      m.map(_.group(1).split(",").flatMap { kv =>
+        kv.split(":") match {
+          case Array(k, v) =>
+            try Some(k.trim.stripPrefix("\"").stripSuffix("\"")
+              -> v.trim.toDouble)
+            catch { case NonFatal(_) => None }
+          case _ => None
+        }
+      }.toMap).getOrElse(Map.empty)
+    } catch { case NonFatal(_) => Map.empty }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,6 +96,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val ml = new MetricsListener
+    spark.sparkContext.addSparkListener(ml)
+    // previous committed quiet artifact, read BEFORE this run overwrites
+    // it: the vs_prev block makes every >1.5x mover ship adjudicated
+    // in-artifact instead of two rounds late by cross-round forensics
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
+      "bench_full.json")
+    val prev = prevQueries(prevPath)
     // untimed warmup: session/codegen/parquet-footer startup otherwise
     // lands entirely on whichever query happens to run first
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
@@ -68,9 +147,19 @@ object Bench {
     // minimum is the intrinsic cost, the try spread is the contention
     // evidence.
     val tries = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    // task-metric deltas measured around try 2 (warm, representative):
+    // (shuf_read, shuf_write, spill_mem, spill_disk, gc_ms, task_ms,
+    // peak_exec_mem) — bytes except the two _ms fields
+    val telem = scala.collection.mutable.LinkedHashMap[String, Seq[Long]]()
     names.zipWithIndex.foreach { case ((name, fn), i) =>
-      val t1 = timeOnce(fn); val t2 = timeOnce(fn)
+      val t1 = timeOnce(fn)
+      drainBus(spark, ml)
+      val before = ml.snap(); ml.peakMem.set(0L)
+      val t2 = timeOnce(fn)
+      drainBus(spark, ml)
+      val d = ml.snap().zip(before).map { case (a, b) => a - b }
       tries += name -> (t1, t2)
+      telem += name -> (d :+ ml.peakMem.get)
       if ((i + 1) % calEvery == 0) calPoint(i + 1)
     }
     calPoint(names.size)
@@ -91,12 +180,47 @@ object Bench {
     // The driver's BENCH artifact keeps only the tail of stdout, which
     // truncates the per-query map once there are 200+ queries — also
     // persist the full line PLUS the adjudication telemetry (per-try
-    // times, calibration timeline, loadavg samples) to a file so every
-    // number and its host-weather context survive the round.
+    // times, calibration timeline, loadavg samples, task metrics for the
+    // heavy tail, ratios vs the previous committed run) to a file so
+    // every number and its context survive the round.
     val triesJson = tries.map { case (k, (a, b)) =>
       s"\"" + k + s"\":[$a,$b]" }.mkString("{", ",", "}")
+    // telemetry for the heavy tail only (>=0.5s) plus anything that
+    // spilled — sub-half-second queries carry no adjudication value
+    val mb = 1048576L
+    val telemJson = telem.filter { case (k, d) =>
+      results.getOrElse(k, 0.0) >= 0.5 || d(2) > 0 || d(3) > 0
+    }.map { case (k, d) =>
+      s"\"" + k + "\":" +
+        s"""{"shuf_read_mb":${d(0) / mb},"shuf_write_mb":${d(1) / mb},""" +
+        s""""spill_mem_mb":${d(2) / mb},"spill_disk_mb":${d(3) / mb},""" +
+        s""""gc_ms":${d(4)},"task_ms":${d(5)},""" +
+        s""""peak_exec_mem_mb":${d(6) / mb}}"""
+    }.mkString("{", ",", "}")
+    // vs_prev: per-query ratio against the previous committed quiet run,
+    // movers (>1.5x either way at >=0.3s intrinsic) listed in-artifact
+    val comparable = results.toSeq.collect {
+      case (k, v) if prev.get(k).exists(p => math.min(p, v) >= 0.3) =>
+        (k, prev(k), v, v / prev(k))
+    }
+    val vsPrev = if (comparable.isEmpty) "null" else {
+      val ratios = comparable.map(_._4).sorted
+      val med = ratios(ratios.size / 2)
+      val movers = comparable
+        .filter { case (_, _, _, r) => r > 1.5 || r < 1.0 / 1.5 }
+        .sortBy { case (_, _, _, r) => -r }
+        .map { case (k, p, c, r) =>
+          s"""{"q":"$k","prev":$p,"cur":$c,"ratio":${(r * 1000).round / 1000.0}}""" }
+        .mkString("[", ",", "]")
+      val prevTotal = prev.values.sum
+      s"""{"prev_file":"$prevPath","prev_total":$prevTotal,""" +
+        s""""common_ge_300ms":${comparable.size},""" +
+        s""""median_ratio":${(med * 1000).round / 1000.0},""" +
+        s""""movers":$movers}"""
+    }
     val full = line.dropRight(1) +
-      s""","tries":$triesJson,"calibration":$calJson}"""
+      s""","tries":$triesJson,"calibration":$calJson""" +
+      s""","telemetry":$telemJson,"vs_prev":$vsPrev}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_full.json")
     try {
