@@ -4,6 +4,12 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import java.util.concurrent.atomic.AtomicLong
 import scala.util.control.NonFatal
 
+/** Benchmark main: times every registry query (min-of-2) on
+  * `SPARK_GRAFT_SF_DIR`, with in-band host-weather calibration,
+  * per-query task-metric telemetry for the heavy tail, and a vs-prev
+  * regression block — one JSON line to stdout, the full artifact to
+  * `bench_full.json`.
+  */
 object Bench {
   /** /proc/loadavg sample: (la1, la5, la15, runnable/total threads). */
   private def loadavg(): String =

@@ -3,6 +3,9 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+/** Dev diagnostic: candidate-pair counts and timings of the n-gram
+  * Jaccard dedup path on a fixture dir.
+  */
 object JaccardProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

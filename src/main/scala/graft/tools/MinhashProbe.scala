@@ -2,6 +2,9 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
+/** Dev diagnostic: stage-by-stage timings of the MinHash/LSH dedup
+  * pipeline (shingle, signature, band join, verify) on a fixture dir.
+  */
 object MinhashProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
