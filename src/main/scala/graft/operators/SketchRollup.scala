@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mergeable-sketch rollups: distinct counts that AGGREGATE ACROSS
@@ -92,4 +92,81 @@ object SketchRollup {
       .select(col("week_start"), col("n_days"), col("n_rows"),
         hll_sketch_estimate(col("sk")).as("distinct_est"))
       .orderBy("week_start")
+
+  // -----------------------------------------------------------------
+  // Count-min sketch (Cormode & Muthukrishnan 2005)
+  // -----------------------------------------------------------------
+
+  /** Seed-salted CMS bucket of `key` in row `seed`: the house
+    * cross-engine polynomial hash of "seed:key" reduced mod the sketch
+    * width — expressible verbatim in the DuckDB oracle, unlike
+    * Murmur-based `hash()`.
+    */
+  def cmsBucket(key: Column, seed: Int, w: Int): Column =
+    graft.functions.PolyHash.polyHash(
+      concat(lit(s"$seed:"), key), TextOps.HashMod) % w
+
+  /** CMS cell relation (seed, bucket, cell) of a COUNT CENSUS
+    * (key, cnt): each key adds its count to one bucket per seed row.
+    * Built from the census rather than raw rows because CMS is count-
+    * additive — sketching pre-aggregated slices gives byte-identical
+    * cells to sketching the raw stream, which is also why the relation
+    * is MERGEABLE: cells of a union = cell-wise sum of the parts
+    * (spec-pinned), the property that lets a 100 TB deployment keep a
+    * d×w-row sketch table per day and answer any window by summing —
+    * the frequency-sketch sibling of the HLL rollup above.
+    */
+  def cmsCells(census: DataFrame, d: Int, w: Int,
+      keyCol: String = "token", cntCol: String = "cnt"): DataFrame = {
+    require(d >= 1 && w >= 2, "need d >= 1 hash rows and width >= 2")
+    census
+      .select(explode(array((0 until d).map(i =>
+        struct(lit(i).cast("int").as("seed"),
+          cmsBucket(col(keyCol), i, w).as("bucket"),
+          col(cntCol).cast("long").as("cnt"))): _*)).as("x"))
+      .select(col("x.seed"), col("x.bucket"), col("x.cnt"))
+      .groupBy("seed", "bucket")
+      .agg(sum("cnt").cast("long").as("cell"))
+  }
+
+  /** CMS heavy-hitter FIDELITY report (the q43/q153 driver-green
+    * convention): the top-K tokens by EXACT count (hashable columns),
+    * each graded against its CMS point estimate — `est_cnt` is the min
+    * over d rows of the probed cells, `within_bound` checks the sketch
+    * contract: est ≥ exact ALWAYS (CMS never underestimates — a red
+    * here is a broken sketch, not noise) and est ≤ exact +
+    * (N·bandNum) div w (bandNum× the expected per-row collision mass
+    * N/w; the frozen-multiplier band convention). Everything after the
+    * token census is vocabulary- or stat-grain: the cell relation is
+    * ≤ d·w rows (broadcast), candidates are K rows.
+    */
+  def cmsTopTokensChecked(docs: DataFrame, d: Int = 3, w: Int = 8192,
+      topK: Int = 20, bandNum: Long = 8L,
+      textCol: String = "text"): DataFrame = {
+    require(topK >= 1 && bandNum >= 1)
+    val census = graft.util.Caches.cached(
+      docs.select(explode(TextOps.tokens(col(textCol))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt")))
+    val cms = cmsCells(census, d, w)
+    val tot = census.agg(sum("cnt").cast("long").as("n_total"))
+    val cand = census.orderBy(col("cnt").desc, col("token")).limit(topK)
+    val probes = cand.select(col("token"), col("cnt"),
+        explode(array((0 until d).map(i =>
+          struct(lit(i).cast("int").as("seed"),
+            cmsBucket(col("token"), i, w).as("bucket"))): _*)).as("p"))
+      .select(col("token"), col("cnt"), col("p.seed"), col("p.bucket"))
+    val est = probes.join(broadcast(cms), Seq("seed", "bucket"))
+      .groupBy("token", "cnt").agg(min("cell").as("est_cnt"))
+    import org.apache.spark.sql.expressions.Window
+    est.crossJoin(broadcast(tot))
+      .select(
+        row_number().over(Window.orderBy(col("cnt").desc, col("token")))
+          .cast("int").as("rank"),
+        col("token"), col("cnt").cast("long").as("exact_cnt"),
+        col("est_cnt"),
+        (col("est_cnt") >= col("cnt") &&
+          col("est_cnt") <= col("cnt") +
+            expr(s"(n_total * $bandNum) div $w")).as("within_bound"))
+      .orderBy("rank")
+  }
 }

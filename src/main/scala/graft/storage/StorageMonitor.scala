@@ -117,4 +117,40 @@ object StorageMonitor {
       .select("root", "path", "file_name", "size_bytes")
       .orderBy("root")
   }
+
+  /** Small-files COMPACTION PLAN over an inventory relation
+    * (file_name, size_bytes): files in deterministic name order pack
+    * into ≈`targetBytes` bins by cumulative-sum bucketing — bin =
+    * (bytes before this file) div target — the planning step of an
+    * OPTIMIZE/compaction job (the lakehouse maintenance the reference's
+    * bucket monitor can only observe the need for: thousands of tiny
+    * objects, `AWS_S3/s3_bucket_monitor.py:44,69`). Next-fit semantics:
+    * a bin may overshoot the target by less than one file; bin ids may
+    * skip where a single file spans several targets. One window cumsum
+    * at file-inventory grain (metadata rows, not data) — at real scale
+    * the window partitions by table prefix, here the inventory is one
+    * table directory per file.
+    *
+    * Output per bin: (bin, n_files, total_bytes, first_file,
+    * last_file).
+    */
+  def compactionPlan(inventory: DataFrame,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("file_name")
+    inventory
+      .select(col("file_name"), col("size_bytes").cast("long"))
+      .withColumn("cum_before", coalesce(
+        sum("size_bytes").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $targetBytes"))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast("long").as("n_files"),
+        sum("size_bytes").cast("long").as("total_bytes"),
+        min("file_name").as("first_file"),
+        max("file_name").as("last_file"))
+      .orderBy("bin")
+  }
+
+  private val Window = org.apache.spark.sql.expressions.Window
 }

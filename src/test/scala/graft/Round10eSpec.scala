@@ -107,7 +107,10 @@ class Round10eSpec extends AnyFunSuite {
     "q04_join_agg" -> 2,
     "q46_salted_join" -> 2,
     "q05_topk" -> 1,
-    "q26_streaming_hourly" -> 0)        // memory-stream fed
+    "q26_streaming_hourly" -> 0,        // memory-stream fed
+    // round-10 additions (census cached / RDD-backed inventory)
+    "q273_cms_heavy_hitters" -> 0,
+    "q274_compaction_plan" -> 0)
 
   gates.foreach { case (name, maxLeaves) =>
     test(s"$name: ≤ $maxLeaves parquet leaves in the final plan") {
