@@ -40,9 +40,14 @@ object Round10Queries {
         CmsDepth, CmsWidth, CmsTopK, CmsBandNum)),
 
     // Next-fit compaction plan of the fixture directory at 1 MiB bins.
+    // The inventory is filtered to .parquet files IN the query so both
+    // engines see the same file set by construction (the oracle globs
+    // '*.parquet'; the recursive inventory would also pick up sidecar
+    // files and nested dirs a future fixture might grow).
     "q274_compaction_plan" -> ((s, dir) =>
       StorageMonitor.compactionPlan(
-        StorageMonitor.inventory(s, Seq(dir)), CompactTargetBytes)))
+        StorageMonitor.inventory(s, Seq(dir))
+          .filter(col("extension") === "parquet"), CompactTargetBytes)))
 
   /** DuckDB twin of [[SketchRollup.cmsBucket]]: the house mod-every-
     * step rolling hash of 'seed:token', reduced mod the width.

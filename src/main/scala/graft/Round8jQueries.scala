@@ -1,10 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Evaluation, Experiment, Relevance}
+import graft.operators.{Deciles, Evaluation, Experiment, Relevance}
 
 /** Round-8 part ten: isotonic score calibration, DSIR importance
   * weights for data selection, and the Cochran–Armitage trend test.
@@ -32,11 +31,13 @@ object Round8jQueries {
         col("lang") === "en", DsirTopK)),
 
     // Does the English rate trend across document-length deciles —
-    // the ordered dose-response read.
+    // the ordered dose-response read. Decile assignment rides the
+    // distributed exact-ntile (census offsets + per-value partitioned
+    // rank), bit-identical to the oracle's global ntile without an
+    // unpartitioned window over the raw documents relation.
     "q250_cochran_armitage" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val w = Window.orderBy(col("n_chars"), col("doc_id"))
-      val d = docs.withColumn("t", ntile(CaBins).over(w))
+      val d = Deciles.ntileExact(docs, "n_chars", "doc_id", CaBins, "t")
       Experiment.cochranArmitage(d, "t", col("lang") === "en")
     }))
 

@@ -47,6 +47,56 @@ object Deciles {
     }
   }
 
+  /** EXACT global ntile WITHOUT a data-grain window — bit-identical to
+    * `ntile(n) OVER (ORDER BY valCol, orderCol)` but never funnels the
+    * relation through one task. Two-level rank, the Pack prefix-sum
+    * idiom transposed to ranks:
+    *
+    *   1. a VALUE-DOMAIN census (one row per distinct `valCol`) gets
+    *      cumulative start offsets from a window over the census —
+    *      value grain, the allow-listed census-window shape, never
+    *      data rows;
+    *   2. each row's within-value position comes from a window
+    *      PARTITIONED by `valCol` (parallelism = distinct values),
+    *      ordered by the unique `orderCol` tiebreak;
+    *   3. global rank = census offset + within-value position, and the
+    *      SQL-standard ntile formula (first N mod n buckets take one
+    *      extra row) maps rank → bucket with pure scalar arithmetic.
+    *
+    * N rides a one-row stat action off the cached census. `orderCol`
+    * must be unique per row (ids) for the rank to be well defined —
+    * the same precondition the window form needs for determinism.
+    */
+  def ntileExact(df: DataFrame, valCol: String, orderCol: String,
+      n: Int, outCol: String = "tile"): DataFrame = {
+    require(n >= 1, "need at least 1 bucket")
+    val cen = graft.util.Caches.cached(
+      df.groupBy(col(valCol).as("__v")).agg(count(lit(1)).as("__c")))
+    val nRows = Option(cen.agg(sum("__c").cast("long")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val base = nRows / n
+    val extra = nRows % n
+    val wCen = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cen
+      .withColumn("__off", coalesce(sum("__c").over(wCen), lit(0L)))
+      .select(col("__v"), col("__off"))
+    val wIn = Window.partitionBy(col(valCol)).orderBy(col(orderCol))
+    // SQL `div` keeps the bucket arithmetic in exact longs (Column./
+    // is double division); the else-branch divisor is guarded to 1
+    // when base = 0, where the first branch already covers every rank
+    df.join(offs, col(valCol) === col("__v"))
+      .withColumn("__rank", col("__off") + row_number().over(wIn))
+      .withColumn(outCol, expr(
+        s"""cast(case
+           |  when $extra > 0 and __rank <= ${(base + 1) * extra}
+           |    then (__rank - 1) div ${base + 1} + 1
+           |  else $extra +
+           |    (__rank - 1 - ${extra * (base + 1)}) div ${math.max(base, 1L)} + 1
+           |end as int)""".stripMargin))
+      .drop("__v", "__off", "__rank")
+  }
+
   /** The decile report shape q58 exposes: per-(group, decile) row count
     * and value min/max.
     */

@@ -229,17 +229,39 @@ object Graph {
     // pack the pair into ONE long key so the grouping shuffles half
     // the key bytes (a 1-row stat read decides; ids ≥ 2³¹ take the
     // two-column path, same result)
-    val idRange = deg.agg(max(col("z")).cast("long"),
-      min(col("z")).cast("long")).collect()(0)
+    // one stat read off the cached degree census decides the key packing
+    // AND sizes the pair shuffle: id bounds + the exact wedge count
+    // Σ C(deg,2) over surviving centers
+    val capFilter = maxWedgeDegree
+      .map(cap => col("deg") <= cap).getOrElse(lit(true))
+    val stats = deg.agg(max(col("z")).cast("long"),
+      min(col("z")).cast("long"),
+      sum(when(col("deg") >= 2 && capFilter,
+        expr("deg * (deg - 1) div 2")).otherwise(0L)).cast("long"))
+      .collect()(0)
     // a negative node_b would sign-corrupt shiftleft(a,32)+b and merge
     // distinct pairs — both bounds must sit in [0, 2³¹)
-    val packable = !idRange.isNullAt(0) &&
-      idRange.getLong(0) < (1L << 31) && idRange.getLong(1) >= 0
+    val packable = !stats.isNullAt(0) &&
+      stats.getLong(0) < (1L << 31) && stats.getLong(1) >= 0
+    val wedgeRows = if (stats.isNullAt(2)) 0L else stats.getLong(2)
+    // the pair groupBy is the operator's memory cliff: at the default
+    // 32 shuffle partitions, 142M sf0.1 wedges put ~4.4M pairs per
+    // reducer hash map and the partial-agg fallback spills tens of GB.
+    // An explicit repartition by the pair key sizes that stage to
+    // ~2M rows/task (AQE leaves user-numbered repartitions alone) —
+    // the map-side partial agg it forgoes was combining almost nothing
+    // (a pair repeats only across wedge CENTERS, which the z-partitioned
+    // join output scatters), while its oversized hash maps were the
+    // spill source.
+    val pairParts = math.min(1024L, math.max(
+      edges.sparkSession.sparkContext.defaultParallelism.toLong,
+      wedgeRows / 2000000L + 1)).toInt
     val cand0 =
       if (packable)
         wedges
           .select((shiftleft(col("node_a"), 32) + col("node_b"))
             .as("pk"), col("c"))
+          .repartition(pairParts, col("pk"))
           .groupBy("pk")
           .agg(count(lit(1)).as("n_common"),
             sum("c").as("aa_score_micro"))
@@ -247,7 +269,8 @@ object Graph {
             (col("pk") bitwiseAND lit(0xffffffffL)).as("node_b"),
             col("n_common"), col("aa_score_micro"))
       else
-        wedges.groupBy("node_a", "node_b")
+        wedges.repartition(pairParts, col("node_a"), col("node_b"))
+          .groupBy("node_a", "node_b")
           .agg(count(lit(1)).as("n_common"),
             sum("c").as("aa_score_micro"))
     val cand = cand0

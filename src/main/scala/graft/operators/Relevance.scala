@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /** Corpus relevance scoring: TF-IDF over the tokenized documents table —
   * the classic signal a training-data pipeline uses for topic/keyword
@@ -102,7 +102,8 @@ object Relevance {
     val scored = tfidf(docs, blockCol, idCol, textCol)
       .groupBy("block", "term")
       .agg(round(sum("tfidf"), 4).as("score"))
-    val w = Window.partitionBy("block").orderBy(col("score").desc, col("term").asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("block").orderBy(col("score").desc, col("term").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("block", "term", "score", "rank")
@@ -156,9 +157,25 @@ object Relevance {
       .agg(sum("tf").as("n_tokens"),
         sum(expr("cast(tf as decimal(38,0)) * lam_nano"))
           .cast("long").as("logw_nano"))
-    val w = Window.orderBy(col("logw_nano").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // top-k via orderBy+limit — TakeOrderedAndProject does a
+    // DISTRIBUTED partial top-k per partition and merges k-row heaps
+    // on the driver; the previous unpartitioned row_number window
+    // funneled every scored document through one task. TakeOrdered
+    // returns the k rows already in (logw desc, id asc) order —
+    // guaranteed sorted output, the order rank is defined over — so
+    // rank is just the position in the collected k-row stat relation.
+    val top = scored.orderBy(col("logw_nano").desc, col("id").asc)
+      .limit(k)
+    val rows = graft.util.Guards.countedCollect(
+      top, "Relevance.importanceWeights", k.toLong)
+    val ranked = rows.zipWithIndex.map { case (r, i) =>
+      Row(r.get(0), r.get(1), r.get(2), i + 1)
+    }
+    val spark = docs.sparkSession
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(ranked.toSeq, 1),
+        StructType(top.schema.fields :+
+          StructField("rank", IntegerType, nullable = false)))
       .select(col("id").as(idCol), col("n_tokens"),
         col("logw_nano"), col("rank"))
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Mergeable-sketch rollups: distinct counts that AGGREGATE ACROSS
@@ -148,7 +148,6 @@ object SketchRollup {
       docs.select(explode(TextOps.tokens(col(textCol))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt")))
     val cms = cmsCells(census, d, w)
-    val tot = census.agg(sum("cnt").cast("long").as("n_total"))
     val cand = census.orderBy(col("cnt").desc, col("token")).limit(topK)
     val probes = cand.select(col("token"), col("cnt"),
         explode(array((0 until d).map(i =>
@@ -157,16 +156,35 @@ object SketchRollup {
       .select(col("token"), col("cnt"), col("p.seed"), col("p.bucket"))
     val est = probes.join(broadcast(cms), Seq("seed", "bucket"))
       .groupBy("token", "cnt").agg(min("cell").as("est_cnt"))
-    import org.apache.spark.sql.expressions.Window
-    est.crossJoin(broadcast(tot))
-      .select(
-        row_number().over(Window.orderBy(col("cnt").desc, col("token")))
-          .cast("int").as("rank"),
-        col("token"), col("cnt").cast("long").as("exact_cnt"),
-        col("est_cnt"),
-        (col("est_cnt") >= col("cnt") &&
-          col("est_cnt") <= col("cnt") +
-            expr(s"(n_total * $bandNum) div $w")).as("within_bound"))
-      .orderBy("rank")
+    // est is the ≤ topK candidate relation — finish the ranking and the
+    // bound flags driver-side on those K stat rows (the countedCollect
+    // allowance) instead of an unpartitioned row_number window, so no
+    // WindowExec with an empty partition spec appears anywhere in the
+    // plan. n_total is one scalar off the cached census.
+    val nTotal = Option(census.agg(sum("cnt").cast("long")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val rows = graft.util.Guards.countedCollect(
+      est, "SketchRollup.cmsTopTokensChecked", topK.toLong)
+    val spark = docs.sparkSession
+    val ranked = rows.toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (token, cnt, _) => (-cnt, token) }
+      .zipWithIndex.map { case ((token, cnt, estCnt), i) =>
+        Row(i + 1, token, cnt, estCnt,
+          estCnt >= cnt && estCnt <= cnt + nTotal * bandNum / w)
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(ranked, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("exact_cnt",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("est_cnt",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("within_bound",
+          org.apache.spark.sql.types.BooleanType, nullable = false))))
   }
 }

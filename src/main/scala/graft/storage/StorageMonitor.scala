@@ -126,10 +126,29 @@ object StorageMonitor {
     * bucket monitor can only observe the need for: thousands of tiny
     * objects, `AWS_S3/s3_bucket_monitor.py:44,69`). Next-fit semantics:
     * a bin may overshoot the target by less than one file; bin ids may
-    * skip where a single file spans several targets. One window cumsum
-    * at file-inventory grain (metadata rows, not data) — at real scale
-    * the window partitions by table prefix, here the inventory is one
-    * table directory per file.
+    * skip where a single file spans several targets.
+    *
+    * Scale shape — a DISTRIBUTED prefix sum, never a global window:
+    * file-metadata grain is millions of rows at 100 TB, and an
+    * unpartitioned cumsum window would sort all of them through one
+    * task. Instead the two-level scan (the `Pack.assignShards` idiom,
+    * transposed to a string order key via a RangePartitioner):
+    *
+    *   1. ONE range partitioning by `file_name` spreads the inventory
+    *      over P sorted, contiguous buckets (the partitioner's sampled
+    *      boundaries are fixed at construction, so both passes below
+    *      see the identical layout — and the second job reuses the
+    *      first's shuffle files outright);
+    *   2. per-bucket byte subtotals — P stat values — collect to the
+    *      driver and prefix-scan into bucket start offsets, the only
+    *      cross-bucket communication;
+    *   3. each bucket streams its local running sum rebased by its
+    *      offset, in parallel, assigning bins on the fly.
+    *
+    * Values are identical to the global-window form (prefix sums don't
+    * care where chunk boundaries fall). Ties on `file_name` (possible
+    * across roots) order arbitrarily within a bucket — the same
+    * nondeterminism the window form had.
     *
     * Output per bin: (bin, n_files, total_bytes, first_file,
     * last_file).
@@ -137,13 +156,29 @@ object StorageMonitor {
   def compactionPlan(inventory: DataFrame,
       targetBytes: Long): DataFrame = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val w = org.apache.spark.sql.expressions.Window.orderBy("file_name")
-    inventory
-      .select(col("file_name"), col("size_bytes").cast("long"))
-      .withColumn("cum_before", coalesce(
-        sum("size_bytes").over(
-          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("bin", expr(s"cum_before div $targetBytes"))
+    val spark = inventory.sparkSession
+    import spark.implicits._
+    val pairs = inventory
+      .select(col("file_name").cast("string"), col("size_bytes").cast("long"))
+      .na.drop()
+      .as[(String, Long)].rdd
+    val nBuckets = math.max(spark.sparkContext.defaultParallelism,
+      pairs.getNumPartitions)
+    val part = new org.apache.spark.RangePartitioner(nBuckets, pairs)
+    val sorted = pairs.repartitionAndSortWithinPartitions(part)
+    // step 2: P subtotal stat values (empty buckets emit 0), driver scan
+    val subs = sorted.mapPartitionsWithIndex { case (pid, it) =>
+      var s = 0L; it.foreach(s += _._2); Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(subs.scanLeft(0L)(_ + _))
+    // step 3: bucket-local running sums, rebased — shuffle files reused
+    val binned = sorted.mapPartitionsWithIndex { case (pid, it) =>
+      var cum = offsets.value(pid)
+      it.map { case (name, sz) =>
+        val bin = cum / targetBytes; cum += sz; (bin, name, sz)
+      }
+    }
+    binned.toDF("bin", "file_name", "size_bytes")
       .groupBy("bin")
       .agg(count(lit(1)).cast("long").as("n_files"),
         sum("size_bytes").cast("long").as("total_bytes"),
@@ -151,6 +186,4 @@ object StorageMonitor {
         max("file_name").as("last_file"))
       .orderBy("bin")
   }
-
-  private val Window = org.apache.spark.sql.expressions.Window
 }
