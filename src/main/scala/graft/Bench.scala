@@ -73,21 +73,62 @@ object Bench {
     * enough to compute cross-round ratios without a JSON dependency in
     * the hot path (the artifact is machine-written, single-line).
     */
-  private def prevQueries(path: String): Map[String, Double] =
-    try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path)), "UTF-8")
-      val m = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
-      m.map(_.group(1).split(",").flatMap { kv =>
-        kv.split(":") match {
-          case Array(k, v) =>
-            try Some(k.trim.stripPrefix("\"").stripSuffix("\"")
-              -> v.trim.toDouble)
-            catch { case NonFatal(_) => None }
-          case _ => None
-        }
-      }.toMap).getOrElse(Map.empty)
-    } catch { case NonFatal(_) => Map.empty }
+  private def parseQueries(txt: String): Map[String, Double] = {
+    val m = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+    m.map(_.group(1).split(",").flatMap { kv =>
+      kv.split(":") match {
+        case Array(k, v) =>
+          try Some(k.trim.stripPrefix("\"").stripSuffix("\"")
+            -> v.trim.toDouble)
+          catch { case NonFatal(_) => None }
+        case _ => None
+      }
+    }.toMap).getOrElse(Map.empty)
+  }
+
+  /** The vs_prev baseline, in priority order: SPARK_GRAFT_BENCH_PREV
+    * (a file path) if set, else the last COMMITTED bench_full.json via
+    * `git show HEAD:bench_full.json`, else the working-dir file. The
+    * git default is the round-9→10 lesson: a mid-round working-dir
+    * artifact silently became the comparison base, so a real 218→230 s
+    * cross-round movement shipped unadjudicated. An empty parse from an
+    * existing source warns on stderr instead of silently degrading
+    * vs_prev to null.
+    */
+  private def prevQueries(): (String, Map[String, Double]) = {
+    def read(src: String, txt: => Option[String]): Option[(String, Map[String, Double])] =
+      try txt.map { t =>
+        val q = parseQueries(t)
+        if (q.isEmpty)
+          System.err.println(s"[bench] WARNING: vs_prev source $src " +
+            "exists but parsed to an empty queries map — the regression " +
+            "block will be degraded")
+        (src, q)
+      } catch { case NonFatal(_) => None }
+    val fromEnv = sys.env.get("SPARK_GRAFT_BENCH_PREV").flatMap { p =>
+      read(p, Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8")))
+    }
+    def fromGit = read("git:HEAD:bench_full.json", {
+      val out = new java.io.ByteArrayOutputStream
+      val pb = new ProcessBuilder("git", "show", "HEAD:bench_full.json")
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      val bytes = proc.getInputStream.readAllBytes()
+      out.write(bytes)
+      if (proc.waitFor() == 0 && bytes.nonEmpty)
+        Some(new String(bytes, "UTF-8"))
+      else None
+    })
+    def fromFile = read("bench_full.json", {
+      val p = java.nio.file.Paths.get("bench_full.json")
+      if (java.nio.file.Files.exists(p))
+        Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      else None
+    })
+    fromEnv.orElse(fromGit).orElse(fromFile)
+      .getOrElse(("none", Map.empty[String, Double]))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,9 +148,7 @@ object Bench {
     // previous committed quiet artifact, read BEFORE this run overwrites
     // it: the vs_prev block makes every >1.5x mover ship adjudicated
     // in-artifact instead of two rounds late by cross-round forensics
-    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
-      "bench_full.json")
-    val prev = prevQueries(prevPath)
+    val (prevPath, prev) = prevQueries()
     // untimed warmup: session/codegen/parquet-footer startup otherwise
     // lands entirely on whichever query happens to run first
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())

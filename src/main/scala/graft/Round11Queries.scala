@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.storage.StorageMonitor
+
+/** Round-11 additions: the compaction EXECUTOR round-trip (q275) — the
+  * OPTIMIZE job the q274 planner plans, run end-to-end: stage the
+  * events table as small per-shard files, plan bins, read every bin
+  * and write ONE file per bin, then grade the ACTUAL output. Row
+  * conservation is the hashable value (the oracle recomputes it from
+  * the source table, so a row lost anywhere in stage→plan→compact→
+  * read-back flips the hash); the bin-count laws ride certain-true
+  * flags (next-fit guarantees ceil(bytes/target) ≤ bins ≤ files, and
+  * the executor guarantees one output file per bin) because absolute
+  * bin counts depend on parquet encoding sizes no oracle can see.
+  */
+object Round11Queries {
+
+  /** Shard count for the staged small-files layout: one file per
+    * shard by construction (repartition by the shard column before a
+    * partitionBy write), so `n_files_in` is a constant both engines
+    * state independently.
+    */
+  val CompactShards = 8
+
+  /** Executor bin target — small enough that several bins form from
+    * the staged shards at the gate SF.
+    */
+  val CompactExecTargetBytes = 262144L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_compaction_execute" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q275").toFile.getAbsolutePath
+      try {
+        val staged = s"$tmp/staged"
+        val out = s"$tmp/out"
+        Tables.load(s, dir, "events")
+          .withColumn("__shard",
+            pmod(col("user_id"), lit(CompactShards.toLong)))
+          .repartition(col("__shard"))
+          .write.partitionBy("__shard").parquet(staged)
+        val inv = StorageMonitor.inventory(s, Seq(staged))
+          .filter(col("extension") === "parquet")
+        val manifest = StorageMonitor
+          .compact(s, inv, CompactExecTargetBytes, out)
+          .collect() // bin grain: stat rows
+        val nBins = manifest.length.toLong
+        val filesIn = manifest.map(_.getAs[Long]("n_files_in")).sum
+        val bytesIn = manifest.map(_.getAs[Long]("bytes_in")).sum
+        val filesOut = manifest.map(_.getAs[Long]("n_files_out")).sum
+        val rows = manifest.map(_.getAs[Long]("n_rows")).sum
+        val minBins = (bytesIn + CompactExecTargetBytes - 1) /
+          CompactExecTargetBytes
+        s.createDataFrame(
+          s.sparkContext.parallelize(Seq(Row(
+            filesIn.toInt, rows,
+            filesOut == nBins,
+            nBins >= minBins,
+            nBins <= filesIn)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("n_files_in",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("total_rows",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("one_file_per_bin",
+              org.apache.spark.sql.types.BooleanType, nullable = false),
+            org.apache.spark.sql.types.StructField("bins_lower_ok",
+              org.apache.spark.sql.types.BooleanType, nullable = false),
+            org.apache.spark.sql.types.StructField("bins_upper_ok",
+              org.apache.spark.sql.types.BooleanType, nullable = false))))
+      } finally {
+        // the result row is materialized — the staging tree can go
+        import java.nio.file.{Files, Paths}
+        import java.util.Comparator
+        val root = Paths.get(tmp)
+        if (Files.exists(root))
+          Files.walk(root).sorted(Comparator.reverseOrder())
+            .forEach(p => { Files.deleteIfExists(p); () })
+      }
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q275_compaction_execute" ->
+      s"""SELECT CAST($CompactShards AS INTEGER) AS n_files_in,
+         |  CAST(count(*) AS BIGINT) AS total_rows,
+         |  TRUE AS one_file_per_bin,
+         |  TRUE AS bins_lower_ok,
+         |  TRUE AS bins_upper_ok
+         |FROM events""".stripMargin)
+}

@@ -22,47 +22,80 @@ import graft.Tables
   */
 object CatalogMonitor {
 
-  /** Session flag selecting the metadata-only row-count path below. */
+  /** Session flag: "false" forces count jobs; "true" or unset take the
+    * metadata-only footer path (with automatic count fallback).
+    */
   val FooterCountsKey = "graft.catalog.footerCounts"
+
+  /** Spark's hidden-path convention: any path segment starting with
+    * '_' or '.' is invisible to the file index (in-progress staging
+    * files like `._part-*.parquet`, markers like `_SUCCESS`).
+    */
+  private def isHiddenSegment(seg: String): Boolean =
+    seg.startsWith("_") || seg.startsWith(".")
 
   /** Parquet-FOOTER row count of one table: the sum of per-file footer
     * block counts — no Spark job, no task, no data-column IO at all.
     * This is the Spark-side analogue of the reference reading the
     * catalog's `row_count` instead of scanning
     * (`/root/reference/Snowflake/snowflake_table_monitor.py:57-62`):
-    * a plain count's answer lives entirely in table metadata. Handles
-    * both single-file fixtures and written directories of part files.
+    * a plain count's answer lives entirely in table metadata.
+    *
+    * Sees exactly the file set Spark's own file index would scan:
+    * RECURSIVE listing (partitioned key=value layouts count correctly,
+    * not silently 0), hidden segments under the root skipped (an
+    * in-progress `._part` staging file never counts), `.parquet` files
+    * only. Returns None — "fall back to a count job" — when the table
+    * root holds no visible parquet files (a non-Parquet relation) or
+    * any footer read fails; the caller's count() is then the single
+    * source of truth rather than a silent divergence.
     */
-  private def footerRowCount(spark: SparkSession, dir: String,
-      table: String): Long = {
-    import org.apache.hadoop.fs.Path
+  private[graft] def footerRowCount(spark: SparkSession,
+      tablePath: String): Option[Long] = {
+    import org.apache.hadoop.fs.{FileStatus, Path}
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(Tables.path(dir, table))
-    val fs = root.getFileSystem(conf)
-    val statuses =
-      if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).toSeq.filter { s =>
-          s.isFile && s.getPath.getName.endsWith(".parquet")
-        }
-      else Seq(fs.getFileStatus(root))
-    statuses.map { s =>
-      val r = ParquetFileReader.open(HadoopInputFile.fromStatus(s, conf))
-      try r.getRecordCount finally r.close()
-    }.sum
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new Path(tablePath)
+      val fs = root.getFileSystem(conf)
+      val qualifiedRoot = fs.makeQualified(root)
+      val rootStr = qualifiedRoot.toUri.getPath.stripSuffix("/")
+      val rootStatus = fs.getFileStatus(qualifiedRoot)
+      val statuses: Seq[FileStatus] =
+        if (rootStatus.isDirectory) {
+          val it = fs.listFiles(qualifiedRoot, true)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+          while (it.hasNext) {
+            val st = it.next()
+            val rel = st.getPath.toUri.getPath
+              .stripPrefix(rootStr).stripPrefix("/")
+            val hidden = rel.split("/").exists(isHiddenSegment)
+            if (st.isFile && !hidden &&
+              st.getPath.getName.endsWith(".parquet")) buf += st
+          }
+          buf.toSeq
+        } else Seq(rootStatus)
+      if (statuses.isEmpty) None
+      else Some(statuses.map { s =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromStatus(s, conf))
+        try r.getRecordCount finally r.close()
+      }.sum)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** (table_name, row_count) — the `information_schema.tables` analogue.
     *
-    * Two implementations behind [[FooterCountsKey]]:
-    * count JOBS (default): one lightweight `count()` per table — Spark's
-    * parquet count reads row-group counts, not column data, but still
-    * schedules a task per file split. FOOTER path (flag = true): sums
-    * footer counts directly — zero jobs, the right call at 1000-table
-    * catalog scale where even empty-projection scans queue up. Values
-    * are identical by construction (both read the same footer counts),
-    * so the q18 oracle hash is flag-independent — Round10dSpec pins it.
+    * DEFAULT path: footer counts — zero jobs, zero tasks, the right
+    * call at 1000-table catalog scale where even empty-projection count
+    * scans queue up (the reference's whole point is reading the
+    * catalog's `row_count` instead of scanning). Any table the footer
+    * path can't answer — no visible parquet files, unreadable footer —
+    * automatically falls back to a `count()` job for THAT table.
+    * Setting [[FooterCountsKey]] to "false" forces count jobs
+    * everywhere; values are identical by construction (both read the
+    * same footer counts), so the q18 oracle hash is flag-independent —
+    * Round10dSpec pins both that and the fallback edges.
     */
   def tableRowCounts(spark: SparkSession, dir: String,
       tables: Seq[String] = Tables.all): DataFrame = {
@@ -70,16 +103,17 @@ object CatalogMonitor {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val useFooters =
-      spark.conf.getOption(FooterCountsKey).contains("true")
+    val forceJobs =
+      spark.conf.getOption(FooterCountsKey).contains("false")
     // per-table work submitted concurrently so the cluster (or, on the
     // footer path, the filesystem) pipelines it — FAIR-scheduler
     // friendly at 1000-table scale
     val counts = Await.result(
       Future.traverse(tables) { t =>
         Future((t,
-          if (useFooters) footerRowCount(spark, dir, t)
-          else Tables.load(spark, dir, t).count()))
+          (if (forceJobs) None
+           else footerRowCount(spark, Tables.path(dir, t)))
+            .getOrElse(Tables.load(spark, dir, t).count())))
       },
       Duration.Inf)
     counts.toDF("table_name", "row_count").orderBy("table_name")

@@ -154,36 +154,116 @@ object StorageMonitor {
     * last_file).
     */
   def compactionPlan(inventory: DataFrame,
-      targetBytes: Long): DataFrame = {
-    require(targetBytes > 0, "targetBytes must be positive")
-    val spark = inventory.sparkSession
-    import spark.implicits._
-    val pairs = inventory
-      .select(col("file_name").cast("string"), col("size_bytes").cast("long"))
-      .na.drop()
-      .as[(String, Long)].rdd
-    val nBuckets = math.max(spark.sparkContext.defaultParallelism,
-      pairs.getNumPartitions)
-    val part = new org.apache.spark.RangePartitioner(nBuckets, pairs)
-    val sorted = pairs.repartitionAndSortWithinPartitions(part)
-    // step 2: P subtotal stat values (empty buckets emit 0), driver scan
-    val subs = sorted.mapPartitionsWithIndex { case (pid, it) =>
-      var s = 0L; it.foreach(s += _._2); Iterator((pid, s))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = spark.sparkContext.broadcast(subs.scanLeft(0L)(_ + _))
-    // step 3: bucket-local running sums, rebased — shuffle files reused
-    val binned = sorted.mapPartitionsWithIndex { case (pid, it) =>
-      var cum = offsets.value(pid)
-      it.map { case (name, sz) =>
-        val bin = cum / targetBytes; cum += sz; (bin, name, sz)
-      }
-    }
-    binned.toDF("bin", "file_name", "size_bytes")
+      targetBytes: Long): DataFrame =
+    binAssignments(inventory, targetBytes)
       .groupBy("bin")
       .agg(count(lit(1)).cast("long").as("n_files"),
         sum("size_bytes").cast("long").as("total_bytes"),
         min("file_name").as("first_file"),
         max("file_name").as("last_file"))
+      .orderBy("bin")
+
+  /** Per-FILE bin assignment — the relation [[compactionPlan]] groups
+    * and [[compact]] executes: (bin, file_name, path, size_bytes).
+    * `path` passes through when the inventory carries one (the compact
+    * executor needs it to read the bin's files); a bare
+    * (file_name, size_bytes) relation gets path = file_name.
+    */
+  def binAssignments(inventory: DataFrame,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val spark = inventory.sparkSession
+    import spark.implicits._
+    val withPath =
+      if (inventory.columns.contains("path")) inventory
+      else inventory.withColumn("path", col("file_name"))
+    val triples = withPath
+      .select(col("file_name").cast("string"), col("path").cast("string"),
+        col("size_bytes").cast("long"))
+      .na.drop()
+      .as[(String, String, Long)].rdd
+      .map { case (n, p, s) => (n, (p, s)) }
+    val nBuckets = math.max(spark.sparkContext.defaultParallelism,
+      triples.getNumPartitions)
+    val part = new org.apache.spark.RangePartitioner(nBuckets, triples)
+    val sorted = triples.repartitionAndSortWithinPartitions(part)
+    // step 2: P subtotal stat values (empty buckets emit 0), driver scan
+    val subs = sorted.mapPartitionsWithIndex { case (pid, it) =>
+      var s = 0L; it.foreach(s += _._2._2); Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(subs.scanLeft(0L)(_ + _))
+    // step 3: bucket-local running sums, rebased — shuffle files reused
+    sorted.mapPartitionsWithIndex { case (pid, it) =>
+      var cum = offsets.value(pid)
+      it.map { case (name, (p, sz)) =>
+        val bin = cum / targetBytes; cum += sz; (bin, name, p, sz)
+      }
+    }.toDF("bin", "file_name", "path", "size_bytes")
+  }
+
+  /** EXECUTE a compaction plan: read each bin's files, write exactly
+    * ONE parquet file per bin under `outDir` (`__bin=N/` directories),
+    * and return the read-back MANIFEST — the step after
+    * [[compactionPlan]], i.e. the lakehouse OPTIMIZE job itself.
+    *
+    * Requirements: every inventory file shares one schema (compaction
+    * is per-table), and the inventory carries `path`.
+    *
+    * Shape: the file→bin map is file-METADATA grain (capped driver
+    * collect — real OPTIMIZE implementations hold the same file list
+    * in the transaction log); rows then move in ONE distributed pass —
+    * scan all files, broadcast-join each row's source file to its bin,
+    * hash-repartition by bin (each bin lands whole in one task, so the
+    * per-bin directory gets exactly one file), write. The manifest
+    * joins the plan against the ACTUAL written output: per bin, input
+    * file/byte counts, output file count, and the read-back row count
+    * — so conservation is measured, not assumed.
+    *
+    * Output per bin: (bin, n_files_in, bytes_in, n_files_out,
+    * bytes_out, n_rows).
+    */
+  def compact(spark: SparkSession, inv: DataFrame,
+      targetBytes: Long, outDir: String): DataFrame = {
+    val assign = graft.util.Caches.cached(
+      binAssignments(inv, targetBytes))
+    val files = graft.util.Guards.countedCollect(
+      assign.select(col("path")), "StorageMonitor.compact")
+      .map(_.getString(0))
+    val plan = assign.groupBy("bin")
+      .agg(count(lit(1)).cast("long").as("n_files_in"),
+        sum("size_bytes").cast("long").as("bytes_in"))
+    if (files.isEmpty) {
+      return plan.select(col("bin"), col("n_files_in"), col("bytes_in"),
+        lit(0L).as("n_files_out"), lit(0L).as("bytes_out"),
+        lit(0L).as("n_rows"))
+    }
+    // scheme-normalize so input_file_name() ("file:///x") matches the
+    // inventory's Hadoop path rendering ("file:/x")
+    def norm(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "")
+    val binMap = assign.select(norm(col("path")).as("__srcn"), col("bin"))
+    val nBins = assign.agg(countDistinct(col("bin"))).head().getLong(0)
+    spark.read.parquet(files.toSeq: _*)
+      .withColumn("__srcn", norm(input_file_name()))
+      .join(broadcast(binMap), Seq("__srcn"))
+      .withColumnRenamed("bin", "__bin")
+      .drop("__srcn")
+      .repartition(math.max(1, nBins.toInt), col("__bin"))
+      .write.mode("overwrite").partitionBy("__bin").parquet(outDir)
+    val outInv = inventory(spark, Seq(outDir))
+      .filter(col("extension") === "parquet")
+      .withColumn("bin",
+        regexp_extract(col("path"), "__bin=(-?\\d+)", 1).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast("long").as("n_files_out"),
+        sum("size_bytes").cast("long").as("bytes_out"))
+    val outRows = spark.read.parquet(outDir)
+      .groupBy(col("__bin").cast("long").as("bin"))
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+    plan
+      .join(outInv, Seq("bin"), "left")
+      .join(outRows, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_files_out", "bytes_out", "n_rows"))
       .orderBy("bin")
   }
 }

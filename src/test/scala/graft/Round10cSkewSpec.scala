@@ -46,8 +46,9 @@ class Round10cSkewSpec extends AnyFunSuite {
       }
     }
     spark.sparkContext.addSparkListener(l)
-    // async listener bus: a short drain pause after the synchronous jobs
-    try { body; Thread.sleep(1500) }
+    // async listener bus: wait until it is actually empty (a fixed
+    // sleep drops late TaskEnds under CI load)
+    try { body; TestSpark.drainListenerBus() }
     finally spark.sparkContext.removeSparkListener(l)
     import scala.jdk.CollectionConverters._
     buf.asScala.map(_.longValue).toSeq

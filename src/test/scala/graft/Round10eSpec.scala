@@ -110,7 +110,10 @@ class Round10eSpec extends AnyFunSuite {
     "q26_streaming_hourly" -> 0,        // memory-stream fed
     // round-10 additions (census cached / RDD-backed inventory)
     "q273_cms_heavy_hitters" -> 0,
-    "q274_compaction_plan" -> 0)
+    "q274_compaction_plan" -> 0,
+    // round-11: driver-finished manifest row (the staging/compact IO is
+    // RDD/write-jobs; the returned relation is local)
+    "q275_compaction_execute" -> 0)
 
   gates.foreach { case (name, maxLeaves) =>
     test(s"$name: ≤ $maxLeaves parquet leaves in the final plan") {

@@ -49,6 +49,57 @@ class Round11Spec extends AnyFunSuite {
     check(Seq(3L, 1L, 2L, 5L), 1) // single bucket
   }
 
+  test("compact executes its own plan: per-bin round trip (files in " +
+    "each bin -> ONE output file, rows and bytes conserved bin-wise)") {
+    import graft.storage.StorageMonitor
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-compact").toFile.getAbsolutePath
+    val staged = s"$tmp/staged"
+    val out = s"$tmp/out"
+    // 6 deterministic shards of 300 rows -> 6 small files
+    (0L until 300L).map(i => (i, s"payload-$i", i % 6))
+      .toDF("id", "payload", "shard")
+      .repartition(col("shard"))
+      .write.partitionBy("shard").parquet(staged)
+    val inv = StorageMonitor.inventory(spark, Seq(staged))
+      .filter(col("extension") === "parquet")
+    val target = 4096L
+    val plan = StorageMonitor.compactionPlan(inv, target).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val manifest = StorageMonitor.compact(spark, inv, target, out).collect()
+    assert(manifest.nonEmpty && manifest.length === plan.size,
+      "manifest must carry exactly the planned bins")
+    manifest.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val (nFiles, bytes) = plan(bin)
+      assert(r.getAs[Long]("n_files_in") === nFiles)
+      assert(r.getAs[Long]("bytes_in") === bytes)
+      assert(r.getAs[Long]("n_files_out") === 1L,
+        s"bin $bin must compact to exactly one file")
+      assert(r.getAs[Long]("n_rows") > 0L)
+    }
+    assert(manifest.map(_.getAs[Long]("n_rows")).sum === 300L,
+      "row conservation through the full read->bin->write->read-back")
+    // per-bin row counts must equal the sum of each bin's INPUT files'
+    // rows (conservation at bin grain, not just in total)
+    val srcRows = spark.read.parquet(staged)
+      .withColumn("__src", input_file_name())
+      .groupBy("__src").count().collect()
+      .map(r => r.getString(0).replaceFirst("^[a-zA-Z0-9+.-]+:/+", "")
+        -> r.getLong(1)).toMap
+    val binRows = StorageMonitor.binAssignments(inv, target).collect()
+      .groupBy(_.getAs[Long]("bin"))
+      .view.mapValues(_.map(r => srcRows(
+        r.getAs[String]("path").replaceFirst("^[a-zA-Z0-9+.-]+:/+", ""))).sum)
+      .toMap
+    manifest.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === binRows(r.getAs[Long]("bin")),
+        s"bin ${r.getAs[Long]("bin")} rows must equal its input files' rows")
+    }
+    graft.util.Caches.releaseAll()
+  }
+
   test("ntileExact: no unpartitioned window touches the data relation " +
     "(the census window rides distinct values only)") {
     import spark.implicits._
