@@ -12,9 +12,11 @@ import graft.storage.StorageMonitor
   * conservation is the hashable value (the oracle recomputes it from
   * the source table, so a row lost anywhere in stage→plan→compact→
   * read-back flips the hash); the bin-count laws ride certain-true
-  * flags (next-fit guarantees ceil(bytes/target) ≤ bins ≤ files, and
-  * the executor guarantees one output file per bin) because absolute
-  * bin counts depend on parquet encoding sizes no oracle can see.
+  * flags because absolute bin counts depend on parquet encoding sizes
+  * no oracle can see: next-fit guarantees bins ≤ files and — since a
+  * bin's bytes never exceed target + its oversized last file —
+  * bins ≥ ceil(bytes / (target + max_file_bytes)); the executor
+  * guarantees one output file per bin.
   */
 object Round11Queries {
 
@@ -44,6 +46,8 @@ object Round11Queries {
           .write.partitionBy("__shard").parquet(staged)
         val inv = StorageMonitor.inventory(s, Seq(staged))
           .filter(col("extension") === "parquet")
+        val maxFile = inv.agg(max(col("size_bytes").cast("long")))
+          .head().getLong(0)
         val manifest = StorageMonitor
           .compact(s, inv, CompactExecTargetBytes, out)
           .collect() // bin grain: stat rows
@@ -52,8 +56,13 @@ object Round11Queries {
         val bytesIn = manifest.map(_.getAs[Long]("bytes_in")).sum
         val filesOut = manifest.map(_.getAs[Long]("n_files_out")).sum
         val rows = manifest.map(_.getAs[Long]("n_rows")).sum
-        val minBins = (bytesIn + CompactExecTargetBytes - 1) /
-          CompactExecTargetBytes
+        // next-fit lower bound: a bin holds < target + maxFile bytes
+        // (it closes at the first file crossing a target boundary, and
+        // only its LAST file can overshoot), so bins >= ceil(B/(t+max))
+        // — certain at every SF, unlike ceil(B/t), which oversized
+        // single files break by skipping bin ids
+        val minBins = (bytesIn + CompactExecTargetBytes + maxFile - 1) /
+          (CompactExecTargetBytes + maxFile)
         s.createDataFrame(
           s.sparkContext.parallelize(Seq(Row(
             filesIn.toInt, rows,
