@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.run.MonitorRunner
 import graft.storage.StorageMonitor
 
 /** Round-11 additions: the compaction EXECUTOR round-trip (q275) — the
@@ -33,6 +34,27 @@ object Round11Queries {
   val CompactExecTargetBytes = 262144L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The O1/O2 orchestration surface ORACLED end-to-end: the fan-out
+    // runner monitors every warehouse table concurrently into the
+    // shared sink (S15), and the fan-in aggregate recomputes the
+    // Snowflake DAG's XCom mean. Hashable projection: the per-table
+    // record counts plus the fan-in mean in CENTS — the sink stores
+    // rint(mean*100)/100 and rint is half-even, which DuckDB states as
+    // round_even; mean*100 = sum*100/8 is exact in doubles, so both
+    // engines round the identical value. Fresh temp state per call, so
+    // no delta keys; the key filter makes the projection deterministic
+    // under the runner's thread-ordering.
+    "q276_monitor_fanout_fanin" -> ((s, dir) => {
+      val statePath = java.nio.file.Files
+        .createTempDirectory("graft-q276").toFile.getAbsolutePath
+      MonitorRunner.run(s, dir, Tables.warehouse, statePath)
+        .filter(col("key").endsWith(".record_count") ||
+          col("key") === "all_tables.mean_record_count")
+        .select(col("key"),
+          round(col("valueDouble") * 100).cast("long").as("value_cents"))
+        .orderBy("key")
+    }),
+
     "q275_compaction_execute" -> ((s, dir) => {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-q275").toFile.getAbsolutePath
@@ -92,6 +114,20 @@ object Round11Queries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q276_monitor_fanout_fanin" -> {
+      val unions = Tables.warehouse.map(t =>
+        s"SELECT '$t' AS t, CAST(count(*) AS BIGINT) AS cnt FROM $t")
+        .mkString("\nUNION ALL ")
+      s"""WITH c AS ($unions),
+         |m AS (SELECT CAST(round_even(sum(cnt) * 100.0 / count(*), 0)
+         |    AS BIGINT) AS cents FROM c)
+         |SELECT t || '.record_count' AS key, cnt * 100 AS value_cents
+         |FROM c
+         |UNION ALL
+         |SELECT 'all_tables.mean_record_count', cents FROM m
+         |ORDER BY key""".stripMargin
+    },
+
     "q275_compaction_execute" ->
       s"""SELECT CAST($CompactShards AS INTEGER) AS n_files_in,
          |  CAST(count(*) AS BIGINT) AS total_rows,

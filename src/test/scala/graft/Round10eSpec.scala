@@ -129,7 +129,9 @@ class Round10eSpec extends AnyFunSuite {
     "q181_qq_drift" -> 2,            // two-sample + quantile Range probe
     "q49_label_profile" -> 2,
     "q03_join_broadcast" -> 3,       // three-table broadcast join
-    "q165_rank_sum" -> 2)
+    "q165_rank_sum" -> 2,
+    // round-11: runner metrics are a driver-side local relation
+    "q276_monitor_fanout_fanin" -> 0)
 
   gates.foreach { case (name, maxLeaves) =>
     test(s"$name: ≤ $maxLeaves parquet leaves in the final plan") {
