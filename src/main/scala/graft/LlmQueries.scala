@@ -145,7 +145,7 @@ object LlmQueries {
     s"CASE WHEN len(list_distinct($a || $b)) = 0 THEN 0.0 ELSE " +
       s"round(len(list_intersect($a, $b))::DOUBLE / len(list_distinct($a || $b)), 4) END"
 
-  private val fingerprintSql =
+  private[graft] val fingerprintSql =
     s"md5(array_to_string(list_sort(list_distinct($tokSql)), ' '))"
 
   private[graft] def langHitSql(markers: Seq[String]): String =
