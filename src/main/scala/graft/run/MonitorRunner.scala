@@ -165,14 +165,18 @@ object MonitorRunner {
     */
   def run(spark: SparkSession, dir: String, targets: Seq[String],
       statePath: String, metricsPath: Option[String] = None,
-      parallelism: Int = 4): DataFrame = {
+      parallelism: Int = 8): DataFrame = {
     val sink = MetricSink()
     val state = new StateStore(statePath)
     // Concurrent fan-out, like the reference's parallel Airflow tasks
     // (`snowflake_table_monitor.py:162-178`): each monitor is mostly
-    // blocking on its own Spark jobs, so a few driver threads keep the
-    // cluster saturated across targets (FAIR-friendly). MetricSink is
-    // synchronized; StateStore serializes its snapshot rewrites.
+    // blocking on its own Spark jobs, so driver threads keep the
+    // cluster saturated across targets (FAIR-friendly). Default 8 =
+    // one thread per warehouse table; the A/B at sf0.1 measured the
+    // full fan-out (q276) at ~0.55× the 4-thread wall time — the
+    // per-table jobs are small enough that 4 threads left the
+    // scheduler underfed. MetricSink is synchronized; StateStore
+    // serializes its snapshot rewrites.
     if (parallelism <= 1 || targets.size <= 1)
       targets.foreach(t => Monitors.tableMonitor(spark, dir, t, sink, state))
     else {
