@@ -81,7 +81,7 @@ object Round11bQueries {
     s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
        |  CAST(0 AS BIGINT) AS n_corrupt,
        |  CAST(sum(length(text2)) AS BIGINT) AS total_chars,
-       |  CAST(count(DISTINCT text2) AS BIGINT) AS n_distinct,
+       |  CAST(count(DISTINCT md5(text2)) AS BIGINT) AS n_distinct,
        |  CAST(count(*) FILTER (contains(text2, chr(10))) AS BIGINT) AS n_multiline,
        |  CAST(bit_xor(${fp("concat_ws('|', doc_id, text2, lang)")}) AS BIGINT) AS row_xor,
        |  min(md5(concat_ws('|', doc_id, text2, lang))) AS md5_min

@@ -74,7 +74,11 @@ object FormatRoundTrip {
       corruptCol.map(c => count(col(c)).as("n_corrupt"))
         .getOrElse(lit(0L).as("n_corrupt")),
       sum(length(col("text2"))).cast(LongType).as("total_chars"),
-      countDistinct(col("text2")).as("n_distinct"),
+      // distinct over the text's md5, not the text: the distinct
+      // shuffle moves 32-byte keys instead of document bodies (same
+      // value modulo md5 collisions; the oracle states
+      // count(DISTINCT md5(text2)) identically)
+      countDistinct(md5(col("text2"))).as("n_distinct"),
       count(when(col("text2").contains("\n"), 1)).as("n_multiline"),
       expr("bit_xor(h)").as("row_xor"),
       min(md5(rowStr)).as("md5_min"))
