@@ -131,7 +131,11 @@ class Round10eSpec extends AnyFunSuite {
     "q03_join_broadcast" -> 3,       // three-table broadcast join
     "q165_rank_sum" -> 2,
     // round-11: runner metrics are a driver-side local relation
-    "q276_monitor_fanout_fanin" -> 0)
+    "q276_monitor_fanout_fanin" -> 0,
+    // round-11b/c: round-trip/ingest checksums are localCheckpoint'd
+    // one-row relations (the staging IO is write jobs, probed 0-leaf)
+    "q279_orc_roundtrip" -> 0,
+    "q280_stream_ingest_e2e" -> 0)
 
   gates.foreach { case (name, maxLeaves) =>
     test(s"$name: ≤ $maxLeaves parquet leaves in the final plan") {
