@@ -27,29 +27,73 @@ object Round11cQueries {
     .add("doc_id", LongType).add("text", StringType).add("lang", StringType)
     .add("source", StringType).add("n_chars", LongType)
 
+  /** Stage delivery k (`doc_id % 4 == k` as JSONL + one raw malformed
+    * line) under `tmp/in$k` and read it back under the validated
+    * posture — shared by q280 (exact tier) and q281 (near-dup tier).
+    */
+  private def delivery(s: SparkSession, dir: String, tmp: String, k: Int): DataFrame = {
+    val in = s"$tmp/in$k"
+    Tables.load(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(4L)) === k)
+      .write.mode("overwrite").json(in)
+    // one malformed line per delivery, written raw (no Spark crc
+    // sidecar) — must land in quarantine, never the corpus
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/zz-malformed.json"),
+      s"""{"doc_id": ${90000 + k}, "text": unquoted}\n""")
+    Sources.readValidated(s, in, DocsSchema, "json")
+  }
+
+  private def withStaging(prefix: String)(body: String => DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory(prefix).toFile.getAbsolutePath
+    try body(tmp)
+    finally {
+      import java.nio.file.{Files, Paths}
+      import java.util.Comparator
+      val root = Paths.get(tmp)
+      if (Files.exists(root))
+        Files.walk(root).sorted(Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_stream_neardup_ingest" -> ((s, dir) => withStaging("graft-q281") { tmp =>
+      val paths = IngestPaths(s"$tmp/corpus", s"$tmp/store", s"$tmp/quarantine")
+      def run(k: Int): org.apache.spark.sql.Row =
+        StreamingIngest.processBatchNearDup(delivery(s, dir, tmp, k), k, paths)
+          .collect().head
+      // deliveries 0, 1 — REPLAY 1 (crash-recovery path) — 2, 3; the
+      // emitted batch-1 row is the REPLAY's, and replay_ok pins its
+      // equality with the first attempt
+      val r0 = run(0)
+      val r1a = run(1)
+      val r1b = run(1)
+      val rest = Seq(run(2), run(3))
+      val replayOk = r1a.toSeq == r1b.toSeq
+      val rows = (Seq(r0, r1b) ++ rest).map(r => org.apache.spark.sql.Row(
+        r.toSeq :+ replayOk: _*))
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(
+          StreamingIngest.NearDupReportSchema.fields :+
+            org.apache.spark.sql.types.StructField("replay_ok",
+              org.apache.spark.sql.types.BooleanType, nullable = false)))
+        .orderBy("ingest_batch")
+    }),
+
     "q280_stream_ingest_e2e" -> ((s, dir) => {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-q280").toFile.getAbsolutePath
       try {
-        val docs = Tables.load(s, dir, "documents")
         val paths = IngestPaths(s"$tmp/corpus", s"$tmp/store", s"$tmp/quarantine")
-        def delivery(k: Int): DataFrame = {
-          val in = s"$tmp/in$k"
-          docs.filter(pmod(col("doc_id"), lit(4L)) === k)
-            .write.mode("overwrite").json(in)
-          // one malformed line per delivery, written raw (no Spark crc
-          // sidecar) — must land in quarantine, never the corpus
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(s"$in/zz-malformed.json"),
-            s"""{"doc_id": ${90000 + k}, "text": unquoted}\n""")
-          Sources.readValidated(s, in, DocsSchema, "json")
-        }
         // deliveries 0,1,2 — then REPLAY 2 (same input, same batch id:
         // the foreachBatch crash-recovery path) — then 3
-        Seq(0, 1, 2).foreach(k => StreamingIngest.processBatch(delivery(k), k, paths))
-        StreamingIngest.processBatch(delivery(2), 2, paths)
-        StreamingIngest.processBatch(delivery(3), 3, paths)
+        Seq(0, 1, 2).foreach(k =>
+          StreamingIngest.processBatch(delivery(s, dir, tmp, k), k, paths))
+        StreamingIngest.processBatch(delivery(s, dir, tmp, 2), 2, paths)
+        StreamingIngest.processBatch(delivery(s, dir, tmp, 3), 3, paths)
 
         val nQuarantined = StreamingIngest.quarantined(s, paths)
           .map(_.count()).getOrElse(0L)
@@ -93,5 +137,55 @@ object Round11cQueries {
          |  CAST(bit_xor(${fp60(
              "concat_ws('|', doc_id, text, lang, source, n_chars, b)")}) AS BIGINT) AS row_xor
          |FROM s WHERE rn = 1""".stripMargin
+    },
+
+    // The near-dup ingest law unrolled batch-by-batch: verified pairs
+    // come from the SAME CTE chain as q33/q74 (global band collisions +
+    // bigram Jaccard >= 0.5); w = within-batch drops (any lower-id
+    // same-batch partner); a_k = batch-k docs verifying against an
+    // earlier-batch SURVIVOR; s_k = the survivors the store carries
+    // forward. replay_ok is certain-true by the operator's replay law.
+    "q281_stream_neardup_ingest" -> {
+      def aK(k: Int, prior: String): String =
+        s"""a$k AS (SELECT DISTINCT dd.doc_id FROM d dd
+           |  JOIN ps ON ps.u = dd.doc_id
+           |  JOIN ($prior) sv ON sv.doc_id = ps.v
+           |  WHERE dd.b = $k)""".stripMargin
+      def sK(k: Int): String =
+        s"""s$k AS (SELECT doc_id FROM d WHERE b = $k
+           |  AND doc_id NOT IN (SELECT doc_id FROM a$k)
+           |  AND doc_id NOT IN (SELECT doc_id FROM w))""".stripMargin
+      def report(k: Int): String =
+        s"""SELECT CAST($k AS BIGINT) AS ingest_batch,
+           |  (SELECT count(*) FROM d WHERE b = $k) AS n_in,
+           |  CAST(1 AS BIGINT) AS n_corrupt,
+           |  (SELECT count(*) FROM a$k) AS n_dropped_store,
+           |  (SELECT count(*) FROM d JOIN w USING (doc_id) WHERE b = $k
+           |     AND doc_id NOT IN (SELECT doc_id FROM a$k)) AS n_dropped_within,
+           |  (SELECT count(*) FROM s$k) AS n_kept,
+           |  TRUE AS replay_ok""".stripMargin
+      s"""WITH ${LlmQueries.minhashPairsCtes},
+         |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |ps AS (SELECT doc_a AS u, doc_b AS v FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |d AS (SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS b FROM documents),
+         |w AS (SELECT DISTINCT d2.doc_id FROM d d2
+         |  JOIN ps ON ps.u = d2.doc_id
+         |  JOIN d d1 ON d1.doc_id = ps.v AND d1.b = d2.b
+         |    AND d1.doc_id < d2.doc_id),
+         |a0 AS (SELECT doc_id FROM d WHERE FALSE),
+         |${sK(0)},
+         |${aK(1, "SELECT doc_id FROM s0")},
+         |${sK(1)},
+         |${aK(2, "SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM s1")},
+         |${sK(2)},
+         |${aK(3, "SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM s1" +
+             " UNION ALL SELECT doc_id FROM s2")},
+         |${sK(3)}
+         |${report(0)}
+         |UNION ALL ${report(1)}
+         |UNION ALL ${report(2)}
+         |UNION ALL ${report(3)}
+         |ORDER BY ingest_batch""".stripMargin
     })
 }

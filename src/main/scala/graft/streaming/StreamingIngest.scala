@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 import graft.operators.TextOps
 
@@ -79,6 +79,128 @@ object StreamingIngest {
           .parquet(s"${paths.store}/ingest_batch=$batchId")
       } finally { survivors.unpersist(); () }
     } finally { cached.unpersist(); () }
+  }
+
+  /** Delivery-report schema of [[processBatchNearDup]]. */
+  val NearDupReportSchema: StructType = new StructType()
+    .add("ingest_batch", LongType, nullable = false)
+    .add("n_in", LongType, nullable = false)
+    .add("n_corrupt", LongType, nullable = false)
+    .add("n_dropped_store", LongType, nullable = false)
+    .add("n_dropped_within", LongType, nullable = false)
+    .add("n_kept", LongType, nullable = false)
+
+  /** NEAR-dup ingest, the fuzzy tier of [[processBatch]]: the
+    * persistent store holds the SURVIVORS' MinHash band keys (blocking)
+    * and hashed-bigram sets (verification) — the production layout for
+    * near-dedup-on-ingest: deliveries never join document text against
+    * the corpus, only band keys and ngram-hash arrays
+    * ([[graft.operators.Dedup.incrementalNearDups]]' law, store-backed).
+    *
+    * Drop law (one-step, deterministic, no transitive closure):
+    * an incoming doc is dropped iff it verifies (bigram Jaccard ≥
+    * `threshold`) against (i) any earlier-batch SURVIVOR it
+    * band-collides with — the store join — or (ii) any LOWER-ID doc of
+    * its own batch it band-collides with, survivor or not. (ii) is
+    * deliberately one-step: chains a~b, b~c retire both b and c even
+    * when a≁c — conservative for training data, and exactly restatable
+    * in SQL (no recursive closure), so the whole multi-delivery run
+    * oracles batch-by-batch.
+    *
+    * Replay safety: identical to [[processBatch]] — all three writes
+    * (corpus, band store, ngram store) are batch-partitioned
+    * overwrites, and both store reads exclude the replaying batch's
+    * own partitions, so a crash between sinks replays to the
+    * identical state.
+    *
+    * Returns the one-row delivery report
+    * (ingest_batch, n_in, n_corrupt, n_dropped_store,
+    * n_dropped_within, n_kept), already materialized.
+    */
+  def processBatchNearDup(batch: DataFrame, batchId: Long, paths: IngestPaths,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val cached = batch.cache()
+    val scratch = scala.collection.mutable.ArrayBuffer[DataFrame](cached)
+    try {
+      val corrupt = cached.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw_line"))
+      val nCorrupt = corrupt.count()
+      if (nCorrupt > 0)
+        corrupt.write.mode("overwrite")
+          .parquet(s"${paths.quarantine}/ingest_batch=$batchId")
+      val clean = cached.filter(col("_corrupt_record").isNull)
+        .drop("_corrupt_record")
+
+      val bandsNew = Dedup.bandExplode(
+        Dedup.minhashSignatures(clean, k, idCol, textCol), rowsPerBand).cache()
+      val ngramsNew = graft.util.Parallelism.ensure(clean)
+        .select(col(idCol).as("doc_id"),
+          graft.operators.TextOps.hashedNgrams(col(textCol)).as("hs")).cache()
+      scratch += bandsNew; scratch += ngramsNew
+      val jac = graft.functions.SortedLongJaccard
+        .sortedLongJaccard(col("ha"), col("hb"))
+
+      // (i) verified collision with an earlier-batch survivor
+      val storeBands = readPartitioned(spark, s"${paths.store}/bands")
+        .map(_.filter(col("ingest_batch") < batchId)
+          .select(col("doc_id").as("store_id"), col("band_idx"), col("band_key")))
+      val droppedStore = storeBands match {
+        case None => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          new StructType().add("doc_id", org.apache.spark.sql.types.LongType))
+        case Some(sb) =>
+          val cands = bandsNew.join(sb, Seq("band_idx", "band_key"))
+            .select("doc_id", "store_id").distinct()
+          val storeNg = readPartitioned(spark, s"${paths.store}/ngrams").get
+            .filter(col("ingest_batch") < batchId)
+            .select(col("doc_id").as("store_id"), col("hs").as("hb"))
+          cands.join(ngramsNew.withColumnRenamed("hs", "ha"), "doc_id")
+            .join(storeNg, "store_id")
+            .filter(jac >= threshold)
+            .select("doc_id").distinct()
+      }
+      // (ii) verified collision with a lower-id doc of the same batch
+      val within = bandsNew.as("a").join(bandsNew.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("doc_id"))
+        .distinct()
+      val droppedWithin = within
+        .join(ngramsNew.select(col("doc_id").as("id_a"), col("hs").as("ha")), "id_a")
+        .join(ngramsNew.select(col("doc_id"), col("hs").as("hb")), "doc_id")
+        .filter(jac >= threshold)
+        .select("doc_id").distinct()
+
+      val dsCached = droppedStore.cache()
+      val dwCached = droppedWithin.cache()
+      val dropped = dsCached.unionByName(dwCached).distinct()
+      val survivors = clean.join(dropped,
+        clean(idCol) === dropped("doc_id"), "left_anti").cache()
+      scratch += dsCached; scratch += dwCached; scratch += survivors
+      survivors.write.mode("overwrite")
+        .parquet(s"${paths.corpus}/ingest_batch=$batchId")
+      val keepIds = survivors.select(col(idCol).as("doc_id"))
+      bandsNew.join(keepIds, "doc_id").write.mode("overwrite")
+        .parquet(s"${paths.store}/bands/ingest_batch=$batchId")
+      ngramsNew.join(keepIds, "doc_id").write.mode("overwrite")
+        .parquet(s"${paths.store}/ngrams/ingest_batch=$batchId")
+
+      val nIn = clean.count(); val nStore = dsCached.count()
+      val nWithin = dwCached.join(dsCached, Seq("doc_id"), "left_anti").count()
+      val nKept = survivors.count()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+          batchId, nIn, nCorrupt, nStore, nWithin, nKept)), 1),
+        NearDupReportSchema)
+    } finally {
+      // report counts are materialized above; drop only this batch's caches
+      scratch.foreach(df => df.unpersist())
+      ()
+    }
   }
 
   /** Distinct fingerprints of every batch strictly before `beforeBatch`

@@ -132,6 +132,47 @@ class Round11cSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("near-dup ingest: store drop, within-batch drop, novel kept — " +
+    "and the one-step chain law (a~b, b~c, a!~c retires BOTH b and c)") {
+    val dir = tmp()
+    try {
+      val in = s"$dir/in"
+      val paths = IngestPaths(s"$dir/c", s"$dir/s", s"$dir/q")
+      // sliding 10-word windows over a 14-word sequence: J(a,b)=7/11,
+      // J(b,c)=7/11 (both >= 0.5), J(a,c)=5/13 (< 0.5)
+      val ws = (1 to 14).map(i => s"w$i")
+      def win(from: Int) = ws.slice(from, from + 10).mkString(" ")
+      val a = win(0); val b = win(2); val c = win(4)
+      jsonl(s"$in/d0.json", doc(1, a), doc(2, "totally different words here"))
+      // batch 1: 3 = store-dup of doc 1 (identical text), 4 novel,
+      // 5 = within-dup of 4 (identical), plus the chain b(6)~a-store?
+      jsonl(s"$in/d1.json", doc(3, a), doc(4, "unrelated novel content"),
+        doc(5, "unrelated novel content"), doc(6, b), doc(7, c))
+      def batch(f: String) = Sources.readValidated(spark, s"$in/$f", schema, "json")
+      // rowsPerBand = 1 (16 single-row bands): candidate recall at
+      // J >= 0.5 is effectively total, so the LAW is what's under test,
+      // not the banding luck of a 5-doc fixture (q281 exercises the
+      // production 4-row banding at corpus scale)
+      def run(f: String, id: Long) = StreamingIngest.processBatchNearDup(
+        batch(f), id, paths, rowsPerBand = 1).collect().head
+      val r0 = run("d0.json", 0)
+      assert(r0.getAs[Long]("n_kept") === 2L)
+      val r1 = run("d1.json", 1)
+      // 3 drops against the STORE (identical to survivor 1 = text a);
+      // 5 drops WITHIN (identical to lower-id 4); 6 (= b) drops against
+      // store-survivor a (J = 7/11); 7 (= c) drops within against
+      // lower-id 6 EVEN THOUGH 6 itself dropped — the one-step law
+      assert(r1.getAs[Long]("n_dropped_store") >= 2L,  // 3 and 6
+        r1.toString)
+      assert(r1.getAs[Long]("n_kept") === 1L, r1.toString) // only 4
+      assert(corpusIds(paths) === Set(1L, 2L, 4L))
+      // replay of batch 1 is row-identical (three-sink crash recovery)
+      val r1b = run("d1.json", 1)
+      assert(r1b.toSeq === r1.toSeq)
+      assert(corpusIds(paths) === Set(1L, 2L, 4L))
+    } finally rm(dir)
+  }
+
   test("malformed lines quarantine verbatim and never reach the corpus") {
     val dir = tmp()
     try {
