@@ -119,7 +119,8 @@ object StreamingIngest {
     */
   def processBatchNearDup(batch: DataFrame, batchId: Long, paths: IngestPaths,
       idCol: String = "doc_id", textCol: String = "text",
-      k: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+      k: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.5,
+      maxBucketSize: Option[Long] = None): DataFrame = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
     val cached = batch.cache()
@@ -134,8 +135,26 @@ object StreamingIngest {
       val clean = cached.filter(col("_corrupt_record").isNull)
         .drop("_corrupt_record")
 
-      val bandsNew = Dedup.bandExplode(
+      val bandsAll = Dedup.bandExplode(
         Dedup.minhashSignatures(clean, k, idCol, textCol), rowsPerBand).cache()
+      // hot-bucket cap, the q34/q61 skew guard transposed to ingest: a
+      // band key shared by d store docs × m delivery docs fans the
+      // candidate join out d·m rows, so one boilerplate bucket can
+      // dominate the whole delivery. The cap drops the delivery's OWN
+      // over-full buckets (deterministic — the store side is already
+      // survivor-thinned); recall for pairs that only collide in hot
+      // buckets is the documented cost, exactly as in
+      // [[graft.operators.Dedup.lshCandidates]] /
+      // [[graft.operators.DedupConfig.Production]].
+      val bandsNew = (maxBucketSize match {
+        case None => bandsAll
+        case Some(cap) =>
+          val hot = bandsAll.groupBy("band_idx", "band_key")
+            .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+            .select("band_idx", "band_key")
+          bandsAll.join(broadcast(hot), Seq("band_idx", "band_key"), "left_anti")
+      }).cache()
+      scratch += bandsAll
       val ngramsNew = graft.util.Parallelism.ensure(clean)
         .select(col(idCol).as("doc_id"),
           graft.operators.TextOps.hashedNgrams(col(textCol)).as("hs")).cache()
@@ -184,7 +203,9 @@ object StreamingIngest {
       survivors.write.mode("overwrite")
         .parquet(s"${paths.corpus}/ingest_batch=$batchId")
       val keepIds = survivors.select(col(idCol).as("doc_id"))
-      bandsNew.join(keepIds, "doc_id").write.mode("overwrite")
+      // the store keeps survivors' FULL band sets (the cap thins the
+      // candidate join, never the persisted signatures)
+      bandsAll.join(keepIds, "doc_id").write.mode("overwrite")
         .parquet(s"${paths.store}/bands/ingest_batch=$batchId")
       ngramsNew.join(keepIds, "doc_id").write.mode("overwrite")
         .parquet(s"${paths.store}/ngrams/ingest_batch=$batchId")
@@ -256,18 +277,38 @@ object StreamingIngest {
     */
   def ingestAvailable(spark: SparkSession, inPath: String, schema: StructType,
       paths: IngestPaths, checkpoint: String,
-      maxFilesPerTrigger: Int = 1): StreamingQuery = {
-    val withCorrupt = schema.add("_corrupt_record", StringType)
-    val raw = spark.readStream
-      .schema(withCorrupt)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      .json(inPath)
-    raw.writeStream
+      maxFilesPerTrigger: Int = 1): StreamingQuery =
+    validatedFileStream(spark, inPath, schema, maxFilesPerTrigger)
+      .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) => processBatch(b, id, paths) }
       .start()
-  }
+
+  /** [[ingestAvailable]]'s fuzzy sibling: drains pending deliveries
+    * through [[processBatchNearDup]] under the same checkpoint/replay
+    * contract. `maxBucketSize` carries the production hot-bucket cap.
+    */
+  def ingestAvailableNearDup(spark: SparkSession, inPath: String,
+      schema: StructType, paths: IngestPaths, checkpoint: String,
+      maxFilesPerTrigger: Int = 1, threshold: Double = 0.5,
+      maxBucketSize: Option[Long] = None): StreamingQuery =
+    validatedFileStream(spark, inPath, schema, maxFilesPerTrigger)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        processBatchNearDup(b, id, paths, threshold = threshold,
+          maxBucketSize = maxBucketSize); ()
+      }
+      .start()
+
+  private def validatedFileStream(spark: SparkSession, inPath: String,
+      schema: StructType, maxFilesPerTrigger: Int): DataFrame =
+    spark.readStream
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .json(inPath)
 }

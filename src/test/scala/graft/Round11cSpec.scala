@@ -173,6 +173,40 @@ class Round11cSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("near-dup streaming wrapper drains deliveries under the same " +
+    "checkpoint contract; hot-bucket cap thins candidates but the store " +
+    "keeps full signatures") {
+    val dir = tmp()
+    try {
+      val in = s"$dir/in"
+      val paths = IngestPaths(s"$dir/c", s"$dir/s", s"$dir/q")
+      jsonl(s"$in/d0.json", doc(1, "alpha beta gamma"), doc(2, "delta epsilon"))
+      jsonl(s"$in/d1.json", doc(3, "alpha beta gamma"), doc(4, "zeta eta"))
+      stamp(s"$in/d0.json", 10); stamp(s"$in/d1.json", 5)
+      val q = StreamingIngest.ingestAvailableNearDup(spark, in, schema, paths,
+        s"$dir/ckpt", maxFilesPerTrigger = 1)
+      q.awaitTermination()
+      assert(corpusIds(paths) === Set(1L, 2L, 4L)) // 3 identical to 1
+      // store carries full band sets for every survivor: 4 bands each
+      val bands = spark.read.option("basePath", s"$dir/s/bands")
+        .parquet(s"$dir/s/bands")
+      assert(bands.count() === 3L * 4L)
+      // cap = 0 drops every candidate bucket: nothing can collide, so
+      // an identical re-delivery is KEPT (recall loss is the documented
+      // cost) — while its full signature still lands in the store
+      val d2 = s"$dir/in2"
+      jsonl(s"$d2/d.json", doc(5, "alpha beta gamma"))
+      val r = StreamingIngest.processBatchNearDup(
+        Sources.readValidated(spark, d2, schema, "json"), 99, paths,
+        maxBucketSize = Some(0L)).collect().head
+      assert(r.getAs[Long]("n_kept") === 1L)
+      assert(r.getAs[Long]("n_dropped_store") === 0L)
+      val bandsAfter = spark.read.option("basePath", s"$dir/s/bands")
+        .parquet(s"$dir/s/bands").filter(col("ingest_batch") === 99)
+      assert(bandsAfter.count() === 4L)
+    } finally rm(dir)
+  }
+
   test("malformed lines quarantine verbatim and never reach the corpus") {
     val dir = tmp()
     try {
