@@ -135,7 +135,8 @@ class Round10eSpec extends AnyFunSuite {
     // round-11b/c: round-trip/ingest checksums are localCheckpoint'd
     // one-row relations (the staging IO is write jobs, probed 0-leaf)
     "q279_orc_roundtrip" -> 0,
-    "q280_stream_ingest_e2e" -> 0)
+    "q280_stream_ingest_e2e" -> 0,
+    "q281_stream_neardup_ingest" -> 0)  // driver-built report relation
 
   gates.foreach { case (name, maxLeaves) =>
     test(s"$name: ≤ $maxLeaves parquet leaves in the final plan") {
