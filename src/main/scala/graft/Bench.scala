@@ -208,7 +208,22 @@ object Bench {
       if ((i + 1) % calEvery == 0) calPoint(i + 1)
     }
     calPoint(names.size)
-    val results = tries.map { case (k, (a, b)) => k -> math.min(a, b) }
+    val firstPass = tries.map { case (k, (a, b)) => k -> math.min(a, b) }
+    // SELF-ADJUDICATING MOVERS (round 12): any query whose min-of-2
+    // regressed >1.5x vs the previous committed run is re-timed a THIRD
+    // time after the sweep — the r11 artifacts showed 10x phantom movers
+    // from multi-second VM freezes (q141/q165), and a post-sweep retry
+    // on a now-quiet host separates weather from plan changes inside the
+    // artifact itself. The retry joins the min (the headline stays the
+    // intrinsic cost) and the mover block records all three tries plus
+    // the verdict.
+    val retries = scala.collection.mutable.LinkedHashMap[String, Double]()
+    firstPass.foreach { case (k, v) =>
+      if (prev.get(k).exists(p => math.min(p, v) >= 0.3 && v / p > 1.5))
+        retries += k -> timeOnce(SparkEntry.queries(k))
+    }
+    val results = firstPass.map { case (k, v) =>
+      k -> math.min(v, retries.getOrElse(k, v)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -220,7 +235,7 @@ object Bench {
     val calTimes = cal.map(_._2)
     val calSummary =
       s""""cal_min":${calTimes.min},"cal_max":${calTimes.max}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","method":"min_of_2",$calSummary}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","method":"min_of_2+mover_retry",$calSummary}"""
     println(line)
     // The driver's BENCH artifact keeps only the tail of stdout, which
     // truncates the per-query map once there are 200+ queries — also
@@ -252,10 +267,15 @@ object Bench {
       val ratios = comparable.map(_._4).sorted
       val med = ratios(ratios.size / 2)
       val movers = comparable
-        .filter { case (_, _, _, r) => r > 1.5 || r < 1.0 / 1.5 }
+        .filter { case (k, _, _, r) =>
+          r > 1.5 || r < 1.0 / 1.5 || retries.contains(k) }
         .sortBy { case (_, _, _, r) => -r }
         .map { case (k, p, c, r) =>
-          s"""{"q":"$k","prev":$p,"cur":$c,"ratio":${(r * 1000).round / 1000.0}}""" }
+          val adj = retries.get(k).map { rt =>
+            val verdict = if (c / p <= 1.5) "weather" else "persists"
+            s""","retry_s":$rt,"adjudication":"$verdict""""
+          }.getOrElse("")
+          s"""{"q":"$k","prev":$p,"cur":$c,"ratio":${(r * 1000).round / 1000.0}$adj}""" }
         .mkString("[", ",", "]")
       val prevTotal = prev.values.sum
       s"""{"prev_file":"$prevPath","prev_total":$prevTotal,""" +

@@ -104,12 +104,7 @@ object Round11Queries {
               org.apache.spark.sql.types.BooleanType, nullable = false))))
       } finally {
         // the result row is materialized — the staging tree can go
-        import java.nio.file.{Files, Paths}
-        import java.util.Comparator
-        val root = Paths.get(tmp)
-        if (Files.exists(root))
-          Files.walk(root).sorted(Comparator.reverseOrder())
-            .forEach(p => { Files.deleteIfExists(p); () })
+        graft.util.TempDirs.rm(tmp)
       }
     }))
 

@@ -25,14 +25,7 @@ object Round11bQueries {
   private def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toFile.getAbsolutePath
 
-  private def cleanup(root: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    import java.util.Comparator
-    val p = Paths.get(root)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder())
-        .forEach(q => { Files.deleteIfExists(q); () })
-  }
+  private def cleanup(root: String): Unit = graft.util.TempDirs.rm(root)
 
   private def roundTrip(prefix: String)(body: String => DataFrame): DataFrame = {
     val tmp = tmpDir(prefix)
@@ -77,7 +70,8 @@ object Round11bQueries {
   private def fp(s: String): String =
     s"CAST(concat('0x', substring(md5($s), 1, 15)) AS BIGINT)"
 
-  private val docChecksumSql =
+  /** Shared with [[Round12Queries]]'s codec-matrix oracle. */
+  private[graft] val docChecksumSql =
     s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
        |  CAST(0 AS BIGINT) AS n_corrupt,
        |  CAST(sum(length(text2)) AS BIGINT) AS total_chars,

@@ -23,6 +23,13 @@ import graft.streaming.StreamingIngest.IngestPaths
   */
 object Round11cQueries {
 
+  /** Malformed raw lines salted into EACH delivery by [[delivery]] —
+    * the single source for the oracles’ quarantine counts (q280 pins
+    * 4 deliveries × this; q281 pins it per batch). Changing the
+    * staging convention changes the oracles WITH it.
+    */
+  val MalformedPerDelivery: Int = 1
+
   private val DocsSchema = new StructType()
     .add("doc_id", LongType).add("text", StringType).add("lang", StringType)
     .add("source", StringType).add("n_chars", LongType)
@@ -36,27 +43,17 @@ object Round11cQueries {
     Tables.load(s, dir, "documents")
       .filter(pmod(col("doc_id"), lit(4L)) === k)
       .write.mode("overwrite").json(in)
-    // one malformed line per delivery, written raw (no Spark crc
-    // sidecar) — must land in quarantine, never the corpus
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$in/zz-malformed.json"),
-      s"""{"doc_id": ${90000 + k}, "text": unquoted}\n""")
+    // MalformedPerDelivery raw lines (no Spark crc sidecar) — must
+    // land in quarantine, never the corpus
+    (0 until MalformedPerDelivery).foreach(i =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$in/zz-malformed$i.json"),
+        s"""{"doc_id": ${90000 + 10 * i + k}, "text": unquoted}\n"""))
     Sources.readValidated(s, in, DocsSchema, "json")
   }
 
-  private def withStaging(prefix: String)(body: String => DataFrame): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory(prefix).toFile.getAbsolutePath
-    try body(tmp)
-    finally {
-      import java.nio.file.{Files, Paths}
-      import java.util.Comparator
-      val root = Paths.get(tmp)
-      if (Files.exists(root))
-        Files.walk(root).sorted(Comparator.reverseOrder())
-          .forEach(p => { Files.deleteIfExists(p); () })
-    }
-  }
+  private def withStaging(prefix: String)(body: String => DataFrame): DataFrame =
+    graft.util.TempDirs.withTempDir(prefix)(body)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q281_stream_neardup_ingest" -> ((s, dir) => withStaging("graft-q281") { tmp =>
@@ -71,6 +68,9 @@ object Round11cQueries {
       val r1a = run(1)
       val r1b = run(1)
       val rest = Seq(run(2), run(3))
+      // the store tables are external + staging-scoped: drop their
+      // catalog entries before the staging tree goes
+      StreamingIngest.dropStoreTables(s, paths)
       val replayOk = r1a.toSeq == r1b.toSeq
       val rows = (Seq(r0, r1b) ++ rest).map(r => org.apache.spark.sql.Row(
         r.toSeq :+ replayOk: _*))
@@ -110,14 +110,7 @@ object Round11cQueries {
             sum(length(col("text"))).cast(LongType).as("total_chars"),
             expr("bit_xor(h)").as("row_xor"))
           .localCheckpoint() // materialize before the staging tree goes
-      } finally {
-        import java.nio.file.{Files, Paths}
-        import java.util.Comparator
-        val root = Paths.get(tmp)
-        if (Files.exists(root))
-          Files.walk(root).sorted(Comparator.reverseOrder())
-            .forEach(p => { Files.deleteIfExists(p); () })
-      }
+      } finally graft.util.TempDirs.rm(tmp)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -132,7 +125,7 @@ object Round11cQueries {
          |SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
          |  CAST(sum(b) AS BIGINT) AS batch_sum,
-         |  CAST(4 AS BIGINT) AS n_quarantined,
+         |  CAST(${4 * MalformedPerDelivery} AS BIGINT) AS n_quarantined,
          |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
          |  CAST(bit_xor(${fp60(
              "concat_ws('|', doc_id, text, lang, source, n_chars, b)")}) AS BIGINT) AS row_xor
@@ -158,7 +151,7 @@ object Round11cQueries {
       def report(k: Int): String =
         s"""SELECT CAST($k AS BIGINT) AS ingest_batch,
            |  (SELECT count(*) FROM d WHERE b = $k) AS n_in,
-           |  CAST(1 AS BIGINT) AS n_corrupt,
+           |  CAST($MalformedPerDelivery AS BIGINT) AS n_corrupt,
            |  (SELECT count(*) FROM a$k) AS n_dropped_store,
            |  (SELECT count(*) FROM d JOIN w USING (doc_id) WHERE b = $k
            |     AND doc_id NOT IN (SELECT doc_id FROM a$k)) AS n_dropped_within,

@@ -579,7 +579,8 @@ object SparkEntry {
       Round7nQueries.queries ++ Round7oQueries.queries ++ Round7pQueries.queries ++ Round7qQueries.queries ++ Round7rQueries.queries ++ Round7sQueries.queries ++ Round7tQueries.queries ++ Round7uQueries.queries ++ Round7vQueries.queries ++ Round7wQueries.queries ++ Round7zQueries.queries ++ Round8cQueries.queries ++ Round8dQueries.queries ++ Round8eQueries.queries ++ Round8fQueries.queries ++ Round8gQueries.queries ++ Round8hQueries.queries ++ Round8iQueries.queries ++ Round8jQueries.queries ++ Round8kQueries.queries ++ Round8lQueries.queries ++ Round8mQueries.queries ++ Round8nQueries.queries ++ Round8oQueries.queries ++ Round8pQueries.queries ++ Round8qQueries.queries ++
       Round9Queries.queries ++ Round9dQueries.queries ++
       Round9fQueries.queries ++ Round10Queries.queries ++
-      Round11Queries.queries ++ Round11bQueries.queries ++ Round11cQueries.queries
+      Round11Queries.queries ++ Round11bQueries.queries ++ Round11cQueries.queries ++
+      Round12Queries.queries
 
   /** Validation metadata for the sketch-valued queries. Since round 9
     * each emits an in-plan FIDELITY form — exact-twin values in the
@@ -638,5 +639,6 @@ object SparkEntry {
       Round7nQueries.oracleSql ++ Round7oQueries.oracleSql ++ Round7pQueries.oracleSql ++ Round7qQueries.oracleSql ++ Round7rQueries.oracleSql ++ Round7sQueries.oracleSql ++ Round7tQueries.oracleSql ++ Round7uQueries.oracleSql ++ Round7vQueries.oracleSql ++ Round7wQueries.oracleSql ++ Round7zQueries.oracleSql ++ Round8cQueries.oracleSql ++ Round8dQueries.oracleSql ++ Round8eQueries.oracleSql ++ Round8fQueries.oracleSql ++ Round8gQueries.oracleSql ++ Round8hQueries.oracleSql ++ Round8iQueries.oracleSql ++ Round8jQueries.oracleSql ++ Round8kQueries.oracleSql ++ Round8lQueries.oracleSql ++ Round8mQueries.oracleSql ++ Round8nQueries.oracleSql ++ Round8oQueries.oracleSql ++ Round8pQueries.oracleSql ++ Round8qQueries.oracleSql ++
       Round9Queries.oracleSql ++ Round9dQueries.oracleSql ++
       Round9fQueries.oracleSql ++ Round10Queries.oracleSql ++
-      Round11Queries.oracleSql ++ Round11bQueries.oracleSql ++ Round11cQueries.oracleSql
+      Round11Queries.oracleSql ++ Round11bQueries.oracleSql ++ Round11cQueries.oracleSql ++
+      Round12Queries.oracleSql
 }

@@ -348,13 +348,19 @@ object Correlate {
     */
   def bestSplit(df: DataFrame, featureCol: String,
       label: Column): DataFrame = {
-    val census = df
-      .select(round(col(featureCol).cast("double") * 1e6).cast("long")
-        .as("vm"),
-        when(label, 1L).otherwise(0L).as("y"))
-      .groupBy("vm")
-      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("c1"),
-        sum(when(col("y") === 0, 1L).otherwise(0L)).as("c0"))
+    // candidate-threshold census: value-bounded for bounded features
+    // (doc lengths), so it rides unpartitioned cumulative windows —
+    // the in-plan ceiling guard fails loudly if a continuous feature
+    // drifts the census to corpus grain
+    val census = graft.util.Guards.boundedCensus(
+      graft.util.Caches.cached(df
+        .select(round(col(featureCol).cast("double") * 1e6).cast("long")
+          .as("vm"),
+          when(label, 1L).otherwise(0L).as("y"))
+        .groupBy("vm")
+        .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("y") === 0, 1L).otherwise(0L)).as("c0"))),
+      "bestSplit.thresholdCensus")
     val wAll = Window.partitionBy()
     val wCum = wAll.orderBy("vm").rowsBetween(Window.unboundedPreceding, 0)
     def cell(c: Column, nSide: Column, n: Column): Column =
@@ -439,9 +445,11 @@ object Correlate {
   /** Spearman rank correlation with tie-averaged ranks — the monotone
     * dependence measure between [[pearsonMatrix]] (linear) and
     * [[kendallTauB]] (pairwise): Pearson over the rank variables.
-    * Entirely VALUE-DOMAIN like τ-b: ranks derive from the per-value
-    * censuses (average rank of a tied run = cum_before + (t+1)/2 —
-    * kept integer as the DOUBLED rank 2·cum_before + t + 1), weights
+    * Ranks derive from the per-value censuses (average rank of a tied
+    * run = cum_before + (t+1)/2 — kept integer as the DOUBLED rank
+    * 2·cum_before + t + 1) — but the censuses are ENTITY-DERIVED when
+    * the inputs are per-entity totals, so cum_before comes from the
+    * [[PrefixSum]] two-level scan, not an unpartitioned window; weights
     * re-enter through the (x, y) cell census, and all five Pearson
     * sufficient sums accumulate exactly in DECIMAL(38,0). ρ is the one
     * closed-form double off those exact integers (rank products reach
@@ -457,12 +465,14 @@ object Correlate {
       df.select(col(xCol).cast("long").as("x"),
         col(yCol).cast("long").as("y"))
         .groupBy("x", "y").agg(count(lit(1)).as("c")))
+    // the value censuses here are ENTITY-DERIVED (e.g. per-user spend
+    // totals — distinct values grow with the population), so the
+    // cumulative rank runs on the PrefixSum two-level scan, never an
+    // unpartitioned window
     def ranks(vc: String) = {
-      val before = Window.orderBy(vc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      cells.groupBy(vc).agg(sum("c").as("t"))
-        .withColumn("r2",
-          coalesce(sum("t").over(before), lit(0L)) * 2 + col("t") + 1)
+      val byVal = cells.groupBy(vc).agg(sum("c").as("t"))
+      PrefixSum.cumBefore(byVal, vc, "t", "__cb", s"spearman.ranks($vc)")
+        .withColumn("r2", col("__cb") * 2 + col("t") + 1)
         .select(col(vc), col("r2"))
     }
     val j = cells
@@ -530,13 +540,14 @@ object Correlate {
     val cells = graft.util.Caches.cached(df
       .select(col(groupCol).as("g"), vm.as("vm"))
       .groupBy("g", "vm").agg(count(lit(1)).as("c")))
+    // vm is a micro-rounded continuous domain — distinct values grow
+    // with rows until the domain saturates, so the doubled ranks come
+    // from the PrefixSum two-level scan, not an unpartitioned window
     val byVal = cells.groupBy("vm").agg(sum("c").as("ct"))
-    val w = Window.orderBy("vm")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val ranked = byVal
-      .withColumn("cum", sum("ct").over(w))
+    val ranked = PrefixSum
+      .cumBefore(byVal, "vm", "ct", "__cb", "kruskalWallis.ranks")
       .select(col("vm"),
-        (lit(2L) * (col("cum") - col("ct")) + col("ct") + 1L).as("r2"),
+        (lit(2L) * col("__cb") + col("ct") + 1L).as("r2"),
         col("ct"))
     val perG = cells.join(ranked.select("vm", "r2"), Seq("vm"))
       .groupBy("g")
@@ -695,12 +706,13 @@ object Correlate {
     val cells = graft.util.Caches.cached(df
       .select(col(groupCol).as("g"), vm.as("vm"))
       .groupBy("g", "vm").agg(count(lit(1)).as("c")))
-    val w = Window.orderBy("vm")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val ranked = cells.groupBy("vm").agg(sum("c").as("ct"))
-      .withColumn("cum", sum("ct").over(w))
+    // same PrefixSum doubled-rank build as kruskalWallis — vm is a
+    // micro-rounded (corpus-growing) domain, never windowed unpartitioned
+    val ranked = PrefixSum
+      .cumBefore(cells.groupBy("vm").agg(sum("c").as("ct")),
+        "vm", "ct", "__cb", "dunnPairs.ranks")
       .select(col("vm"),
-        (lit(2L) * (col("cum") - col("ct")) + col("ct") + 1L).as("r2"),
+        (lit(2L) * col("__cb") + col("ct") + 1L).as("r2"),
         col("ct"))
     val perG = cells.join(ranked.select("vm", "r2"), Seq("vm"))
       .groupBy("g")

@@ -53,9 +53,9 @@ object Deciles {
     * idiom transposed to ranks:
     *
     *   1. a VALUE-DOMAIN census (one row per distinct `valCol`) gets
-    *      cumulative start offsets from a window over the census —
-    *      value grain, the allow-listed census-window shape, never
-    *      data rows;
+    *      cumulative start offsets from the [[PrefixSum]] two-level
+    *      scan — value grain, never data rows, and window-free even
+    *      over the census;
     *   2. each row's within-value position comes from a window
     *      PARTITIONED by `valCol` (parallelism = distinct values),
     *      ordered by the unique `orderCol` tiebreak;
@@ -76,10 +76,11 @@ object Deciles {
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val base = nRows / n
     val extra = nRows % n
-    val wCen = Window.orderBy("__v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = cen
-      .withColumn("__off", coalesce(sum("__c").over(wCen), lit(0L)))
+    // census offsets via the PrefixSum two-level scan — the census is
+    // value-domain here, but the idiom costs nothing and keeps the
+    // whole plan free of unpartitioned windows at ANY census grain
+    val offs = PrefixSum
+      .cumBefore(cen, "__v", "__c", "__off", "ntileExact.offsets")
       .select(col("__v"), col("__off"))
     val wIn = Window.partitionBy(col(valCol)).orderBy(col(orderCol))
     // SQL `div` keeps the bucket arithmetic in exact longs (Column./

@@ -149,11 +149,16 @@ object Evaluation {
     * precision_ppm, recall_ppm).
     */
   def prCurve(df: DataFrame, scoreCol: String, label: Column): DataFrame = {
-    val h = df
-      .select(col(scoreCol).cast("long").as("s"),
-        when(label, 1L).otherwise(0L).as("y"))
-      .groupBy("s")
-      .agg(sum("y").as("pos"), sum(lit(1L) - col("y")).as("neg"))
+    // cached + ceiling-guarded: the threshold census feeds
+    // unpartitioned cumulative windows, so a score domain that drifts
+    // to corpus grain fails loudly instead of single-task sorting
+    val h = graft.util.Guards.boundedCensus(
+      graft.util.Caches.cached(df
+        .select(col(scoreCol).cast("long").as("s"),
+          when(label, 1L).otherwise(0L).as("y"))
+        .groupBy("s")
+        .agg(sum("y").as("pos"), sum(lit(1L) - col("y")).as("neg"))),
+      "prCurve.scoreCensus")
     val wDesc = Window.orderBy(col("s").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window.partitionBy()
@@ -184,11 +189,14 @@ object Evaluation {
     */
   def averagePrecision(df: DataFrame, scoreCol: String,
       label: Column): DataFrame = {
-    val h = df
-      .select(col(scoreCol).cast("long").as("s"),
-        when(label, 1L).otherwise(0L).as("y"))
-      .groupBy("s")
-      .agg(sum("y").as("pos"), sum(lit(1L) - col("y")).as("neg"))
+    // same ceiling-guarded census as prCurve (see there)
+    val h = graft.util.Guards.boundedCensus(
+      graft.util.Caches.cached(df
+        .select(col(scoreCol).cast("long").as("s"),
+          when(label, 1L).otherwise(0L).as("y"))
+        .groupBy("s")
+        .agg(sum("y").as("pos"), sum(lit(1L) - col("y")).as("neg"))),
+      "averagePrecision.scoreCensus")
     val wDesc = Window.orderBy(col("s").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     h.withColumn("tp", sum("pos").over(wDesc))
@@ -460,14 +468,17 @@ object Evaluation {
     require(alphaPermille > 0 && alphaPermille < 1000, "alpha in (0,1)")
     val base = graft.util.Caches.cached(df.select(isCalib.as("cal"),
       abs(yMicro - yhatMicro).cast("long").as("s")))
-    val census = base.filter(col("cal"))
-      .groupBy("s").agg(count(lit(1)).as("c"))
-    val wCum = Window.orderBy("s")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy()
-    val q = census
-      .withColumn("cum", sum("c").over(wCum))
-      .withColumn("n_cal", sum("c").over(wAll))
+    // the nonconformity census rides micro-rounded |y − ŷ| — a domain
+    // that grows with rows until saturation — so the cumulative count
+    // and the calibration total come from the PrefixSum two-level scan
+    // and a broadcast 1-row aggregate, never an unpartitioned window
+    val census = graft.util.Caches.cached(base.filter(col("cal"))
+      .groupBy("s").agg(count(lit(1)).as("c")))
+    val nCal = census.agg(coalesce(sum("c"), lit(0L)).as("n_cal"))
+    val q = PrefixSum
+      .cumBefore(census, "s", "c", "__cb", "splitConformal")
+      .withColumn("cum", col("__cb") + col("c"))
+      .crossJoin(broadcast(nCal))
       .withColumn("k", expr(
         s"((n_cal + 1) * ${1000 - alphaPermille} + 999) div 1000"))
       .groupBy(col("n_cal"))

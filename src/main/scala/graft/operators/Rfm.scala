@@ -40,16 +40,22 @@ object Rfm {
         datediff(col("h"), col("last_day")).cast("long"))
       .drop("h", "last_day"))
 
+    // the metric histograms are ENTITY-DERIVED (distinct per-user
+    // frequency/monetary totals grow with the population), so the
+    // cumulative counts come from the PrefixSum two-level scan and the
+    // total from a broadcast 1-row aggregate — no unpartitioned window
     def boundaries(metric: String): DataFrame = {
-      val hist = users.groupBy(col(metric).as("v"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum("c").over(Window.orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("n", sum("c").over(Window.partitionBy()))
+      val hist = graft.util.Caches.cached(
+        users.groupBy(col(metric).as("v")).agg(count(lit(1)).as("c")))
+      val tot = hist.agg(coalesce(sum("c"), lit(0L)).as("n"))
+      val cum = PrefixSum
+        .cumBefore(hist, "v", "c", "__cb", s"rfm.boundaries($metric)")
+        .withColumn("cum", col("__cb") + col("c"))
+        .crossJoin(broadcast(tot))
       val aggs = (1 to 4).map(q =>
         min(when(col("cum") >= expr(s"($q * n + 4) div 5"), col("v")))
           .as(s"__b$q"))
-      hist.agg(aggs.head, aggs.tail: _*)
+      cum.agg(aggs.head, aggs.tail: _*)
     }
 
     def score(metric: String, b: String): Column =

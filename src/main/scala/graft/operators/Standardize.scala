@@ -102,9 +102,15 @@ object Standardize {
     */
   def quantileNormalize(df: DataFrame, groupCol: String,
       valCol: String): DataFrame = {
-    val census = graft.util.Caches.cached(
-      df.select(col(groupCol).as("g"), col(valCol).cast("long").as("v"))
-        .groupBy("g", "v").agg(count(lit(1)).as("c")))
+    // runtime teeth on the value-bounded claim: the census feeds
+    // unpartitioned windows and a broadcast containment join below, so
+    // it asserts the cardinality ceiling in-plan — a valCol that drifts
+    // to corpus grain fails loudly instead of single-task sorting
+    val census = graft.util.Guards.boundedCensus(
+      graft.util.Caches.cached(
+        df.select(col(groupCol).as("g"), col(valCol).cast("long").as("v"))
+          .groupBy("g", "v").agg(count(lit(1)).as("c"))),
+      "quantileNormalize.census")
     val wg = Window.partitionBy("g").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, 0)
     val grp = census

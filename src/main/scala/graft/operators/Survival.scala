@@ -51,9 +51,13 @@ object Survival {
           .otherwise(datediff(col("horizon"), col("entry")))
           .cast("long").as("t"),
         col("event_day").isNotNull.as("observed"))
-    val census = lt.groupBy("t")
-      .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
-        sum(when(col("observed"), 0L).otherwise(1L)).as("c"))
+    // day-grain lifetime census (calendar-bounded) — ceiling-guarded
+    // in-plan before the unpartitioned cumulative windows below
+    val census = graft.util.Guards.boundedCensus(
+      graft.util.Caches.cached(lt.groupBy("t")
+        .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
+          sum(when(col("observed"), 0L).otherwise(1L)).as("c"))),
+      "kaplanMeier.lifetimeCensus")
     val wAll = Window.partitionBy()
     val wBefore = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -112,9 +116,12 @@ object Survival {
           .otherwise(datediff(col("horizon"), col("entry")))
           .cast("long").as("t"),
         col("event_day").isNotNull.as("observed"))
-    val census = lt.groupBy("t")
-      .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
-        sum(when(col("observed"), 0L).otherwise(1L)).as("c"))
+    // same day-grain guarded census as kaplanMeier
+    val census = graft.util.Guards.boundedCensus(
+      graft.util.Caches.cached(lt.groupBy("t")
+        .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
+          sum(when(col("observed"), 0L).otherwise(1L)).as("c"))),
+      "nelsonAalen.lifetimeCensus")
     val wAll = Window.partitionBy()
     val wBefore = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -176,7 +183,8 @@ object Survival {
           .otherwise(datediff(col("horizon"), col("entry")))
           .cast("long").as("t"),
         col("event_day").isNotNull.as("observed"), col("is_a"))
-    val census = lt.groupBy("t")
+    val census = graft.util.Guards.boundedCensus(
+      graft.util.Caches.cached(lt.groupBy("t")
       .agg(sum(when(col("observed") && col("is_a"), 1L).otherwise(0L))
           .as("d1"),
         sum(when(col("observed") && !col("is_a"), 1L).otherwise(0L))
@@ -184,7 +192,8 @@ object Survival {
         sum(when(!col("observed") && col("is_a"), 1L).otherwise(0L))
           .as("c1"),
         sum(when(!col("observed") && !col("is_a"), 1L).otherwise(0L))
-          .as("c2"))
+          .as("c2"))),
+      "logRank.lifetimeCensus")
     val wAll = Window.partitionBy()
     val wBefore = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, -1)

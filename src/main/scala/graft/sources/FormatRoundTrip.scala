@@ -150,6 +150,108 @@ object FormatRoundTrip {
     eventChecksum(spark.read.orc(path))
   }
 
+  /** The COMPRESSION-CODEC axis (round 12): every in-box codec the
+    * engine grades, per format. Text formats have no zstd codec in a
+    * stock Spark/Hadoop classpath (native libhadoop absent), so the
+    * text tier grades gzip/deflate; the columnar tier grades
+    * zstd/snappy/gzip (ORC via aircompressor, parquet via
+    * zstd-jni/snappy-java — all pure-JVM).
+    */
+  val CodecMatrix: Seq[(String, String)] = Seq(
+    ("csv", "gzip"),
+    ("jsonl", "deflate"), ("jsonl", "gzip"),
+    ("orc", "snappy"), ("orc", "zstd"),
+    ("parquet", "gzip"), ("parquet", "zstd"))
+
+  /** Per-format UNCOMPRESSED codec name (the size baseline). */
+  private val PlainCodec = Map(
+    "csv" -> "none", "jsonl" -> "none",
+    "orc" -> "none", "parquet" -> "uncompressed")
+
+  /** One hostile-docs round trip through `format` + `codec` under
+    * `path`; returns the [[docChecksum]] row (corrupt capture graded
+    * for the text dialects, 0 by construction for columnar).
+    * `coalesce(1)`: this is a GRADING query — one file per cell keeps
+    * the size comparison free of per-file overhead noise; production
+    * writes go through [[graft.sources.Sinks]] unchanged.
+    */
+  private def writeAs(docs: DataFrame, path: String, format: String,
+      codec: String): Unit = {
+    val one = hostileDocs(docs).coalesce(1)
+    format match {
+      case "jsonl" => one.write.mode("overwrite")
+        .option("compression", codec).json(path)
+      case "csv" => one.write.mode("overwrite")
+        .option("compression", codec)
+        .option("header", "true").option("escape", "\"")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
+      case "orc" => one.write.mode("overwrite")
+        .option("compression", codec).orc(path)
+      case "parquet" => one.write.mode("overwrite")
+        .option("compression", codec).parquet(path)
+    }
+  }
+
+  private def readBack(spark: SparkSession, path: String,
+      format: String): DataFrame = format match {
+    case "jsonl" => Sources.readValidated(spark, path, DocSchema, "json")
+    case "csv" => spark.read.format("csv")
+      .schema(DocSchema.add("_corrupt_record", StringType))
+      .option("header", "true").option("escape", "\"")
+      .option("multiLine", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .load(path)
+    case "orc" => spark.read.orc(path)
+    case "parquet" => spark.read.parquet(path)
+  }
+
+  /** Data bytes under `path` (hidden/_ files skipped). */
+  def dirBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var bytes = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) bytes += f.getLen
+    }
+    bytes
+  }
+
+  /** The codec grading relation: one row per [[CodecMatrix]] cell —
+    * (format, codec, docChecksum columns..., smaller_than_plain). The
+    * checksum columns are codec-INDEPENDENT (any codec that corrupts,
+    * drops, or re-escapes a row flips them against the DuckDB
+    * recomputation); `smaller_than_plain` compares the cell's bytes
+    * against the SAME format written uncompressed — the
+    * frozen-constant fidelity convention: TRUE is certain for working
+    * codecs on text corpora, and a codec that silently stops
+    * compressing goes hash-red.
+    */
+  def codecMatrixChecksums(spark: SparkSession, docs: DataFrame,
+      tmp: String): DataFrame = {
+    val plainBytes = PlainCodec.map { case (fmt, plain) =>
+      val p = s"$tmp/$fmt-plain"
+      writeAs(docs, p, fmt, plain)
+      fmt -> dirBytes(spark, p)
+    }
+    CodecMatrix.map { case (fmt, codec) =>
+      val p = s"$tmp/$fmt-$codec"
+      writeAs(docs, p, fmt, codec)
+      val checkCorrupt = fmt == "jsonl" || fmt == "csv"
+      withFingerprint(readBack(spark, p, fmt), checkCorrupt)
+        .select(lit(fmt).as("format"), lit(codec).as("codec"), col("*"))
+        .withColumn("smaller_than_plain",
+          lit(dirBytes(spark, p) < plainBytes(fmt)))
+    }.reduce(_ unionByName _).orderBy("format", "codec")
+  }
+
   /** Typed checksum of an events-shaped relation, format-independent —
     * [[orcRoundTrip]] applies it to the read-back side; specs apply it
     * directly to the source to prove the hop changed nothing.

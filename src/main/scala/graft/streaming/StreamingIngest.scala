@@ -97,6 +97,23 @@ object StreamingIngest {
     * the corpus, only band keys and ngram-hash arrays
     * ([[graft.operators.Dedup.incrementalNearDups]]' law, store-backed).
     *
+    * Store layout (round 12): both stores are BUCKETED external tables
+    * anchored at `paths.store/bands|ngrams` — bands CLUSTERED BY
+    * (band_idx, band_key), ngrams by doc_id, [[StoreBuckets]] buckets,
+    * still partitioned by `ingest_batch`. The per-delivery candidate
+    * probe (`delivery bands ⋈ store bands`) and the verification join
+    * (`candidates ⋈ store ngrams`) therefore read the STORE SIDE
+    * WITHOUT an Exchange — only the (small) delivery side shuffles to
+    * the bucket layout — so per-batch cost stays ~|delivery| +
+    * one store SCAN even as the store grows, instead of re-shuffling
+    * the accumulated store every delivery. Reads are also a total
+    * function of the catalog (an empty table, never a missing path),
+    * which removes the bands-present/ngrams-missing crash window the
+    * old two-path read had: a crash between the two store writes
+    * replays into two half-empty RELATIONS, not a `None.get`.
+    * `idCol` must be long-valued (the store schema pins BIGINT ids —
+    * the house document-id convention).
+    *
     * Drop law (one-step, deterministic, no transitive closure):
     * an incoming doc is dropped iff it verifies (bigram Jaccard ≥
     * `threshold`) against (i) any earlier-batch SURVIVOR it
@@ -162,25 +179,33 @@ object StreamingIngest {
       val jac = graft.functions.SortedLongJaccard
         .sortedLongJaccard(col("ha"), col("hb"))
 
-      // (i) verified collision with an earlier-batch survivor
-      val storeBands = readPartitioned(spark, s"${paths.store}/bands")
-        .map(_.filter(col("ingest_batch") < batchId)
-          .select(col("doc_id").as("store_id"), col("band_idx"), col("band_key")))
-      val droppedStore = storeBands match {
-        case None => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          new StructType().add("doc_id", org.apache.spark.sql.types.LongType))
-        case Some(sb) =>
-          val cands = bandsNew.join(sb, Seq("band_idx", "band_key"))
-            .select("doc_id", "store_id").distinct()
-          val storeNg = readPartitioned(spark, s"${paths.store}/ngrams").get
-            .filter(col("ingest_batch") < batchId)
-            .select(col("doc_id").as("store_id"), col("hs").as("hb"))
-          cands.join(ngramsNew.withColumnRenamed("hs", "ha"), "doc_id")
-            .join(storeNg, "store_id")
-            .filter(jac >= threshold)
-            .select("doc_id").distinct()
-      }
+      // (i) verified collision with an earlier-batch survivor. Both
+      // store reads come off the bucketed tables: the band probe and
+      // the ngram verification stream the store side shuffle-free
+      // (bucket layout == join key), and an empty store is an empty
+      // RELATION, so the first batch and the crash-between-sinks
+      // replay take the same code path.
+      val bandsTable = ensureStoreTable(spark, "bands",
+        s"${paths.store}/bands",
+        "doc_id BIGINT, band_idx INT, band_key STRING",
+        "band_idx, band_key")
+      val ngramsTable = ensureStoreTable(spark, "ngrams",
+        s"${paths.store}/ngrams",
+        "doc_id BIGINT, hs ARRAY<BIGINT>", "doc_id")
+      val storeBands = spark.table(bandsTable)
+        .filter(col("ingest_batch") < batchId)
+        .select(col("doc_id").as("store_id"), col("band_idx"),
+          col("band_key"))
+      val cands = bandsNew.join(storeBands, Seq("band_idx", "band_key"))
+        .select("doc_id", "store_id").distinct()
+      val storeNg = spark.table(ngramsTable)
+        .filter(col("ingest_batch") < batchId)
+        .select(col("doc_id").as("store_id"), col("hs").as("hb"))
+      val droppedStore = cands
+        .join(ngramsNew.withColumnRenamed("hs", "ha"), "doc_id")
+        .join(storeNg, "store_id")
+        .filter(jac >= threshold)
+        .select("doc_id").distinct()
       // (ii) verified collision with a lower-id doc of the same batch
       val within = bandsNew.as("a").join(bandsNew.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
@@ -194,8 +219,12 @@ object StreamingIngest {
         .filter(jac >= threshold)
         .select("doc_id").distinct()
 
-      val dsCached = droppedStore.cache()
-      val dwCached = droppedWithin.cache()
+      // EAGER localCheckpoint (id-grain, tiny), not cache: the dropped
+      // sets' lineage reads the store tables, and the store INSERT
+      // OVERWRITE below may not read from the table it overwrites —
+      // the checkpoint cuts the plan at the materialized ids
+      val dsCached = droppedStore.localCheckpoint()
+      val dwCached = droppedWithin.localCheckpoint()
       val dropped = dsCached.unionByName(dwCached).distinct()
       val survivors = clean.join(dropped,
         clean(idCol) === dropped("doc_id"), "left_anti").cache()
@@ -204,11 +233,18 @@ object StreamingIngest {
         .parquet(s"${paths.corpus}/ingest_batch=$batchId")
       val keepIds = survivors.select(col(idCol).as("doc_id"))
       // the store keeps survivors' FULL band sets (the cap thins the
-      // candidate join, never the persisted signatures)
-      bandsAll.join(keepIds, "doc_id").write.mode("overwrite")
-        .parquet(s"${paths.store}/bands/ingest_batch=$batchId")
-      ngramsNew.join(keepIds, "doc_id").write.mode("overwrite")
-        .parquet(s"${paths.store}/ngrams/ingest_batch=$batchId")
+      // candidate join, never the persisted signatures); static
+      // partition INSERT OVERWRITE = the replay-safe batch-partitioned
+      // overwrite, now through the bucketed tables
+      insertBatchPartition(spark, bandsTable, batchId,
+        bandsAll.join(keepIds, "doc_id")
+          .select(col("doc_id").cast("long"), col("band_idx").cast("int"),
+            col("band_key").cast("string"))
+          .repartition(StoreBuckets, col("band_idx"), col("band_key")))
+      insertBatchPartition(spark, ngramsTable, batchId,
+        ngramsNew.join(keepIds, "doc_id")
+          .select(col("doc_id").cast("long"), col("hs"))
+          .repartition(StoreBuckets, col("doc_id")))
 
       val nIn = clean.count(); val nStore = dsCached.count()
       val nWithin = dwCached.join(dsCached, Seq("doc_id"), "left_anti").count()
@@ -222,6 +258,78 @@ object StreamingIngest {
       scratch.foreach(df => df.unpersist())
       ()
     }
+  }
+
+  /** Bucket count of the near-dup store tables. Sized like a shuffle
+    * partition count for the STORE's steady-state volume, not the
+    * delivery's: each delivery probe reads the store at this
+    * parallelism without an Exchange.
+    */
+  val StoreBuckets: Int = 16
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Catalog name of a store table anchored at `location` — derived
+    * from the location so concurrent ingest roots in one session never
+    * collide, and deterministic so a RESTARTED session (fresh
+    * in-memory catalog) re-binds the same files.
+    */
+  def storeTableName(kind: String, location: String): String =
+    s"graft_ingest_${kind}_${md5hex(location).take(12)}"
+
+  /** CREATE IF NOT EXISTS + partition recovery for a bucketed EXTERNAL
+    * store table. RECOVER PARTITIONS is the restart path: a new JVM's
+    * catalog starts empty, the parquet under `location` does not — the
+    * recover re-registers every earlier delivery's `ingest_batch=N`
+    * directory (idempotent and cheap mid-run: one listing).
+    */
+  private def ensureStoreTable(spark: SparkSession, kind: String,
+      location: String, columnsDdl: String, bucketCols: String): String = {
+    val name = storeTableName(kind, location)
+    // first delivery: the external location must exist before RECOVER
+    // PARTITIONS walks it
+    val loc = new org.apache.hadoop.fs.Path(location)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(loc)
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $name ($columnsDdl,
+         |  ingest_batch BIGINT)
+         |USING parquet PARTITIONED BY (ingest_batch)
+         |CLUSTERED BY ($bucketCols) SORTED BY ($bucketCols)
+         |INTO $StoreBuckets BUCKETS
+         |LOCATION '$location'""".stripMargin)
+    spark.sql(s"ALTER TABLE $name RECOVER PARTITIONS")
+    name
+  }
+
+  /** Replay-safe store append: STATIC partition INSERT OVERWRITE —
+    * only `ingest_batch=$batchId` is replaced, whatever the session's
+    * partitionOverwriteMode, and the write lands bucketed+sorted per
+    * the table spec. The input is pre-partitioned to one task per
+    * bucket so each insert adds exactly [[StoreBuckets]] files.
+    */
+  private def insertBatchPartition(spark: SparkSession, table: String,
+      batchId: Long, df: DataFrame): Unit = {
+    val view = s"__graft_insert_${table}_$batchId"
+    df.createOrReplaceTempView(view)
+    spark.sql(s"INSERT OVERWRITE TABLE $table " +
+      s"PARTITION (ingest_batch=$batchId) SELECT * FROM $view")
+    spark.catalog.dropTempView(view)
+    ()
+  }
+
+  /** Drop the near-dup store tables' catalog entries (external — files
+    * under `paths.store` are untouched). Call when tearing down a
+    * staging-root ingest so short-lived roots don't leave dangling
+    * catalog entries.
+    */
+  def dropStoreTables(spark: SparkSession, paths: IngestPaths): Unit = {
+    Seq("bands" -> s"${paths.store}/bands",
+      "ngrams" -> s"${paths.store}/ngrams").foreach { case (kind, loc) =>
+      spark.sql(s"DROP TABLE IF EXISTS ${storeTableName(kind, loc)}")
+    }
+    ()
   }
 
   /** Distinct fingerprints of every batch strictly before `beforeBatch`

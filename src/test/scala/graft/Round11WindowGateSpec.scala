@@ -30,56 +30,105 @@ class Round11WindowGateSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
-  /** query -> justification for every unpartitioned window it plans.
-    * Each entry was audited at the source: the window's input relation
-    * is a VALUE-DOMAIN CENSUS (one row per distinct value of a bounded
-    * domain — grows with the value domain, not the corpus) or a ≤K-row
-    * STAT relation (top-k limits, per-group/bin/stage summaries).
-    * Adding a query here requires naming the census/stat relation and
-    * why its cardinality is corpus-independent.
+  /** Grain class of an allow-listed window input. The gate ENFORCES
+    * the typing: only `ValueBounded` and `StatK` entries are legal —
+    * an `EntityDerived` entry (census cardinality grows with rows:
+    * per-entity totals, micro-rounded continuous values) fails the
+    * gate with a pointer to the PrefixSum rebuild. Round 12 audited
+    * every entry with the one question "does the census cardinality
+    * grow with rows?" and rebuilt the five that did (q217 per-user
+    * spend ranks, q254 micro-value ranks, q163 per-user metric
+    * histograms, q267 micro-nonconformity census, q250 ntileExact
+    * offsets) on `PrefixSum.cumBefore` — they are gone from this list
+    * because their plans no longer hold ANY unpartitioned window.
     */
-  private val allowed: Map[String, String] = Map(
+  private sealed trait Grain
+  private case object ValueBounded extends Grain // bounded value domain
+  private case object StatK extends Grain // <= K rows by construction
+  private case object EntityDerived extends Grain // ILLEGAL — rebuild
+
+  /** query -> (grain class, justification) for every unpartitioned
+    * window it plans. Each entry was audited at the source: the
+    * window's input relation is a VALUE-DOMAIN CENSUS over a BOUNDED
+    * domain (digit grids, day grids, n_chars/cents histograms —
+    * cardinality saturates at the domain size, independent of rows) or
+    * a ≤K-row STAT relation (top-k limits, per-group/bin/stage
+    * summaries). Adding a query here requires naming the census/stat
+    * relation, typing its grain, and saying why its cardinality is
+    * corpus-independent; the value-bounded operator sites additionally
+    * carry the Guards.boundedCensus runtime ceiling, so a drifted
+    * domain fails loudly in-plan, not just in this audit.
+    */
+  private val allowed: Map[String, (Grain, String)] = Map(
     // top-k / limited stat rows
-    "q100_key_skew" -> "rank+cumshare over the limit(topN) key rows",
-    "q157_zipf" -> "rank over the limit(topK) vocabulary head",
-    "q175_vocab_coverage" -> "cumulative mass over the limit(topK) vocab head",
-    "q213_session_paths" -> "rank over the limit(topN) path census head",
+    "q100_key_skew" ->
+      (StatK, "rank+cumshare over the limit(topN) key rows"),
+    "q157_zipf" -> (StatK, "rank over the limit(topK) vocabulary head"),
+    "q175_vocab_coverage" ->
+      (StatK, "cumulative mass over the limit(topK) vocab head"),
+    "q213_session_paths" ->
+      (StatK, "rank over the limit(topN) path census head"),
     "q232_shapley_attribution" ->
-      "channel index over the event-type vocabulary (required <= 20)",
+      (StatK, "channel index over the event-type vocabulary (<= 20)"),
     // per-group / per-bin / per-stage summaries (groups are schema-,
     // config- or category-bounded, never row-bounded)
-    "q145_anova" -> "grand-mean terms over the per-group summary rows",
-    "q154_share_of_parent" -> "parent shares over the category census",
-    "q195_source_influence" -> "LOO deltas over the per-source summary rows",
-    "q203_group_sequential" -> "spending boundary over the stage grid rows",
-    "q204_uplift_bins" -> "cum uplift over the fixed score-bin census",
+    "q145_anova" ->
+      (StatK, "grand-mean terms over the per-group summary rows"),
+    "q154_share_of_parent" ->
+      (StatK, "parent shares over the category census"),
+    "q195_source_influence" ->
+      (StatK, "LOO deltas over the per-source summary rows"),
+    "q203_group_sequential" ->
+      (StatK, "spending boundary over the stage grid rows"),
+    "q204_uplift_bins" ->
+      (StatK, "cum uplift over the fixed score-bin census"),
     "q236_neyman_allocation" ->
-      "largest-remainder ordering over the per-stratum summary rows",
-    "q242_fdr_welch" -> "BH step-up over the per-test (metric-pair) rows",
+      (StatK, "largest-remainder ordering over the per-stratum rows"),
+    "q242_fdr_welch" ->
+      (StatK, "BH step-up over the per-test (metric-pair) rows"),
     "q248_isotonic_calibration" ->
-      "PAVA pool-adjacent over the fixed reliability-bin census",
-    "q254_dunn_pairs" -> "rank-sum compare over the group-pair census",
-    "q255_rake_weights" -> "margin scaling over the lang x source cell census",
-    "q256_weight_ess" -> "ESS terms over the lang x source cell census",
-    // value-domain censuses (distinct values of one column; ECDF /
-    // order-statistic / contingency shapes)
-    "q111_volume_anomaly" -> "rolling stats over the per-day census",
-    "q112_benford" -> "digit shares over the 9-row leading-digit census",
-    "q134_mutual_information" -> "cell terms over the contingency census",
-    "q136_chi_square" -> "expected counts over the contingency census",
-    "q141_quantile_norm" -> "rank map over per-group value censuses",
-    "q156_pr_curve" -> "cum TP/FP over the distinct-score census",
-    "q160_kaplan_meier" -> "at-risk cumsum over the event-time census",
-    "q163_rfm" -> "quintile boundaries over metric value censuses",
-    "q192_best_split" -> "split scan over the distinct-threshold census",
-    "q206_log_rank" -> "at-risk cumsum over the event-time census",
-    "q217_spearman" -> "ranks over the two value-domain censuses",
-    "q220_cross_correlation" -> "alignment over the bounded lag grid",
-    "q237_average_precision" -> "cum precision over the distinct-score census",
-    "q250_cochran_armitage" ->
-      "ntileExact bucket offsets over the n_chars value census",
-    "q267_conformal" -> "calibration quantile over the score census",
-    "q269_nelson_aalen" -> "hazard cumsum over the event-time census")
+      (StatK, "PAVA pool-adjacent over the fixed reliability-bin census"),
+    "q255_rake_weights" ->
+      (StatK, "margin scaling over the lang x source cell census"),
+    "q256_weight_ess" ->
+      (StatK, "ESS terms over the lang x source cell census"),
+    "q220_cross_correlation" ->
+      (StatK, "alignment over the bounded lag grid"),
+    // value-domain censuses over BOUNDED domains (ECDF /
+    // order-statistic / contingency shapes); each backing operator
+    // carries the boundedCensus runtime ceiling
+    "q111_volume_anomaly" ->
+      (ValueBounded, "rolling stats over the per-day census " +
+        "(calendar-bounded)"),
+    "q112_benford" ->
+      (ValueBounded, "digit shares over the 9-row leading-digit census"),
+    "q134_mutual_information" ->
+      (ValueBounded, "cell terms over the lang x source contingency " +
+        "census (schema-bounded categories)"),
+    "q136_chi_square" ->
+      (ValueBounded, "expected counts over the contingency census " +
+        "(schema-bounded categories)"),
+    "q141_quantile_norm" ->
+      (ValueBounded, "rank map over per-group n_chars censuses " +
+        "(saturates at max doc length; boundedCensus-guarded)"),
+    "q156_pr_curve" ->
+      (ValueBounded, "cum TP/FP over the n_chars threshold census " +
+        "(saturates at max doc length; boundedCensus-guarded)"),
+    "q160_kaplan_meier" ->
+      (ValueBounded, "at-risk cumsum over the DAY-grain lifetime " +
+        "census (calendar-bounded; boundedCensus-guarded)"),
+    "q192_best_split" ->
+      (ValueBounded, "split scan over the n_chars threshold census " +
+        "(saturates at max doc length; boundedCensus-guarded)"),
+    "q206_log_rank" ->
+      (ValueBounded, "at-risk cumsum over the DAY-grain lifetime " +
+        "census (calendar-bounded; boundedCensus-guarded)"),
+    "q237_average_precision" ->
+      (ValueBounded, "cum precision over the CENTS-grain score census " +
+        "(saturates at the bounded price domain; boundedCensus-guarded)"),
+    "q269_nelson_aalen" ->
+      (ValueBounded, "hazard cumsum over the DAY-grain lifetime " +
+        "census (calendar-bounded; boundedCensus-guarded)"))
 
   private def emptySpecWindows(df: DataFrame): Seq[String] = {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
@@ -116,6 +165,14 @@ class Round11WindowGateSpec extends AnyFunSuite {
     assert(violations.isEmpty,
       "unpartitioned windows outside the allow-list:\n" +
         violations.mkString("\n"))
+    // ENFORCE the grain typing: entity-derived censuses are never a
+    // legal window input — rebuild them on PrefixSum.cumBefore
+    val entityDerived = allowed.collect {
+      case (name, (EntityDerived, why)) => s"$name ($why)"
+    }
+    assert(entityDerived.isEmpty,
+      "entity-derived censuses may not ride unpartitioned windows — " +
+        "rebuild on PrefixSum.cumBefore: " + entityDerived.mkString(", "))
     // the allow-list must not go stale: every entry still plans at
     // least one unpartitioned window (drop the entry when the shape
     // is rebuilt) and still names a real query

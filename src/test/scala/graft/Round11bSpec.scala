@@ -18,14 +18,7 @@ class Round11bSpec extends AnyFunSuite {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft-rt-spec").toFile.getAbsolutePath
 
-  private def rm(root: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    import java.util.Comparator
-    val p = Paths.get(root)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder())
-        .forEach(q => { Files.deleteIfExists(q); () })
-  }
+  private def rm(root: String): Unit = graft.util.TempDirs.rm(root)
 
   /** Tiny corpus that exercises every hostile class (doc_id 0..7). */
   private def docs() = {

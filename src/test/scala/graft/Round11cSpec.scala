@@ -23,14 +23,7 @@ class Round11cSpec extends AnyFunSuite {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft-ingest-spec").toFile.getAbsolutePath
 
-  private def rm(root: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    import java.util.Comparator
-    val p = Paths.get(root)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder())
-        .forEach(q => { Files.deleteIfExists(q); () })
-  }
+  private def rm(root: String): Unit = graft.util.TempDirs.rm(root)
 
   private def jsonl(path: String, lines: String*): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path).getParent)
