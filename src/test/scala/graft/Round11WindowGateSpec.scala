@@ -130,33 +130,77 @@ class Round11WindowGateSpec extends AnyFunSuite {
       (ValueBounded, "hazard cumsum over the DAY-grain lifetime " +
         "census (calendar-bounded; boundedCensus-guarded)"))
 
+  import org.apache.spark.sql.execution.SparkPlan
+
+  private def physWindows(p: SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    p.collectWithSubqueries {
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        Seq(s"physical Window over ${w.child.nodeName}")
+      case a: AdaptiveSparkPlanExec => physWindows(a.executedPlan)
+      case q: QueryStageExec => physWindows(q.plan)
+      case s: InMemoryTableScanExec => physWindows(s.relation.cachedPlan)
+    }.flatten
+  }
+
   private def emptySpecWindows(df: DataFrame): Seq[String] = {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
-    import org.apache.spark.sql.execution.window.WindowExec
-    def phys(p: SparkPlan): Seq[String] = p.collectWithSubqueries {
-      case w: WindowExec if w.partitionSpec.isEmpty =>
-        Seq(s"cached physical Window over ${w.child.nodeName}")
-      case a: AdaptiveSparkPlanExec => phys(a.executedPlan)
-      case q: QueryStageExec => phys(q.plan)
-      case s: InMemoryTableScanExec => phys(s.relation.cachedPlan)
-    }.flatten
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
     df.queryExecution.optimizedPlan.collectWithSubqueries {
       case w: LWindow if w.partitionSpec.isEmpty =>
         Seq(s"logical Window over ${w.child.nodeName}")
-      case m: InMemoryRelation => phys(m.cachedPlan)
+      case m: InMemoryRelation => physWindows(m.cachedPlan)
     }.flatten
+  }
+
+  /** The gate's round-12 second eye: queries that FINISH DRIVER-SIDE
+    * (countedCollect stat reductions, staging e2e runs) execute their
+    * window plans during CONSTRUCTION, so the returned DataFrame's
+    * plan never shows them — exactly how kruskalWallis's value-census
+    * window escaped rounds 8–11. A QueryExecutionListener records
+    * every unpartitioned physical Window of every plan executed while
+    * the query function runs.
+    */
+  private val constructed =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val constructionListener = {
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        physWindows(qe.executedPlan)
+          .foreach(w => constructed.add(s"$w [executed at construction]"))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    l
+  }
+
+  private def constructionWindows(body: => Unit): Seq[String] = {
+    constructionListener // ensure registered once
+    TestSpark.drainListenerBus()
+    constructed.clear()
+    body
+    TestSpark.drainListenerBus()
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var s = constructed.poll()
+    while (s != null) { out += s; s = constructed.poll() }
+    out.distinct.toSeq
   }
 
   test("every registry query plans no unpartitioned Window, or is " +
     "allow-listed with a grain justification") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val ws =
-          try emptySpecWindows(fn(spark, sf))
+        var planWs = Seq.empty[String]
+        val execWs =
+          try constructionWindows { planWs = emptySpecWindows(fn(spark, sf)) }
           catch { case e: Throwable => Seq(s"probe error: ${e.getMessage}") }
+        val ws = planWs ++ execWs
         graft.util.Caches.releaseAll()
         spark.sharedState.cacheManager.clearCache()
         if (ws.isEmpty || allowed.contains(name)) Nil
@@ -177,8 +221,13 @@ class Round11WindowGateSpec extends AnyFunSuite {
     // least one unpartitioned window (drop the entry when the shape
     // is rebuilt) and still names a real query
     val stale = allowed.keys.toSeq.sorted.filter { name =>
-      !SparkEntry.queries.contains(name) ||
-        emptySpecWindows(SparkEntry.queries(name)(spark, sf)).isEmpty
+      !SparkEntry.queries.contains(name) || {
+        var planWs = Seq.empty[String]
+        val execWs = constructionWindows {
+          planWs = emptySpecWindows(SparkEntry.queries(name)(spark, sf))
+        }
+        (planWs ++ execWs).isEmpty
+      }
     }
     graft.util.Caches.releaseAll()
     spark.sharedState.cacheManager.clearCache()
