@@ -95,15 +95,16 @@ object Bench {
     * existing source warns on stderr instead of silently degrading
     * vs_prev to null.
     */
-  private def prevQueries(): (String, Map[String, Double]) = {
-    def read(src: String, txt: => Option[String]): Option[(String, Map[String, Double])] =
+  private def prevQueries(): (String, Option[String], Map[String, Double]) = {
+    val sfRe = """"sf":"([^"]*)"""".r
+    def read(src: String, txt: => Option[String]): Option[(String, Option[String], Map[String, Double])] =
       try txt.map { t =>
         val q = parseQueries(t)
         if (q.isEmpty)
           System.err.println(s"[bench] WARNING: vs_prev source $src " +
             "exists but parsed to an empty queries map — the regression " +
             "block will be degraded")
-        (src, q)
+        (src, sfRe.findFirstMatchIn(t).map(_.group(1)), q)
       } catch { case NonFatal(_) => None }
     val fromEnv = sys.env.get("SPARK_GRAFT_BENCH_PREV").flatMap { p =>
       read(p, Some(new String(java.nio.file.Files.readAllBytes(
@@ -127,7 +128,7 @@ object Bench {
       else None
     })
     fromEnv.orElse(fromGit).orElse(fromFile)
-      .getOrElse(("none", Map.empty[String, Double]))
+      .getOrElse(("none", None, Map.empty[String, Double]))
   }
 
   def main(args: Array[String]): Unit = {
@@ -147,8 +148,18 @@ object Bench {
     spark.sparkContext.addSparkListener(ml)
     // previous committed quiet artifact, read BEFORE this run overwrites
     // it: the vs_prev block makes every >1.5x mover ship adjudicated
-    // in-artifact instead of two rounds late by cross-round forensics
-    val (prevPath, prev) = prevQueries()
+    // in-artifact instead of two rounds late by cross-round forensics.
+    // A baseline from a DIFFERENT scale factor is not a regression
+    // baseline (every query would read as a 3x "mover" and the retry
+    // pass would re-time half the registry) — drop it with a warning.
+    val (prevPath1, prevSf, prev1) = prevQueries()
+    val (prevPath, prev) =
+      if (prevSf.exists(_ != sfDir)) {
+        System.err.println(s"[bench] vs_prev baseline $prevPath1 is at " +
+          s"sf ${prevSf.get}, this run is at $sfDir — skipping the " +
+          "regression block and the mover-retry pass")
+        (s"$prevPath1 (sf mismatch, ignored)", Map.empty[String, Double])
+      } else (prevPath1, prev1)
     // untimed warmup: session/codegen/parquet-footer startup otherwise
     // lands entirely on whichever query happens to run first
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
