@@ -99,7 +99,7 @@ object Round11cQueries {
           .map(_.count()).getOrElse(0L)
         val rowStr = concat_ws("|", col("doc_id"), col("text"), col("lang"),
           col("source"), col("n_chars"), col("ingest_batch"))
-        StreamingIngest.corpus(s, paths)
+        val out = StreamingIngest.corpus(s, paths)
           .withColumn("h",
             conv(substring(md5(rowStr), 1, 15), 16, 10).cast(LongType))
           .agg(
@@ -110,6 +110,9 @@ object Round11cQueries {
             sum(length(col("text"))).cast(LongType).as("total_chars"),
             expr("bit_xor(h)").as("row_xor"))
           .localCheckpoint() // materialize before the staging tree goes
+        // staging-scoped external store: drop its catalog entry too
+        StreamingIngest.dropStoreTables(s, paths)
+        out
       } finally graft.util.TempDirs.rm(tmp)
     }))
 

@@ -67,17 +67,22 @@ object StreamingIngest {
         .withColumn("__fp", TextOps.fingerprint(col(textCol)))
         .join(known, col("__fp") === col("fingerprint"), "left_anti")
       // min-id survivor within the delivery, keyed by the
-      // high-cardinality fingerprint (partitioned window, gate-safe)
+      // high-cardinality fingerprint (partitioned window, gate-safe).
+      // EAGER localCheckpoint, not cache: the survivor lineage reads
+      // the fingerprint table the INSERT OVERWRITE below replaces, and
+      // a write may not read from its own target — the checkpoint cuts
+      // the plan at the materialized delivery-grain rows.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("__fp").orderBy(col(idCol).asc)
       val survivors = fresh.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn").cache()
-      try {
-        survivors.drop("__fp").write.mode("overwrite")
-          .parquet(s"${paths.corpus}/ingest_batch=$batchId")
-        survivors.select(col("__fp").as("fingerprint")).write.mode("overwrite")
-          .parquet(s"${paths.store}/ingest_batch=$batchId")
-      } finally { survivors.unpersist(); () }
+        .filter(col("__rn") === 1).drop("__rn").localCheckpoint()
+      survivors.drop("__fp").write.mode("overwrite")
+        .parquet(s"${paths.corpus}/ingest_batch=$batchId")
+      val fpTable = ensureStoreTable(spark, "fps", paths.store,
+        "fingerprint STRING", "fingerprint")
+      insertBatchPartition(spark, fpTable, batchId,
+        survivors.select(col("__fp").as("fingerprint"))
+          .repartition(StoreBuckets, col("fingerprint")))
     } finally { cached.unpersist(); () }
   }
 
@@ -311,12 +316,96 @@ object StreamingIngest {
     */
   private def insertBatchPartition(spark: SparkSession, table: String,
       batchId: Long, df: DataFrame): Unit = {
-    val view = s"__graft_insert_${table}_$batchId"
+    // identifier-safe for the base partition's negative id
+    val view = s"__graft_insert_${table}_" +
+      (if (batchId < 0) s"m${-batchId}" else batchId.toString)
     df.createOrReplaceTempView(view)
     spark.sql(s"INSERT OVERWRITE TABLE $table " +
       s"PARTITION (ingest_batch=$batchId) SELECT * FROM $view")
     spark.catalog.dropTempView(view)
     ()
+  }
+
+  /** Compact every store partition of batches in [0, beforeBatch) into
+    * the single BASE partition `ingest_batch = -1` — the maintenance
+    * job a long-running ingest needs: each delivery adds
+    * [[StoreBuckets]] files per store, so at 10⁵ deliveries the
+    * per-delivery store scan pays millions of file opens; compaction
+    * collapses them to one bucketed file set while keeping layout,
+    * bucketing, and read semantics IDENTICAL (every reader filters
+    * `ingest_batch < N`, and −1 < N always, so base rows keep
+    * participating in dedup exactly as before).
+    *
+    * Crash safety by IDEMPOTENCE + DUPLICATE TOLERANCE, not
+    * transactions: (1) merged rows stage under a `_compact_stage` dir
+    * (hidden from table reads); (2) the base partition INSERT
+    * OVERWRITEs from the stage (re-runnable); (3) only then are the
+    * merged batch partitions dropped and their directories deleted. A
+    * crash after (2) leaves rows duplicated between base and the
+    * not-yet-dropped batches — harmless by construction: every
+    * consumer (fingerprint anti-join, band-collision distinct, ngram
+    * verification) is duplicate-tolerant, and re-running the
+    * compaction converges.
+    *
+    * CALLER CONTRACT: `beforeBatch` must be ≤ every batch id that
+    * could still replay (i.e. ≤ the checkpoint's committed watermark);
+    * replay excludes only its OWN partition, which compaction must
+    * therefore never absorb.
+    *
+    * Returns one (store, n_partitions_merged, n_rows) row per store
+    * that had anything to merge.
+    */
+  def compactStores(spark: SparkSession, paths: IngestPaths,
+      beforeBatch: Long): DataFrame = {
+    require(beforeBatch >= 0, "beforeBatch must be >= 0")
+    import spark.implicits._
+    val stores = Seq(
+      ("fps", paths.store, "fingerprint STRING", "fingerprint"),
+      ("bands", s"${paths.store}/bands",
+        "doc_id BIGINT, band_idx INT, band_key STRING",
+        "band_idx, band_key"),
+      ("ngrams", s"${paths.store}/ngrams",
+        "doc_id BIGINT, hs ARRAY<BIGINT>", "doc_id"))
+    val report = stores.flatMap { case (kind, loc, ddl, bucketCols) =>
+      if (!hasBatchDirs(spark, loc)) None
+      else compactStoreTable(spark, kind, loc, ddl, bucketCols, beforeBatch)
+    }
+    report.toDF("store", "n_partitions_merged", "n_rows")
+  }
+
+  private def compactStoreTable(spark: SparkSession, kind: String,
+      location: String, columnsDdl: String, bucketCols: String,
+      beforeBatch: Long): Option[(String, Long, Long)] = {
+    val t = ensureStoreTable(spark, kind, location, columnsDdl, bucketCols)
+    val parts = spark.sql(s"SHOW PARTITIONS $t").collect()
+      .map(_.getString(0).stripPrefix("ingest_batch=").toLong)
+    val mergeable = parts.filter(b => b >= 0 && b < beforeBatch)
+    val hasBase = parts.contains(-1L)
+    if (mergeable.isEmpty) return None
+    val dataCols = spark.table(t).columns.filter(_ != "ingest_batch")
+    val stage = s"$location/_compact_stage"
+    // full-row distinct: all three stores are SET-semantics relations,
+    // so the merge also absorbs any crash-window duplicates (rows left
+    // in both base and a not-yet-dropped batch by an earlier aborted
+    // compaction)
+    val merged = spark.table(t)
+      .filter(col("ingest_batch") < beforeBatch)
+      .select(dataCols.map(col): _*).distinct()
+    merged.write.mode("overwrite").parquet(stage)
+    val bucketColList = bucketCols.split(",").map(c => col(c.trim))
+    insertBatchPartition(spark, t, -1L,
+      spark.read.parquet(stage)
+        .repartition(StoreBuckets, bucketColList: _*))
+    val nRows = spark.table(t).filter(col("ingest_batch") === -1L).count()
+    val fs = new org.apache.hadoop.fs.Path(location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    mergeable.foreach { b =>
+      spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (ingest_batch=$b)")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$location/ingest_batch=$b"),
+        true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    Some((kind, mergeable.length.toLong + (if (hasBase) 1L else 0L), nRows))
   }
 
   /** Drop the near-dup store tables' catalog entries (external — files
@@ -325,7 +414,8 @@ object StreamingIngest {
     * catalog entries.
     */
   def dropStoreTables(spark: SparkSession, paths: IngestPaths): Unit = {
-    Seq("bands" -> s"${paths.store}/bands",
+    Seq("fps" -> paths.store,
+      "bands" -> s"${paths.store}/bands",
       "ngrams" -> s"${paths.store}/ngrams").foreach { case (kind, loc) =>
       spark.sql(s"DROP TABLE IF EXISTS ${storeTableName(kind, loc)}")
     }
@@ -335,17 +425,37 @@ object StreamingIngest {
   /** Distinct fingerprints of every batch strictly before `beforeBatch`
     * (partition-pruned), or an empty relation when the store doesn't
     * exist yet. `Long.MaxValue` reads the whole store.
+    *
+    * Table-backed since round 12: the store is an external table
+    * CLUSTERED BY (fingerprint), so both the distinct and the
+    * per-delivery anti-join consume the store WITHOUT an Exchange (the
+    * bucket layout already satisfies their clustering). The
+    * no-files-yet case stays a pure read (empty relation, no table or
+    * directory created as a side effect).
     */
-  def storeFingerprints(spark: SparkSession, store: String,
-      beforeBatch: Long = Long.MaxValue): DataFrame = {
-    val prior = readPartitioned(spark, store)
-      .map(_.filter(col("ingest_batch") < beforeBatch)
-        .select("fingerprint").distinct())
-    prior.getOrElse {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        new StructType().add("fingerprint", StringType))
-    }
+  /** Existence = direct `ingest_batch=` children: a recursive parquet
+    * read at the store root would trip partition discovery when the
+    * near-dup subtrees (`bands/`, `ngrams/`) share the root.
+    */
+  private def hasBatchDirs(spark: SparkSession, loc: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p)
+      .exists(_.getPath.getName.startsWith("ingest_batch="))
   }
+
+  def storeFingerprints(spark: SparkSession, store: String,
+      beforeBatch: Long = Long.MaxValue): DataFrame =
+    if (!hasBatchDirs(spark, store))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new StructType().add("fingerprint", StringType))
+    else {
+      val t = ensureStoreTable(spark, "fps", store,
+        "fingerprint STRING", "fingerprint")
+      spark.table(t).filter(col("ingest_batch") < beforeBatch)
+        .select("fingerprint").distinct()
+    }
 
   /** The ingested corpus (document columns + `ingest_batch`). */
   def corpus(spark: SparkSession, paths: IngestPaths): DataFrame =

@@ -114,6 +114,38 @@ class Round12IngestStoreSpec extends AnyFunSuite {
         s"found $shuffles in:\n$plan")
   }
 
+  test("EXACT-tier fingerprint store: anti-join reads the store side " +
+    "without an Exchange (distinct included)") {
+    graft.util.TempDirs.withTempDir("graft-r12-fps") { tmp =>
+      val paths = IngestPaths(s"$tmp/corpus", s"$tmp/store", s"$tmp/quarantine")
+      StreamingIngest.processBatch(asBatch(
+        (1L to 30L).map(i => doc(i, s"alpha document $i"))), 0L, paths)
+      StreamingIngest.processBatch(asBatch(
+        (100L to 120L).map(i => doc(i, s"beta document $i"))), 1L, paths)
+      // cross-batch dup law survives the table layout
+      StreamingIngest.processBatch(asBatch(Seq(
+        doc(500L, "alpha document 1"), doc(501L, "novel gamma text"))),
+        2L, paths)
+      val ids = StreamingIngest.corpus(spark, paths)
+        .filter(col("ingest_batch") === 2L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(501L), s"dup of batch-0 doc must drop: $ids")
+
+      import spark.implicits._
+      val known = StreamingIngest.storeFingerprints(spark, paths.store, 3L)
+      def anti = Seq((900L, "zz")).toDF("doc_id", "__fp")
+        .join(known, col("__fp") === col("fingerprint"), "left_anti")
+      assertStoreSideShuffleFree(anti, "store", requireBucketed = false)
+      val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+      val saved = spark.conf.get(thresholdKey)
+      try {
+        spark.conf.set(thresholdKey, "-1")
+        assertStoreSideShuffleFree(anti, "store", requireBucketed = true)
+      } finally spark.conf.set(thresholdKey, saved)
+      StreamingIngest.dropStoreTables(spark, paths)
+    }
+  }
+
   test("candidate probe and ngram verification read the store side " +
     "without an Exchange") {
     graft.util.TempDirs.withTempDir("graft-r12-plan") { tmp =>
