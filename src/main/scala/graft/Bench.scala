@@ -163,15 +163,27 @@ object Bench {
     // untimed warmup: session/codegen/parquet-footer startup otherwise
     // lands entirely on whichever query happens to run first
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
+    // A FAILED try returns NEGATIVE elapsed (sign = failure flag) so a
+    // crash can never publish a spuriously tiny duration: a retry that
+    // dies in 50 ms must not lower the min of a query that legitimately
+    // takes 5 s (round-12 ADVICE). goodMin below keeps the min over
+    // SUCCESSFUL tries only, falling back to |elapsed| when every try
+    // failed (something still gets published; the correctness gate is
+    // what flags a genuinely broken query).
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators that cache self-joined intermediates (dedup LSH) would
       // otherwise carry storage pressure into later measurements
       spark.sharedState.cacheManager.clearCache()
       graft.util.Caches.releaseAll()
-      dt
+      if (ok) dt else -dt
+    }
+    def goodMin(tries: Double*): Double = {
+      val ok = tries.filter(_ >= 0)
+      if (ok.nonEmpty) ok.min else tries.map(math.abs).min
     }
     // Fixed CALIBRATION query — the q02 shape (bare filter+project+count
     // on lineitem), re-timed every `calEvery` queries. Its intrinsic
@@ -219,7 +231,7 @@ object Bench {
       if ((i + 1) % calEvery == 0) calPoint(i + 1)
     }
     calPoint(names.size)
-    val firstPass = tries.map { case (k, (a, b)) => k -> math.min(a, b) }
+    val firstPass = tries.map { case (k, (a, b)) => k -> goodMin(a, b) }
     // SELF-ADJUDICATING MOVERS (round 12): any query whose min-of-2
     // regressed >1.5x vs the previous committed run is re-timed a THIRD
     // time after the sweep — the r11 artifacts showed 10x phantom movers
@@ -233,8 +245,15 @@ object Bench {
       if (prev.get(k).exists(p => math.min(p, v) >= 0.3 && v / p > 1.5))
         retries += k -> timeOnce(SparkEntry.queries(k))
     }
+    // a failed retry (negative elapsed) is EXCLUDED from the min by
+    // goodMin; the calibration point after the retry pass puts the
+    // retries' host-weather context in-band like every sweep segment's
+    if (retries.nonEmpty) calPoint(names.size + retries.size)
     val results = firstPass.map { case (k, v) =>
-      k -> math.min(v, retries.getOrElse(k, v)) }
+      k -> (retries.get(k) match {
+        case Some(r) => goodMin(v, r)
+        case None => v
+      }) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

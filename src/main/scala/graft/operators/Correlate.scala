@@ -467,14 +467,20 @@ object Correlate {
         .groupBy("x", "y").agg(count(lit(1)).as("c")))
     // the value censuses here are ENTITY-DERIVED (e.g. per-user spend
     // totals — distinct values grow with the population), so the
-    // cumulative rank runs on the PrefixSum two-level scan, never an
-    // unpartitioned window
-    def ranks(vc: String) = {
-      val byVal = cells.groupBy(vc).agg(sum("c").as("t"))
-      PrefixSum.cumBefore(byVal, vc, "t", "__cb", s"spearman.ranks($vc)")
-        .withColumn("r2", col("__cb") * 2 + col("t") + 1)
-        .select(col(vc), col("r2"))
-    }
+    // cumulative rank runs on the PrefixSum scan, never an
+    // unpartitioned window. Both variables' censuses MELT into one
+    // tagged relation so the scan's probing action runs ONCE
+    // (round-13: the per-call fixed cost q217 paid per variable)
+    val byVal = cells
+      .select(explode(map(lit("x"), col("x"), lit("y"), col("y")))
+        .as(Seq("vc", "v")), col("c"))
+      .groupBy("vc", "v").agg(sum("c").as("t"))
+    val ranked = PrefixSum
+      .cumBeforeBy(byVal, Seq("vc"), "v", "t", "__cb", "spearman.ranks")
+      .withColumn("r2", col("__cb") * 2 + col("t") + 1)
+      .select(col("vc"), col("v"), col("r2"))
+    def ranks(vc: String) = ranked.filter(col("vc") === vc)
+      .select(col("v").as(vc), col("r2"))
     val j = cells
       .join(ranks("x").withColumnRenamed("r2", "rx2"), Seq("x"))
       .join(ranks("y").withColumnRenamed("r2", "ry2"), Seq("y"))

@@ -42,21 +42,33 @@ object Rfm {
 
     // the metric histograms are ENTITY-DERIVED (distinct per-user
     // frequency/monetary totals grow with the population), so the
-    // cumulative counts come from the PrefixSum two-level scan and the
-    // total from a broadcast 1-row aggregate — no unpartitioned window
-    def boundaries(metric: String): DataFrame = {
-      val hist = graft.util.Caches.cached(
-        users.groupBy(col(metric).as("v")).agg(count(lit(1)).as("c")))
-      val tot = hist.agg(coalesce(sum("c"), lit(0L)).as("n"))
-      val cum = PrefixSum
-        .cumBefore(hist, "v", "c", "__cb", s"rfm.boundaries($metric)")
-        .withColumn("cum", col("__cb") + col("c"))
-        .crossJoin(broadcast(tot))
-      val aggs = (1 to 4).map(q =>
-        min(when(col("cum") >= expr(s"($q * n + 4) div 5"), col("v")))
-          .as(s"__b$q"))
-      cum.agg(aggs.head, aggs.tail: _*)
-    }
+    // cumulative counts come from the PrefixSum scan and the totals
+    // from a per-metric stat aggregate — no unpartitioned window. The
+    // three histograms MELT into one metric-tagged census so the scan's
+    // probing action runs ONCE for all three (round-13: the per-call
+    // fixed cost q163 paid per metric, now amortized via cumBeforeBy).
+    val melted = graft.util.Caches.cached(users
+      .select(explode(map(
+        lit("r"), col("recency_days"),
+        lit("f"), col("frequency"),
+        lit("m"), col("monetary_micro"))).as(Seq("metric", "v")))
+      .groupBy("metric", "v").agg(count(lit(1)).as("c")))
+    val tots = melted.groupBy("metric").agg(sum("c").as("n"))
+    val cum = PrefixSum
+      .cumBeforeBy(melted, Seq("metric"), "v", "c", "__cb",
+        "rfm.boundaries")
+      .withColumn("cum", col("__cb") + col("c"))
+      .join(broadcast(tots), "metric")
+    val boundAggs = (1 to 4).map(q =>
+      min(when(col("cum") >= expr(s"($q * n + 4) div 5"), col("v")))
+        .as(s"__b$q"))
+    val bounds3 = graft.util.Caches.cached(
+      cum.groupBy("metric").agg(boundAggs.head, boundAggs.tail: _*))
+    // per-metric 1-row boundary relation; a degenerate (empty-events)
+    // run yields an empty row set, which only crossJoins into an
+    // already-empty users relation — same outcome as the old global agg
+    def boundaries(tag: String): DataFrame =
+      bounds3.filter(col("metric") === tag).drop("metric")
 
     def score(metric: String, b: String): Column =
       (1 to 4).map(q =>
@@ -68,9 +80,9 @@ object Rfm {
         d.withColumnRenamed(s"__b$q", s"${p}_b$q"))
 
     users
-      .crossJoin(broadcast(renamed(boundaries("recency_days"), "r")))
-      .crossJoin(broadcast(renamed(boundaries("frequency"), "f")))
-      .crossJoin(broadcast(renamed(boundaries("monetary_micro"), "m")))
+      .crossJoin(broadcast(renamed(boundaries("r"), "r")))
+      .crossJoin(broadcast(renamed(boundaries("f"), "f")))
+      .crossJoin(broadcast(renamed(boundaries("m"), "m")))
       .select(col("u").as(userCol), col("recency_days"), col("frequency"),
         col("monetary_micro"),
         (lit(6L) - score("recency_days", "r")).as("r_q"),

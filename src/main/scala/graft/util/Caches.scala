@@ -33,4 +33,21 @@ object Caches {
       df = registry.poll()
     }
   }
+
+  /** Release the MEMORY_AND_DISK blocks behind an eager
+    * `localCheckpoint()` once its consumers have run. `unpersist` on the
+    * checkpointed Dataset is a no-op (the blocks belong to the
+    * materialized internal RDD, not a cache entry), so a long-running
+    * foreachBatch loop would accumulate checkpoint blocks until the
+    * ContextCleaner happens to GC the RDD handles (round-12 ADVICE).
+    * The checkpointed Dataset's plan is a `LogicalRDD` leaf over that
+    * RDD — unpersist it directly. Safe on any DataFrame: non-checkpoint
+    * plans simply contain no LogicalRDD leaves.
+    */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 }

@@ -132,6 +132,43 @@ class Round11WindowGateSpec extends AnyFunSuite {
 
   import org.apache.spark.sql.execution.SparkPlan
 
+  /** Round-13 (verdict task 5): the gate VERIFIES the guards it cites.
+    * Every ValueBounded allow-list entry that justifies itself with
+    * "boundedCensus-guarded" must actually plan the guard — the
+    * `raise_error` filter `Guards.boundedCensus` threads in — in the
+    * query's own plans (optimized, cached, or construction-executed).
+    * Without this check a refactor could drop a guard silently while
+    * the justification text kept claiming it (round-12 verdict's
+    * "missing #5"). raise_error appears nowhere else in main
+    * (re-grepped round 13), so its presence IS the guard's.
+    */
+  private def exprHasRaise(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.RaiseError => true
+      case _ => false
+    }
+
+  private def physHasGuard(p: SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    p.collectWithSubqueries {
+      case n if n.expressions.exists(exprHasRaise) => true
+      case a: AdaptiveSparkPlanExec if physHasGuard(a.executedPlan) => true
+      case q: QueryStageExec if physHasGuard(q.plan) => true
+      case s: InMemoryTableScanExec
+        if physHasGuard(s.relation.cachedPlan) => true
+    }.nonEmpty
+  }
+
+  private def logicalHasGuard(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case n if n.expressions.exists(exprHasRaise) => true
+      case m: InMemoryRelation if physHasGuard(m.cachedPlan) => true
+    }.nonEmpty
+  }
+
   private def physWindows(p: SparkPlan): Seq[String] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
@@ -165,13 +202,17 @@ class Round11WindowGateSpec extends AnyFunSuite {
     */
   private val constructed =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val constructedGuard =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
   private lazy val constructionListener = {
     val l = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit =
+          durationNs: Long): Unit = {
         physWindows(qe.executedPlan)
           .foreach(w => constructed.add(s"$w [executed at construction]"))
+        if (physHasGuard(qe.executedPlan)) constructedGuard.set(true)
+      }
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
@@ -184,6 +225,7 @@ class Round11WindowGateSpec extends AnyFunSuite {
     constructionListener // ensure registered once
     TestSpark.drainListenerBus()
     constructed.clear()
+    constructedGuard.set(false)
     body
     TestSpark.drainListenerBus()
     val out = scala.collection.mutable.ArrayBuffer[String]()
@@ -193,22 +235,38 @@ class Round11WindowGateSpec extends AnyFunSuite {
   }
 
   test("every registry query plans no unpartitioned Window, or is " +
-    "allow-listed with a grain justification") {
+    "allow-listed with a grain justification — and every cited " +
+    "boundedCensus guard is PRESENT in that query's plans") {
+    val unguarded = scala.collection.mutable.ArrayBuffer[String]()
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         var planWs = Seq.empty[String]
+        var guardSeen = false
         val execWs =
-          try constructionWindows { planWs = emptySpecWindows(fn(spark, sf)) }
+          try constructionWindows {
+            val df = fn(spark, sf)
+            planWs = emptySpecWindows(df)
+            guardSeen = logicalHasGuard(df) || constructedGuard.get()
+          }
           catch { case e: Throwable => Seq(s"probe error: ${e.getMessage}") }
+        guardSeen = guardSeen || constructedGuard.get()
         val ws = planWs ++ execWs
         graft.util.Caches.releaseAll()
         spark.sharedState.cacheManager.clearCache()
+        // verify the justification's claim: an allow-list entry citing
+        // the runtime guard must plan it, or the citation is stale
+        if (allowed.get(name).exists(_._2.contains("boundedCensus-guarded"))
+          && !guardSeen)
+          unguarded += name
         if (ws.isEmpty || allowed.contains(name)) Nil
         else Seq(s"$name: ${ws.mkString("; ")}")
     }
     assert(violations.isEmpty,
       "unpartitioned windows outside the allow-list:\n" +
         violations.mkString("\n"))
+    assert(unguarded.isEmpty,
+      "allow-list entries cite a boundedCensus guard their plans do " +
+        s"not contain — the citation is stale: ${unguarded.mkString(", ")}")
     // ENFORCE the grain typing: entity-derived censuses are never a
     // legal window input — rebuild them on PrefixSum.cumBefore
     val entityDerived = allowed.collect {
@@ -232,5 +290,23 @@ class Round11WindowGateSpec extends AnyFunSuite {
     graft.util.Caches.releaseAll()
     spark.sharedState.cacheManager.clearCache()
     assert(stale.isEmpty, s"stale allow-list entries: $stale")
+  }
+
+  test("guard detection red-test: removing the boundedCensus guard " +
+    "from a census plan flips the detector (so the gate WOULD fail)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val census = (0L until 30L).map(v => v -> 1L).toDF("v", "c")
+    val w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    val guarded = graft.util.Guards
+      .boundedCensus(census, "Round11WindowGateSpec.red", cap = 1000L)
+      .withColumn("cum", sum("c").over(w))
+    val bare = census.withColumn("cum", sum("c").over(w))
+    assert(logicalHasGuard(guarded),
+      "detector must see the raise_error filter in a guarded plan")
+    assert(!logicalHasGuard(bare),
+      "detector must NOT see a guard in the guard-removed twin — " +
+        "otherwise the presence check is vacuous")
   }
 }
