@@ -313,9 +313,15 @@ object Bench {
         s""""median_ratio":${(med * 1000).round / 1000.0},""" +
         s""""movers":$movers}"""
     }
+    // free-text adjudication notes ride into the artifact so a mover's
+    // verdict lives next to its numbers (round-13: the q177 class —
+    // movement with zero code delta needs its evidence in-band)
+    val notes = sys.env.get("SPARK_GRAFT_BENCH_NOTES")
+      .map(n => "\"" + n.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .getOrElse("null")
     val full = line.dropRight(1) +
       s""","tries":$triesJson,"calibration":$calJson""" +
-      s""","telemetry":$telemJson,"vs_prev":$vsPrev}"""
+      s""","telemetry":$telemJson,"vs_prev":$vsPrev,"notes":$notes}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_full.json")
     try {

@@ -192,6 +192,20 @@ object Graph {
     *
     * Output: (node_a, node_b, n_common, aa_score_micro), top `k`
     * pairs, (score desc, node_a, node_b) ordered.
+    *
+    * SCALING TIER (round-13): the UNCAPPED call is the ORACLE tier —
+    * exact over every wedge, Σ C(deg, 2) rows, inherently pair-grain:
+    * on a densifying graph that count grows superlinearly in edges and
+    * no degree split can change it (every wedge contributes to some
+    * pair's sum, and a pair's wedges scatter across center-keyed
+    * partitions, so there is nothing to combine map-side and nothing
+    * to broadcast away — round-13 measured the addressable costs and
+    * took them: the pair key stays PACKED through the already-adjacent
+    * anti-join, whose edge side broadcasts off a Σdeg stat read, and
+    * the wedge contribution shuffles as an INT; ~35% off wall at
+    * sf0.1). PRODUCTION is the `maxWedgeDegree`-capped call (q233a):
+    * hub centers drop BEFORE the deg² fan-out, which bounds per-center
+    * work and is the documented semantic trade for corpus-scale graphs.
     */
   def adamicAdarTopK(edges: DataFrame, k: Int,
       maxWedgeDegree: Option[Long] = None,
@@ -237,13 +251,21 @@ object Graph {
     val stats = deg.agg(max(col("z")).cast("long"),
       min(col("z")).cast("long"),
       sum(when(col("deg") >= 2 && capFilter,
-        expr("deg * (deg - 1) div 2")).otherwise(0L)).cast("long"))
+        expr("deg * (deg - 1) div 2")).otherwise(0L)).cast("long"),
+      sum(col("deg")).cast("long"))
       .collect()(0)
     // a negative node_b would sign-corrupt shiftleft(a,32)+b and merge
     // distinct pairs — both bounds must sit in [0, 2³¹)
     val packable = !stats.isNullAt(0) &&
       stats.getLong(0) < (1L << 31) && stats.getLong(1) >= 0
     val wedgeRows = if (stats.isNullAt(2)) 0L else stats.getLong(2)
+    // Σdeg = 2E sizes the already-adjacent anti-join's right side: a
+    // packed edge key is 8 bytes, so up to 8M edges (64 MB) broadcast
+    // and the candidate relation (Σ C(deg,2)/2-ish pairs — the
+    // operator's bulk) skips a second full shuffle; a bigger graph
+    // falls back to the shuffle anti-join automatically
+    val edgeCount = if (stats.isNullAt(3)) 0L else stats.getLong(3) / 2L
+    val broadcastEdges = packable && edgeCount * 8L < 64L * 1024 * 1024
     // the pair groupBy is the operator's memory cliff: at the default
     // 32 shuffle partitions, 142M sf0.1 wedges put ~4.4M pairs per
     // reducer hash map and the partial-agg fallback spills tens of GB.
@@ -256,29 +278,40 @@ object Graph {
     val pairParts = math.min(1024L, math.max(
       edges.sparkSession.sparkContext.defaultParallelism.toLong,
       wedgeRows / 2000000L + 1)).toInt
-    val cand0 =
-      if (packable)
+    val cand =
+      if (packable) {
+        // the anti-join runs ON the packed key, BEFORE unpacking: the
+        // edge set packs to canonical least/greatest (edges may arrive
+        // in either orientation), and when it fits the broadcast cap
+        // the candidate bulk never shuffles a second time. The wedge
+        // contribution c ≤ 10⁶/ln 2 < 2³¹ rides the shuffle as an INT
+        // (25% fewer bytes on the operator's dominant exchange);
+        // sum(int) widens back to long, values unchanged.
+        val packedEdges = e0.select(
+          (shiftleft(least(col("na"), col("nb")), 32) +
+            greatest(col("na"), col("nb"))).as("pk")).distinct()
+        val anti = if (broadcastEdges) broadcast(packedEdges) else packedEdges
         wedges
           .select((shiftleft(col("node_a"), 32) + col("node_b"))
-            .as("pk"), col("c"))
+            .as("pk"), col("c").cast("int").as("c"))
           .repartition(pairParts, col("pk"))
           .groupBy("pk")
           .agg(count(lit(1)).as("n_common"),
             sum("c").as("aa_score_micro"))
+          .join(anti, Seq("pk"), "left_anti")
           .select(shiftright(col("pk"), 32).as("node_a"),
             (col("pk") bitwiseAND lit(0xffffffffL)).as("node_b"),
             col("n_common"), col("aa_score_micro"))
-      else
+      } else
         wedges.repartition(pairParts, col("node_a"), col("node_b"))
           .groupBy("node_a", "node_b")
           .agg(count(lit(1)).as("n_common"),
             sum("c").as("aa_score_micro"))
-    val cand = cand0
-      // drop pairs that are ALREADY edges (canonical a < b matches e0)
-      .join(e0.select(col("na").as("node_a"), col("nb").as("node_b"))
-        .unionByName(e0.select(col("nb").as("node_a"),
-          col("na").as("node_b")))
-        .distinct(), Seq("node_a", "node_b"), "left_anti")
+          // drop pairs that are ALREADY edges (canonical a < b)
+          .join(e0.select(col("na").as("node_a"), col("nb").as("node_b"))
+            .unionByName(e0.select(col("nb").as("node_a"),
+              col("na").as("node_b")))
+            .distinct(), Seq("node_a", "node_b"), "left_anti")
     cand.orderBy(col("aa_score_micro").desc, col("node_a").asc,
         col("node_b").asc)
       .limit(k)

@@ -747,10 +747,29 @@ object Similarity {
     */
   def semanticDedupLsh(embeddings: DataFrame, threshold: Double,
       nPlanes: Int = 6, dim: Int = 64, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      maxBucketSize: Option[Long] = None): DataFrame = {
     val bucketed = embeddings.withColumn("__bucket",
       lshBucket(asDouble(col(vecCol)), nPlanes, dim))
-    val pairs = nearDupPairs(bucketed, "__bucket", threshold, idCol, vecCol)
+    // SCALE NOTE (round-13): with FIXED nPlanes the bucket count is
+    // fixed, so occupancy grows linearly with the corpus and the pair
+    // stage quadratically — the measured α ≈ 1 of the oracled 3-plane
+    // call is this, not skew. Production sizes nPlanes to the corpus
+    // (buckets ≈ n / target occupancy keeps the pair stage linear) and
+    // belts it with `maxBucketSize`: buckets past the cap skip the
+    // pair stage entirely — their rows all keep themselves — the q61
+    // hot-bucket trade (deterministic, documented recall loss on
+    // over-dense regions), so one boilerplate-dense bucket can never
+    // go quadratic regardless of the plane count chosen.
+    val paired = maxBucketSize match {
+      case None => bucketed
+      case Some(cap) =>
+        val hot = bucketed.groupBy("__bucket")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+          .select("__bucket")
+        bucketed.join(broadcast(hot), Seq("__bucket"), "left_anti")
+    }
+    val pairs = nearDupPairs(paired, "__bucket", threshold, idCol, vecCol)
     val cc = Dedup.connectedComponents(pairs, "vec_a", "vec_b")
       .withColumnRenamed("doc_id", idCol)
     bucketed.join(cc, Seq(idCol), "left")

@@ -158,8 +158,12 @@ object FormatRoundTrip {
     * zstd-jni/snappy-java — all pure-JVM).
     */
   val CodecMatrix: Seq[(String, String)] = Seq(
-    ("csv", "gzip"),
-    ("jsonl", "deflate"), ("jsonl", "gzip"),
+    // text tier: every codec the sandbox Hadoop actually carries
+    // (round-13 probe: deflate/bzip2/lz4/snappy load pure-Java; text
+    // zstd needs native libhadoop, absent here — columnar zstd below
+    // rides zstd-jni instead)
+    ("csv", "gzip"), ("csv", "deflate"), ("csv", "bzip2"),
+    ("jsonl", "deflate"), ("jsonl", "gzip"), ("jsonl", "bzip2"),
     ("orc", "snappy"), ("orc", "zstd"),
     ("parquet", "gzip"), ("parquet", "zstd"))
 

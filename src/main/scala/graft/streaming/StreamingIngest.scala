@@ -287,6 +287,42 @@ object StreamingIngest {
     */
   val StoreBuckets: Int = 16
 
+  /** BOOTSTRAP the near-dup store from an EXISTING corpus — the
+    * operational day-zero of near-dedup-on-ingest: a pipeline rarely
+    * starts empty; it starts against a deduplicated corpus whose
+    * signatures must pre-populate the store so the very first delivery
+    * dedups against history. Writes the corpus docs' full band sets and
+    * hashed-bigram arrays as ONE batch partition (`batchId`, default 0;
+    * deliveries then start at higher ids). No dedup runs here — the
+    * corpus is presumed already deduplicated, exactly like a survivor
+    * set. Also the large-regime store builder for the growth bench
+    * (round-13 verdict task 1: prove the probe at store ≫ delivery).
+    */
+  def bootstrapNearDupStore(spark: SparkSession, corpus: DataFrame,
+      paths: IngestPaths, batchId: Long = 0L, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 16, rowsPerBand: Int = 4): Unit = {
+    import graft.operators.Dedup
+    val bands = Dedup.bandExplode(
+      Dedup.minhashSignatures(corpus, k, idCol, textCol), rowsPerBand)
+    val ngrams = graft.util.Parallelism.ensure(corpus)
+      .select(col(idCol).as("doc_id"),
+        graft.operators.TextOps.hashedNgrams(col(textCol)).as("hs"))
+    val bandsTable = ensureStoreTable(spark, "bands",
+      s"${paths.store}/bands",
+      "doc_id BIGINT, band_idx INT, band_key STRING",
+      "band_idx, band_key")
+    val ngramsTable = ensureStoreTable(spark, "ngrams",
+      s"${paths.store}/ngrams",
+      "doc_id BIGINT, hs ARRAY<BIGINT>", "doc_id")
+    insertBatchPartition(spark, bandsTable, batchId,
+      bands.select(col("doc_id").cast("long"), col("band_idx").cast("int"),
+        col("band_key").cast("string"))
+        .repartition(StoreBuckets, col("band_idx"), col("band_key")))
+    insertBatchPartition(spark, ngramsTable, batchId,
+      ngrams.select(col("doc_id").cast("long"), col("hs"))
+        .repartition(StoreBuckets, col("doc_id")))
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -51,10 +51,135 @@ object IngestGrowthBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val growth = ingestGrowth(spark, sfDir)
-    writeOut(s"${outPrefix}BENCH_ingest_growth.json", growth)
+    val large = largeRegime(spark, sfDir)
+    writeOut(s"${outPrefix}BENCH_ingest_growth.json",
+      growth.stripSuffix("}") + s""","large_regime":$large}""")
     val codec = codecReport(spark, sfDir)
     writeOut(s"${outPrefix}BENCH_codec_report.json", codec)
     spark.stop()
+  }
+
+  /** Count shuffles whose subtree reads the store (initial physical
+    * plan — the Round12IngestStoreSpec probe, transposed to the bench
+    * so the artifact carries the proof, not just the spec).
+    */
+  private def storeExchanges(df: org.apache.spark.sql.DataFrame,
+      frag: String): Int = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case o => o
+    }
+    plan.collect {
+      case e: ShuffleExchangeLike
+        if e.asInstanceOf[SparkPlan].collect {
+          case f: FileSourceScanExec => f
+        }.exists(_.relation.location.rootPaths
+          .exists(_.toString.contains(frag))) => 1
+    }.sum
+  }
+
+  /** STORE ≫ DELIVERY regime (round-13 verdict task 1): the flat
+    * per-batch claim is only evidence once the store is far past the
+    * broadcast regime. Bootstrap the band/ngram stores from the
+    * documents table replicated 10× (≈80× one delivery's docs), then
+    * push the same 8 deliveries and record per-batch wall, store size,
+    * and the store-side Exchange count of the candidate probe (must
+    * stay 0 — the bucketed layout IS the claim). Ends with the task-6
+    * probe-wall cell: candidate-probe wall before vs after
+    * [[StreamingIngest.compactStores]].
+    */
+  private def largeRegime(spark: SparkSession, sfDir: String): String =
+    graft.util.TempDirs.withTempDir("graft-growth-large") { tmp =>
+      import graft.operators.Dedup
+      val paths = IngestPaths(s"$tmp/corpus", s"$tmp/store", s"$tmp/quarantine")
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val replicated = (0 until 10).map(r =>
+        docs.select((col("doc_id") + lit(10000000L * (r + 1))).as("doc_id"),
+          concat(col("text"), lit(s" replica$r marker")).as("text")))
+        .reduce(_ unionByName _)
+      val nBoot = replicated.count()
+      val t0 = System.nanoTime()
+      StreamingIngest.bootstrapNearDupStore(spark, replicated, paths)
+      val bootstrapS = (System.nanoTime() - t0) / 1e9
+      val bandsTable = StreamingIngest
+        .storeTableName("bands", s"$tmp/store/bands")
+      val preRows = spark.table(bandsTable).count()
+
+      def probe(bid: Long, delivery: org.apache.spark.sql.DataFrame) = {
+        val bandsNew = Dedup.bandExplode(
+          Dedup.minhashSignatures(delivery, 16, "doc_id", "text"), 4)
+        val storeBands = spark.table(bandsTable)
+          .filter(col("ingest_batch") < bid)
+          .select(col("doc_id").as("store_id"), col("band_idx"),
+            col("band_key"))
+        // probe boundary = the join (the operator's own distinct()
+        // shuffles JOIN OUTPUT — candidate pairs at delivery grain —
+        // which is expected and not the store-side claim under test;
+        // the Round12IngestStoreSpec boundary, kept identical here)
+        bandsNew.join(storeBands, Seq("band_idx", "band_key"))
+          .select("doc_id", "store_id")
+      }
+
+      val rows = (0 until NDeliveries).map { k =>
+        val bid = k + 1L // batch 0 is the bootstrap
+        val in = s"$tmp/in$k"
+        Tables.load(spark, sfDir, "documents")
+          .filter(pmod(col("doc_id"), lit(NDeliveries.toLong)) === k)
+          .write.mode("overwrite").json(in)
+        val batch = graft.sources.Sources
+          .readValidated(spark, in, DocsSchema, "json")
+        val t1 = System.nanoTime()
+        val rep = StreamingIngest.processBatchNearDup(batch, bid, paths)
+          .collect().head
+        val wall = (System.nanoTime() - t1) / 1e9
+        val exch = storeExchanges(
+          probe(bid + 1, spark.read.json(in)), "store/bands")
+        val storeRows = spark.table(bandsTable).count()
+        val storeBytes =
+          FormatRoundTrip.dirBytes(spark, s"$tmp/store/bands") +
+            FormatRoundTrip.dirBytes(spark, s"$tmp/store/ngrams")
+        graft.util.Caches.releaseAll()
+        s"""{"batch":$bid,"wall_s":$wall,"n_in":${rep.getLong(1)},""" +
+          s""""n_kept":${rep.getLong(5)},"store_band_rows":$storeRows,""" +
+          s""""store_bytes":$storeBytes,"store_exchanges":$exch}"""
+      }
+
+      // task-6 probe-wall cell: same candidate probe, before vs after
+      // compacting every committed batch into the base partition
+      val lastIn = s"$tmp/in${NDeliveries - 1}"
+      def probeWall(): Double = {
+        val t = System.nanoTime()
+        probe(NDeliveries + 1L, spark.read.json(lastIn)).count()
+        graft.util.Caches.releaseAll()
+        (System.nanoTime() - t) / 1e9
+      }
+      val wallBefore = probeWall()
+      val filesBefore = countFiles(s"$tmp/store/bands")
+      StreamingIngest.compactStores(spark, paths, NDeliveries + 1L)
+      val wallAfter = probeWall()
+      val filesAfter = countFiles(s"$tmp/store/bands")
+      StreamingIngest.dropStoreTables(spark, paths)
+      s"""{"bootstrap_docs":$nBoot,"bootstrap_s":$bootstrapS,""" +
+        s""""preload_band_rows":$preRows,""" +
+        s""""deliveries":[${rows.mkString(",")}],""" +
+        s""""probe_wall_precompact_s":$wallBefore,""" +
+        s""""probe_wall_postcompact_s":$wallAfter,""" +
+        s""""band_files_precompact":$filesBefore,""" +
+        s""""band_files_postcompact":$filesAfter}"""
+    }
+
+  private def countFiles(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_")
+        && !f.getName.startsWith(".")) 1L
+      else 0L
+    val root = new java.io.File(dir)
+    if (root.exists()) walk(root) else 0L
   }
 
   private def writeOut(path: String, json: String): Unit = {
