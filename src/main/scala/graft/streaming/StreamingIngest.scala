@@ -340,10 +340,22 @@ object StreamingIngest {
     * catalog starts empty, the parquet under `location` does not — the
     * recover re-registers every earlier delivery's `ingest_batch=N`
     * directory (idempotent and cheap mid-run: one listing).
+    *
+    * ENSURED ONCE PER SESSION (round-13): processBatchNearDup touches
+    * three tables per delivery, and the CREATE + RECOVER pair is two
+    * catalog round-trips each — measurable per-batch DDL drag on the
+    * e2e loop. Within one session the catalog entry cannot go stale
+    * (our own INSERTs register their partitions); a restarted JVM has
+    * an empty memo and re-ensures. [[dropStoreTables]] un-memoizes so
+    * short-lived staging roots re-create cleanly.
     */
+  private val ensured =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def ensureStoreTable(spark: SparkSession, kind: String,
       location: String, columnsDdl: String, bucketCols: String): String = {
     val name = storeTableName(kind, location)
+    if (ensured.contains(name)) return name
     // first delivery: the external location must exist before RECOVER
     // PARTITIONS walks it
     val loc = new org.apache.hadoop.fs.Path(location)
@@ -356,6 +368,7 @@ object StreamingIngest {
          |INTO $StoreBuckets BUCKETS
          |LOCATION '$location'""".stripMargin)
     spark.sql(s"ALTER TABLE $name RECOVER PARTITIONS")
+    ensured.add(name)
     name
   }
 
@@ -468,7 +481,9 @@ object StreamingIngest {
     Seq("fps" -> paths.store,
       "bands" -> s"${paths.store}/bands",
       "ngrams" -> s"${paths.store}/ngrams").foreach { case (kind, loc) =>
-      spark.sql(s"DROP TABLE IF EXISTS ${storeTableName(kind, loc)}")
+      val name = storeTableName(kind, loc)
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      ensured.remove(name)
     }
     ()
   }
