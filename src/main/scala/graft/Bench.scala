@@ -317,7 +317,15 @@ object Bench {
     // verdict lives next to its numbers (round-13: the q177 class —
     // movement with zero code delta needs its evidence in-band)
     val notes = sys.env.get("SPARK_GRAFT_BENCH_NOTES")
-      .map(n => "\"" + n.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .map(n => "\"" + n.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      } + "\"")
       .getOrElse("null")
     val full = line.dropRight(1) +
       s""","tries":$triesJson,"calibration":$calJson""" +

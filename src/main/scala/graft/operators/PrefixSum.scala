@@ -88,16 +88,21 @@ object PrefixSum {
     * melt the censuses into one tagged relation and pay the fixed cost
     * once instead of per metric.
     */
-  def cumBeforeBy(census: DataFrame, byCols: Seq[String], valCol: String,
+  def cumBeforeBy(census0: DataFrame, byCols: Seq[String], valCol: String,
       cntCol: String, outCol: String, op: String = "PrefixSum.cumBeforeBy",
       buckets: Int = 0): DataFrame = {
-    val vField = census.schema(valCol)
+    val vField = census0.schema(valCol)
     val numeric = vField.dataType.isInstanceOf[NumericType]
     val cap = graft.util.Guards.MaxCensusRows
+    // cached: the census feeds the probe AND the final plan (stat
+    // path's offset join, or the bucket path's range scan) — uncached,
+    // an OVER-cap census would run its full aggregation twice, exactly
+    // in the regime where it is most expensive
+    val census = graft.util.Caches.cached(census0)
     // ONE probing action: fetch at most cap+1 rows. When the census
     // fits the stat allowance we already hold ALL of it — finish
     // driver-side. CollectLimit short-circuits on oversized censuses,
-    // so the probe stays cheap either way.
+    // so the probe's reduce side stays cheap either way.
     val probe = if (numeric && buckets == 0)
       census.select((byCols.map(col) :+ col(valCol) :+
         coalesce(col(cntCol).cast("long"), lit(0L)).as("__c")): _*)
@@ -181,15 +186,22 @@ object PrefixSum {
   }
 
   /** Driver-side sort key replicating Spark's ascending numeric order:
-    * NULL first, NaN last, exact value comparison in between (BigDecimal
-    * via the canonical string form — exact for every numeric type).
+    * NULL first, then −∞, finite values (exact BigDecimal comparison via
+    * the canonical string form), +∞, and NaN LAST — the full IEEE order
+    * Spark uses, so a census over a derived score with division
+    * artifacts (±Infinity rows) ranks identically to the window
+    * formulation instead of crashing BigDecimal's parser.
     */
   private def sortKey(v: Any): (Int, BigDecimal) = v match {
     case null => (0, BigDecimal(0))
-    case d: java.lang.Double if d.isNaN => (2, BigDecimal(0))
-    case f: java.lang.Float if f.isNaN => (2, BigDecimal(0))
-    case d: java.math.BigDecimal => (1, BigDecimal(d))
-    case n: java.lang.Number => (1, BigDecimal(n.toString))
+    case d: java.lang.Double if d.isNaN => (4, BigDecimal(0))
+    case f: java.lang.Float if f.isNaN => (4, BigDecimal(0))
+    case d: java.lang.Double if d.isInfinite =>
+      (if (d > 0) 3 else 1, BigDecimal(0))
+    case f: java.lang.Float if f.isInfinite =>
+      (if (f > 0) 3 else 1, BigDecimal(0))
+    case d: java.math.BigDecimal => (2, BigDecimal(d))
+    case n: java.lang.Number => (2, BigDecimal(n.toString))
     case other => throw new IllegalArgumentException(
       s"PrefixSum: non-numeric census value $other")
   }

@@ -214,6 +214,26 @@ object FormatRoundTrip {
     case "parquet" => spark.read.parquet(path)
   }
 
+  /** Data-file count under `path` (parquet only, hidden/_ skipped) —
+    * the compaction evidence metric [[dirBytes]]' sibling; shared by
+    * the growth bench and the compaction specs so "what counts as a
+    * data file" has exactly one definition.
+    */
+  def dataFileCount(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    var n = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith("_") &&
+        !name.startsWith(".")) n += 1
+    }
+    n
+  }
+
   /** Data bytes under `path` (hidden/_ files skipped). */
   def dirBytes(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -158,10 +158,10 @@ object IngestGrowthBench {
         (System.nanoTime() - t) / 1e9
       }
       val wallBefore = probeWall()
-      val filesBefore = countFiles(s"$tmp/store/bands")
+      val filesBefore = FormatRoundTrip.dataFileCount(spark, s"$tmp/store/bands")
       StreamingIngest.compactStores(spark, paths, NDeliveries + 1L)
       val wallAfter = probeWall()
-      val filesAfter = countFiles(s"$tmp/store/bands")
+      val filesAfter = FormatRoundTrip.dataFileCount(spark, s"$tmp/store/bands")
       StreamingIngest.dropStoreTables(spark, paths)
       s"""{"bootstrap_docs":$nBoot,"bootstrap_s":$bootstrapS,""" +
         s""""preload_band_rows":$preRows,""" +
@@ -172,15 +172,6 @@ object IngestGrowthBench {
         s""""band_files_postcompact":$filesAfter}"""
     }
 
-  private def countFiles(dir: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles().map(walk).sum
-      else if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_")
-        && !f.getName.startsWith(".")) 1L
-      else 0L
-    val root = new java.io.File(dir)
-    if (root.exists()) walk(root) else 0L
-  }
 
   private def writeOut(path: String, json: String): Unit = {
     java.nio.file.Files.write(java.nio.file.Paths.get(path),

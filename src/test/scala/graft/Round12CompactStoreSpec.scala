@@ -38,15 +38,8 @@ class Round12CompactStoreSpec extends AnyFunSuite {
   private def bandRows(tmp: String) =
     spark.table(StreamingIngest.storeTableName("bands", s"$tmp/store/bands"))
 
-  private def parquetFiles(dir: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles().map(walk).sum
-      else if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_")
-        && !f.getName.startsWith(".")) 1L
-      else 0L
-    val root = new java.io.File(dir)
-    if (root.exists()) walk(root) else 0L
-  }
+  private def parquetFiles(dir: String): Long =
+    graft.sources.FormatRoundTrip.dataFileCount(spark, dir)
 
   test("near-dup store compaction: identical rows, fewer files, drop " +
     "law preserved, repeat-safe") {

@@ -70,15 +70,8 @@ class Round13IngestLoopSpec extends AnyFunSuite {
       .select(col("doc_id"), col("ingest_batch").cast("long")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  private def parquetFiles(dir: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles().map(walk).sum
-      else if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_")
-        && !f.getName.startsWith(".")) 1L
-      else 0L
-    val root = new java.io.File(dir)
-    if (root.exists()) walk(root) else 0L
-  }
+  private def parquetFiles(dir: String): Long =
+    graft.sources.FormatRoundTrip.dataFileCount(spark, dir)
 
   test("10 deliveries with in-loop compactEvery=4: corpus bit-identical " +
     "to the uncompacted twin, store collapsed to base + live batches") {
@@ -124,6 +117,35 @@ class Round13IngestLoopSpec extends AnyFunSuite {
 
       StreamingIngest.dropStoreTables(spark, pA)
       StreamingIngest.dropStoreTables(spark, pB)
+    }
+  }
+
+  test("day-zero bootstrap: the FIRST streaming delivery (batch 0) " +
+    "dedups against the bootstrapped store and cannot overwrite it") {
+    graft.util.TempDirs.withTempDir("graft-r13-boot") { tmp =>
+      import spark.implicits._
+      val in = s"$tmp/in"
+      val paths = IngestPaths(s"$tmp/c", s"$tmp/s", s"$tmp/q")
+      // existing corpus: one doc whose near-dups must drop from day one
+      StreamingIngest.bootstrapNearDupStore(spark,
+        Seq((5000L, base)).toDF("doc_id", "text"), paths)
+      jsonl(s"$in/d0.json",
+        doc(1L, base + " tailX"), // near-dup of the bootstrapped doc
+        doc(2L, "entirely novel content about day zero bootstrap " +
+          "semantics and nothing else whatsoever"))
+      StreamingIngest.ingestAvailableNearDup(spark, in, schema, paths,
+        s"$tmp/ck", maxFilesPerTrigger = 1).awaitTermination()
+      // streaming numbers its first batch 0: the bootstrap partition
+      // must be BELOW it (ingest_batch = -1), visible and untouched
+      assert(corpusPairs(paths) === Set((2L, 0L)),
+        "batch 0 must drop the bootstrap near-dup and keep the novel doc")
+      val bootRows = spark.table(
+        StreamingIngest.storeTableName("bands", s"${paths.store}/bands"))
+        .filter(col("ingest_batch") === -1L)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(bootRows === Set(5000L),
+        s"bootstrap partition must survive the first delivery: $bootRows")
+      StreamingIngest.dropStoreTables(spark, paths)
     }
   }
 
