@@ -149,6 +149,50 @@ class Round13IngestLoopSpec extends AnyFunSuite {
     }
   }
 
+  test("restart boundary: a second drain under the same checkpoint " +
+    "resumes past compacted history and keeps deduping against it") {
+    graft.util.TempDirs.withTempDir("graft-r13-restart") { tmp =>
+      val in = s"$tmp/in"
+      val paths = IngestPaths(s"$tmp/c", s"$tmp/s", s"$tmp/q")
+      // phase 1: 5 deliveries, compaction fires in-loop after batch 4
+      (0 until 5).foreach { k =>
+        jsonl(s"$in/d$k.json",
+          doc(100L * k + 1, s"unique phase one text $k alpha$k beta$k " +
+            s"gamma$k"),
+          doc(100L * k + 2, base + s" tail$k"))
+        stamp(s"$in/d$k.json", 200 - k)
+      }
+      StreamingIngest.ingestAvailableNearDup(spark, in, schema, paths,
+        s"$tmp/ck", maxFilesPerTrigger = 1, compactEvery = Some(4))
+        .awaitTermination()
+      val partsMid = spark.table(
+        StreamingIngest.storeTableName("bands", s"${paths.store}/bands"))
+        .select("ingest_batch").distinct().collect()
+        .map(_.getLong(0)).toSet
+      assert(partsMid === Set(-1L, 4L), s"phase-1 store layout: $partsMid")
+
+      // phase 2 ("restart"): 3 more deliveries under the SAME
+      // checkpoint — consumed files must not reprocess, and the new
+      // batches dedup against survivors now living in the BASE partition
+      (5 until 8).foreach { k =>
+        jsonl(s"$in/d$k.json",
+          doc(100L * k + 1, s"unique phase two text $k delta$k eps$k " +
+            s"zeta$k"),
+          doc(100L * k + 2, base + s" tail$k"))
+        stamp(s"$in/d$k.json", 200 - k)
+      }
+      StreamingIngest.ingestAvailableNearDup(spark, in, schema, paths,
+        s"$tmp/ck", maxFilesPerTrigger = 1, compactEvery = Some(4))
+        .awaitTermination()
+      val expected = Set((1L, 0L), (2L, 0L)) ++
+        (1 until 8).map(k => (100L * k + 1, k.toLong)).toSet
+      assert(corpusPairs(paths) === expected,
+        "restart must resume at batch 5 and dedup against compacted " +
+          s"history: ${corpusPairs(paths)}")
+      StreamingIngest.dropStoreTables(spark, paths)
+    }
+  }
+
   test("localCheckpoint blocks release after each batch (ADVICE: no " +
     "persistent-RDD accumulation in a long-running loop)") {
     graft.util.TempDirs.withTempDir("graft-r13-ckpt") { tmp =>
