@@ -86,6 +86,46 @@ object Bench {
     }.toMap).getOrElse(Map.empty)
   }
 
+  /** Contention analysis over the calibration series (round-14 verdict
+    * task 2: the r13 artifact published three 3–7× phantom walls whose
+    * evidence — a 0.12→0.74 s calibration spike — was already in-band,
+    * but nothing consumed it).
+    *
+    * A sweep position's WINDOW RATIO is max(bracketing successful
+    * calibration walls) / run cal_min: the calibration query's
+    * intrinsic cost is constant, so a ratio ≫ 1 means the host was
+    * contended somewhere in that segment. `cal` carries (pos, sec,
+    * succeeded).
+    */
+  private[graft] def windowRatio(cal: Seq[(Int, Double, Boolean)],
+      pos: Int, calMin: Double): Double = {
+    val ok = cal.filter(_._3)
+    if (ok.isEmpty || !(calMin > 0)) return 1.0
+    val left = ok.filter(_._1 <= pos).map(_._2).lastOption
+    val right = ok.find(_._1 >= pos).map(_._2)
+    val vals = left.toSeq ++ right.toSeq
+    if (vals.isEmpty) 1.0 else vals.max / calMin
+  }
+
+  /** Bracketing calibration walls read ≥ `ContentionThreshold` × the
+    * run's cal_min ⇒ every measurement in that segment is suspect.
+    */
+  private[graft] val ContentionThreshold = 2.0
+
+  /** Mover verdict given its post-retry ratio and the window ratios of
+    * the segments its evidence came from. A regression only counts as
+    * "persists" when at least ONE of its measurement windows was clean;
+    * a mover whose every window overlapped a calibration outlier ships
+    * as "unresolved_contention" — the automatic in-artifact note the
+    * round-13 phantom walls (q44/q45/q125) lacked.
+    */
+  private[graft] def moverVerdict(finalRatio: Double,
+      windowRatios: Seq[Double]): String =
+    if (finalRatio <= 1.5) "weather"
+    else if (windowRatios.isEmpty ||
+      windowRatios.exists(_ <= ContentionThreshold)) "persists"
+    else "unresolved_contention"
+
   /** The vs_prev baseline, in priority order: SPARK_GRAFT_BENCH_PREV
     * (a file path) if set, else the last COMMITTED bench_full.json via
     * `git show HEAD:bench_full.json`, else the working-dir file. The
@@ -196,9 +236,16 @@ object Bench {
         .filter(org.apache.spark.sql.functions.col("l_quantity") < 10)
         .select("l_orderkey", "l_quantity")
     val calEvery = 20
-    val cal = scala.collection.mutable.ArrayBuffer[(Int, Double, String)]()
-    def calPoint(pos: Int): Unit =
-      cal += ((pos, timeOnce(calibrate), loadavg()))
+    // (pos, |elapsed|, loadavg, succeeded) — timeOnce signs failures
+    // negative, and a raw negative sample would corrupt cal_min (the
+    // cross-round normalization anchor) silently (round-13 ADVICE):
+    // store the magnitude plus an explicit flag, and let the summary
+    // stats below consume successful samples only.
+    val cal = scala.collection.mutable.ArrayBuffer[(Int, Double, String, Boolean)]()
+    def calPoint(pos: Int): Unit = {
+      val t = timeOnce(calibrate)
+      cal += ((pos, math.abs(t), loadavg(), t >= 0))
+    }
     // unrecorded warmup of the calibration shape: JIT + codegen-cache
     // cold-start would otherwise inflate calibration[0], making the
     // timeline read as early contention on a quiet host
@@ -215,6 +262,7 @@ object Bench {
     // minimum is the intrinsic cost, the try spread is the contention
     // evidence.
     val tries = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val qpos = scala.collection.mutable.Map[String, Int]()
     // task-metric deltas measured around try 2 (warm, representative):
     // (shuf_read, shuf_write, spill_mem, spill_disk, gc_ms, task_ms,
     // peak_exec_mem) — bytes except the two _ms fields
@@ -227,45 +275,85 @@ object Bench {
       drainBus(spark, ml)
       val d = ml.snap().zip(before).map { case (a, b) => a - b }
       tries += name -> (t1, t2)
+      qpos += name -> i
       telem += name -> (d :+ ml.peakMem.get)
       if ((i + 1) % calEvery == 0) calPoint(i + 1)
     }
     calPoint(names.size)
     val firstPass = tries.map { case (k, (a, b)) => k -> goodMin(a, b) }
-    // SELF-ADJUDICATING MOVERS (round 12): any query whose min-of-2
-    // regressed >1.5x vs the previous committed run is re-timed a THIRD
-    // time after the sweep — the r11 artifacts showed 10x phantom movers
-    // from multi-second VM freezes (q141/q165), and a post-sweep retry
-    // on a now-quiet host separates weather from plan changes inside the
-    // artifact itself. The retry joins the min (the headline stays the
-    // intrinsic cost) and the mover block records all three tries plus
-    // the verdict.
-    val retries = scala.collection.mutable.LinkedHashMap[String, Double]()
-    firstPass.foreach { case (k, v) =>
-      if (prev.get(k).exists(p => math.min(p, v) >= 0.3 && v / p > 1.5))
-        retries += k -> timeOnce(SparkEntry.queries(k))
+    def calSeq = cal.toSeq.map(t => (t._1, t._2, t._4))
+    def runCalMin = {
+      val ok = cal.filter(_._4).map(_._2)
+      if (ok.nonEmpty) ok.min else Double.NaN
     }
-    // a failed retry (negative elapsed) is EXCLUDED from the min by
-    // goodMin; the calibration point after the retry pass puts the
-    // retries' host-weather context in-band like every sweep segment's
-    if (retries.nonEmpty) calPoint(names.size + retries.size)
+    // SELF-ADJUDICATING MOVERS (round 12, contention-aware since round
+    // 14): any query whose min-of-2 regressed >1.5x vs the previous
+    // committed run is re-timed after the sweep. Round 14 closes the
+    // hole the r13 phantom walls (q44/q45/q125) exposed — both sweep
+    // tries AND the single retry can sit inside one host-contention
+    // window, publishing a 3–7x wall on untouched code. Now every
+    // retry ROUND is bracketed by calibration points; a mover that
+    // still reads >1.5x is re-timed again (up to MaxRetryRounds) while
+    // every window its evidence came from was contended, and the mover
+    // block records each window's calibration ratio plus a verdict —
+    // "persists" requires at least one CLEAN measurement window, else
+    // the artifact says "unresolved_contention" in-band.
+    val MaxRetryRounds = 3
+    val retries = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    // per retry round: (calPos before, calPos after) — its window
+    val roundBrackets = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    def currentMin(k: String): Double =
+      goodMin((firstPass(k) :: retries.getOrElse(k, Nil)): _*)
+    def sweepWindow(k: String): Double =
+      windowRatio(calSeq, qpos(k), runCalMin)
+    def retryWindows(k: String): Seq[Double] =
+      roundBrackets.take(retries.getOrElse(k, Nil).length).map {
+        case (a, b) =>
+          math.max(windowRatio(calSeq, a, runCalMin),
+            windowRatio(calSeq, b, runCalMin))
+      }.toSeq
+    var round = 0
+    var candidates = firstPass.keys.filter { k =>
+      prev.get(k).exists(p =>
+        math.min(p, firstPass(k)) >= 0.3 && firstPass(k) / p > 1.5)
+    }.toSeq
+    while (round < MaxRetryRounds && candidates.nonEmpty) {
+      val posBefore = cal.last._1
+      candidates.foreach { k =>
+        retries(k) = retries.getOrElse(k, Nil) :+
+          timeOnce(SparkEntry.queries(k))
+      }
+      val posAfter = names.size + round + 1
+      calPoint(posAfter)
+      roundBrackets += ((posBefore, posAfter))
+      round += 1
+      // next round: still >1.5x AND no clean window has measured it yet
+      candidates = candidates.filter { k =>
+        prev.get(k).exists(p => currentMin(k) / p > 1.5) &&
+          (sweepWindow(k) +: retryWindows(k))
+            .forall(_ > ContentionThreshold)
+      }
+    }
     val results = firstPass.map { case (k, v) =>
-      k -> (retries.get(k) match {
-        case Some(r) => goodMin(v, r)
-        case None => v
-      }) }
+      k -> goodMin((v :: retries.getOrElse(k, Nil)): _*) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // "method" records the timing protocol so cross-round comparisons stay
     // apples-to-apples: min-of-2 since round 4 (rounds 1-3 were single-run,
     // so their numbers include scheduler noise this protocol excludes)
-    val calJson = cal.map { case (p, t, la) =>
-      s"""{"pos":$p,"sec":$t,"load":$la}""" }.mkString("[", ",", "]")
-    val calTimes = cal.map(_._2)
+    val calJson = cal.map { case (p, t, la, ok) =>
+      s"""{"pos":$p,"sec":$t,"load":$la,"ok":$ok}""" }.mkString("[", ",", "]")
+    // cal_min/cal_max over SUCCESSFUL calibration tries only — a failed
+    // try's wall is crash timing, not host speed (fallback to all
+    // magnitudes only if every try failed, so the fields still exist)
+    val calTimes = {
+      val ok = cal.filter(_._4).map(_._2)
+      if (ok.nonEmpty) ok else cal.map(_._2)
+    }
     val calSummary =
       s""""cal_min":${calTimes.min},"cal_max":${calTimes.max}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","method":"min_of_2+mover_retry",$calSummary}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","method":"min_of_2+mover_retry+cal_adjudication",$calSummary}"""
     println(line)
     // The driver's BENCH artifact keeps only the tail of stdout, which
     // truncates the per-query map once there are 200+ queries — also
@@ -301,11 +389,21 @@ object Bench {
           r > 1.5 || r < 1.0 / 1.5 || retries.contains(k) }
         .sortBy { case (_, _, _, r) => -r }
         .map { case (k, p, c, r) =>
-          val adj = retries.get(k).map { rt =>
-            val verdict = if (c / p <= 1.5) "weather" else "persists"
-            s""","retry_s":$rt,"adjudication":"$verdict""""
+          // every mover carries its sweep segment's calibration ratio;
+          // retried movers additionally carry each retry round's wall,
+          // each window's ratio, and the contention-aware verdict
+          val sw = (sweepWindow(k) * 1000).round / 1000.0
+          val adj = retries.get(k).map { rts =>
+            val ws = retryWindows(k)
+            val verdict = moverVerdict(c / p, sw +: ws)
+            val wsJson = ws.map(x => (x * 1000).round / 1000.0)
+              .mkString("[", ",", "]")
+            s""","retry_s":${rts.mkString("[", ",", "]")},""" +
+              s""""retry_cal_ratios":$wsJson,"adjudication":"$verdict""""
           }.getOrElse("")
-          s"""{"q":"$k","prev":$p,"cur":$c,"ratio":${(r * 1000).round / 1000.0}$adj}""" }
+          s"""{"q":"$k","prev":$p,"cur":$c,""" +
+            s""""ratio":${(r * 1000).round / 1000.0},""" +
+            s""""sweep_cal_ratio":$sw$adj}""" }
         .mkString("[", ",", "]")
       val prevTotal = prev.values.sum
       s"""{"prev_file":"$prevPath","prev_total":$prevTotal,""" +

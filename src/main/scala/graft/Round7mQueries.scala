@@ -39,6 +39,9 @@ object Round7mQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Nation-blocked candidate pairs; EM learns per-field m/u and the
     // match prior in the micro-integer domain (2 rounds, one DAG).
+    // ORACLE TIER: exact within-block pairs are quadratic in block
+    // size by contract (see Linkage.blockedPairs scaladoc) — q210a is
+    // the production tier a corpus-scale run ships.
     "q210_linkage_em" -> ((s, dir) =>
       Linkage.emWeights(pairsAt(CorpusConfig.Exact)(s, dir), LinkFields)),
 

@@ -395,10 +395,12 @@ object SparkEntry {
         .select("num_objects", "total_bytes", "max_bytes", "avg_bytes", "largest_file")
     }),
 
-    // A14 at log_dataframe scope: histograms of every numeric column in
-    // two jobs (one bounds agg + one melted bucket-count pass).
+    // A14 at log_dataframe scope: histograms of every numeric column —
+    // bounds ride the parquet FOOTER stats (exactness-gated, automatic
+    // agg fallback), so the whole report is ONE bucket-count job.
     "q41_histograms_all" -> ((s, dir) =>
-      Profiler.numericHistograms(t(s, dir, "lineitem"), 10)))
+      Profiler.numericHistograms(t(s, dir, "lineitem"), 10,
+        Some(Tables.path(dir, "lineitem")))))
 
   private def catalogCountsCte: String =
     "WITH counts(table_name, row_count) AS (" +

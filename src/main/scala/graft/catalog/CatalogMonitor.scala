@@ -50,37 +50,147 @@ object CatalogMonitor {
     * any footer read fails; the caller's count() is then the single
     * source of truth rather than a silent divergence.
     */
+  /** The visible parquet file set under `tablePath` — exactly what
+    * Spark's own file index would scan (recursive, hidden segments
+    * skipped, `.parquet` only). Empty seq = "not a parquet table here".
+    */
+  private def visibleParquetFiles(
+      conf: org.apache.hadoop.conf.Configuration,
+      tablePath: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    val qualifiedRoot = fs.makeQualified(root)
+    val rootStr = qualifiedRoot.toUri.getPath.stripSuffix("/")
+    val rootStatus = fs.getFileStatus(qualifiedRoot)
+    if (rootStatus.isDirectory) {
+      val it = fs.listFiles(qualifiedRoot, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toUri.getPath
+          .stripPrefix(rootStr).stripPrefix("/")
+        val hidden = rel.split("/").exists(isHiddenSegment)
+        if (st.isFile && !hidden &&
+          st.getPath.getName.endsWith(".parquet")) buf += st
+      }
+      buf.toSeq
+    } else Seq(rootStatus)
+  }
+
   private[graft] def footerRowCount(spark: SparkSession,
       tablePath: String): Option[Long] = {
-    import org.apache.hadoop.fs.{FileStatus, Path}
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     try {
       val conf = spark.sessionState.newHadoopConf()
-      val root = new Path(tablePath)
-      val fs = root.getFileSystem(conf)
-      val qualifiedRoot = fs.makeQualified(root)
-      val rootStr = qualifiedRoot.toUri.getPath.stripSuffix("/")
-      val rootStatus = fs.getFileStatus(qualifiedRoot)
-      val statuses: Seq[FileStatus] =
-        if (rootStatus.isDirectory) {
-          val it = fs.listFiles(qualifiedRoot, true)
-          val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
-          while (it.hasNext) {
-            val st = it.next()
-            val rel = st.getPath.toUri.getPath
-              .stripPrefix(rootStr).stripPrefix("/")
-            val hidden = rel.split("/").exists(isHiddenSegment)
-            if (st.isFile && !hidden &&
-              st.getPath.getName.endsWith(".parquet")) buf += st
-          }
-          buf.toSeq
-        } else Seq(rootStatus)
+      val statuses = visibleParquetFiles(conf, tablePath)
       if (statuses.isEmpty) None
       else Some(statuses.map { s =>
         val r = ParquetFileReader.open(HadoopInputFile.fromStatus(s, conf))
         try r.getRecordCount finally r.close()
       }.sum)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Parquet-FOOTER exact (min, max) per requested numeric column — the
+    * metadata analogue of a wide `agg(min, max, …)` bounds job, for the
+    * profiler's histogram pass (round-14 verdict task: the bounds scan
+    * was half of q41's two full-table jobs).
+    *
+    * Returns `Some(col -> (lo, hi))` ONLY when every requested column's
+    * bounds are provably exact from the footers alone; `None` means
+    * "run the bounds job" — never a silently different answer. A column
+    * resolves to `(None, None)` when every row is NULL (the agg job's
+    * NULL min/max). Exactness rules, per column chunk:
+    *
+    *  - the parquet PHYSICAL type must be INT32/INT64/FLOAT/DOUBLE with
+    *    no logical annotation other than a signed int annotation —
+    *    decimals/dates/timestamps store shifted or unscaled values
+    *    whose chunk min is NOT the column min under Spark's reading;
+    *  - statistics must be present with a non-null value, or the chunk
+    *    must be provably all-NULL (numNulls set and = value count);
+    *  - floating chunks whose recorded min or max is NaN are REJECTED
+    *    (NaN-poisoned legacy stats); modern writers (parquet-mr ≥ 1.10,
+    *    Arrow C++) skip NaN when computing FP stats, which matches the
+    *    profiler's NaN→NULL `cleaned` contract exactly. A NaN that a
+    *    legacy writer folded into a FINITE wrong bound is undetectable
+    *    here — callers who profile legacy-written FP data disable the
+    *    footer path via the config flag on the caller.
+    *
+    * Min/max convert to double monotonically (long→double rounding is
+    * monotone, so double(min long) = min(double longs) — same value the
+    * agg job's `cast(c as double)` bounds produce, at any magnitude).
+    */
+  private[graft] def footerNumericBounds(spark: SparkSession,
+      tablePath: String, cols: Seq[(String, org.apache.spark.sql.types.DataType)])
+      : Option[Map[String, (Option[Double], Option[Double])]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.spark.sql.types._
+    val wanted = cols.toMap
+    // acc: col -> (lo, hi) over chunks seen so far; None until a chunk
+    // with values contributes
+    val acc = scala.collection.mutable.Map[String, (Option[Double], Option[Double])]()
+    cols.foreach { case (c, _) => acc(c) = (None, None) }
+    def expectedPhysical(dt: DataType) = dt match {
+      case ByteType | ShortType | IntegerType => Some(INT32)
+      case LongType => Some(INT64)
+      case FloatType => Some(FLOAT)
+      case DoubleType => Some(DOUBLE)
+      case _ => None
+    }
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val statuses = visibleParquetFiles(conf, tablePath)
+      if (statuses.isEmpty) return None
+      statuses.foreach { s =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromStatus(s, conf))
+        try {
+          // every requested column must exist in every file's schema —
+          // a name absent from all chunks would otherwise masquerade
+          // as an all-NULL column
+          val schema = r.getFooter.getFileMetaData.getSchema
+          if (!cols.forall { case (c, _) =>
+            schema.containsField(c) &&
+              schema.getType(Seq(c): _*).isPrimitive })
+            return None
+          val blocks = r.getFooter.getBlocks
+          blocks.forEach { b =>
+            if (b.getRowCount > 0) b.getColumns.forEach { cc =>
+              val p = cc.getPath.toDotString
+              wanted.get(p).foreach { dt =>
+                val pt = cc.getPrimitiveType
+                val okType = expectedPhysical(dt).contains(pt.getPrimitiveTypeName) &&
+                  (pt.getLogicalTypeAnnotation match {
+                    case null => true
+                    case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                      i.isSigned
+                    case _ => false
+                  })
+                if (!okType) return None
+                val st = cc.getStatistics
+                if (st == null) return None
+                if (st.hasNonNullValue) {
+                  val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
+                    case (a: java.lang.Number, b: java.lang.Number) =>
+                      (a.doubleValue(), b.doubleValue())
+                    case _ => return None
+                  }
+                  if (mn.isNaN || mx.isNaN) return None
+                  val (lo, hi) = acc(p)
+                  acc(p) = (Some(lo.fold(mn)(math.min(_, mn))),
+                    Some(hi.fold(mx)(math.max(_, mx))))
+                } else if (!(st.isNumNullsSet && st.getNumNulls == cc.getValueCount))
+                  return None // no values recorded, not provably all-null
+              }
+            }
+          }
+        } finally r.close()
+      }
+      Some(acc.toMap)
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 

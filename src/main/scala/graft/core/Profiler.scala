@@ -46,6 +46,13 @@ case class ProfileConfig(
   */
 object Profiler {
 
+  /** Session flag: "false" forces the histogram bounds aggregation job
+    * even when a tablePath is supplied (the catalog footerCounts
+    * convention — e.g. legacy-written FP parquet whose NaN handling
+    * predates exact statistics).
+    */
+  val FooterBoundsKey = "graft.profiler.footerBounds"
+
   /** Statistic names emitted per numeric column, in emission order. */
   val numericMetrics: Seq[String] =
     Seq("count", "null_count", "distinct_count", "min", "max", "mean",
@@ -416,19 +423,37 @@ object Profiler {
     * collected bounds as literals (codegen, no join), and counts per
     * (col_name, bucket). Output: (col_name, bucket, cnt).
     */
-  def numericHistograms(df0: DataFrame, bins: Int = 10): DataFrame = {
+  def numericHistograms(df0: DataFrame, bins: Int = 10,
+      tablePath: Option[String] = None): DataFrame = {
     val df = graft.util.Parallelism.ensure(df0)
     val cols = numericColumns(df)
     require(cols.nonEmpty, "no numeric columns")
-    val boundExprs = cols.flatMap { c =>
-      val v = cleaned(df, c).cast(DoubleType)
-      Seq(min(v).as(s"${c}__lo"), max(v).as(s"${c}__hi"))
+    // FOOTER BOUNDS fast path (round-14): when the caller names the
+    // parquet location whose rows ARE df0's rows (no filter between),
+    // the (min, max) stat row can come from the file footers — the
+    // bounds job (a full scan of every profiled column) disappears and
+    // the histogram is ONE job at any scale. footerNumericBounds
+    // returns None unless every column's bounds are provably exact
+    // (type/annotation/NaN/all-null rules in its scaladoc), so this is
+    // never a silent approximation; FooterBoundsKey="false" forces the
+    // agg job (the footerCounts convention).
+    val footer = tablePath.filterNot(_ =>
+      df.sparkSession.conf.getOption(FooterBoundsKey).contains("false"))
+      .flatMap { p =>
+        graft.catalog.CatalogMonitor.footerNumericBounds(
+          df.sparkSession, p, cols.map(c => c -> df.schema(c).dataType))
+      }
+    val bounds = footer.getOrElse {
+      val boundExprs = cols.flatMap { c =>
+        val v = cleaned(df, c).cast(DoubleType)
+        Seq(min(v).as(s"${c}__lo"), max(v).as(s"${c}__hi"))
+      }
+      val b = df.agg(boundExprs.head, boundExprs.tail: _*).collect().head
+      cols.map { c =>
+        c -> (Option(b.getAs[java.lang.Double](s"${c}__lo")).map(_.toDouble),
+          Option(b.getAs[java.lang.Double](s"${c}__hi")).map(_.toDouble))
+      }.toMap
     }
-    val b = df.agg(boundExprs.head, boundExprs.tail: _*).collect().head
-    val bounds = cols.map { c =>
-      c -> (Option(b.getAs[java.lang.Double](s"${c}__lo")).map(_.toDouble),
-        Option(b.getAs[java.lang.Double](s"${c}__hi")).map(_.toDouble))
-    }.toMap
     val stackArgs = cols.map(c => s"'$c', ${cleanedSql(df, c)}").mkString(", ")
     val melted = df.selectExpr(
       s"stack(${cols.length}, $stackArgs) as (col_name, value)")

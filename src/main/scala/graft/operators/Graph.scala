@@ -259,13 +259,19 @@ object Graph {
     val packable = !stats.isNullAt(0) &&
       stats.getLong(0) < (1L << 31) && stats.getLong(1) >= 0
     val wedgeRows = if (stats.isNullAt(2)) 0L else stats.getLong(2)
-    // Σdeg = 2E sizes the already-adjacent anti-join's right side: a
-    // packed edge key is 8 bytes, so up to 8M edges (64 MB) broadcast
-    // and the candidate relation (Σ C(deg,2)/2-ish pairs — the
-    // operator's bulk) skips a second full shuffle; a bigger graph
-    // falls back to the shuffle anti-join automatically
+    // Σdeg = 2E sizes the already-adjacent anti-join's right side. The
+    // gate budgets the IN-MEMORY broadcast footprint, not raw key
+    // bytes: a LongHashedRelation carries ~40 B/entry (8 B key + map
+    // slot + UnsafeRow), so gating on 8 B/key would admit graphs whose
+    // built relation is ~5x the nominal cap (round-13 ADVICE). At
+    // ~40 B/entry a 64 MB footprint admits up to ~1.7M distinct edges
+    // (~13 MB raw keys — inside the advised 8-16 MB raw band); Σdeg/2
+    // also counts duplicate input edges, which only OVERestimates and
+    // therefore only ever disables the broadcast, never admits an
+    // oversized one. Bigger graphs fall back to the shuffle anti-join
+    // automatically.
     val edgeCount = if (stats.isNullAt(3)) 0L else stats.getLong(3) / 2L
-    val broadcastEdges = packable && edgeCount * 8L < 64L * 1024 * 1024
+    val broadcastEdges = packable && edgeCount * 40L < 64L * 1024 * 1024
     // the pair groupBy is the operator's memory cliff: at the default
     // 32 shuffle partitions, 142M sf0.1 wedges put ~4.4M pairs per
     // reducer hash map and the partial-agg fallback spills tens of GB.

@@ -34,10 +34,18 @@ object Linkage {
 
   /** Exact within-block candidate pairs: every unordered record pair
     * sharing `blockCol`, canonicalised by `idCol` (a < b). Output: the
-    * input columns twice, prefixed `a_` / `b_`. This is the ORACLE
-    * blocking tier — block sizes are unbounded, so pair count grows as
-    * Σ n_block², a quadratic a 100 TB run must not ship (use
-    * [[sortedNeighborhoodPairs]] there).
+    * input columns twice, prefixed `a_` / `b_`.
+    *
+    * SCALING TIER (round-14, the q233 treatment): this call is the
+    * ORACLE tier — block sizes are unbounded, so the pair count grows
+    * as Σ n_block² and no downstream rewrite can change it (the
+    * quadratic is the output relation itself; q210's α > 1 in the
+    * scaling artifact is this contract, not a plan defect). PRODUCTION
+    * is [[sortedNeighborhoodPairs]] (q210a): candidates restricted to
+    * same-or-adjacent sort-key buckets, Σ n_bucket·(n_bucket+n_next)
+    * pairs — linear in block size for any fixed value density — the
+    * documented recall trade (pairs farther than `bucketWidth` on the
+    * sort key are not candidates) a corpus-scale linkage run ships.
     */
   def blockedPairs(df: DataFrame, blockCol: String, idCol: String): DataFrame = {
     val out = df.columns.map(f => col(s"a.$f").as(s"a_$f")) ++
@@ -115,27 +123,42 @@ object Linkage {
       rounds: Int = 2): DataFrame = {
     require(rounds >= 1 && agreementCols.nonEmpty, "rounds/fields")
     val dec = "decimal(38,0)"
-    val base = graft.util.Caches.cached(
-      pairs.select(agreementCols.map(c => col(c).as(c)): _*))
+    // AGREEMENT-PATTERN CENSUS (round-14): every EM statistic depends
+    // on a pair ONLY through its boolean agreement vector, so the pair
+    // relation collapses to ≤ 2^F (< 3^F with nulls) stat rows of
+    // (pattern, weight) BEFORE any EM round runs. The previous shape
+    // cached the full pair relation and re-aggregated it once per
+    // round plus once for the final posterior — `rounds`+1 passes over
+    // Σ-pairs rows; this shape scans the pairs ONCE (partial
+    // aggregation collapses each map task to the pattern census, so
+    // the shuffle is bytes) and every EM round is arithmetic over stat
+    // rows. Values are verbatim-identical: all sums are integers in
+    // DECIMAL(38,0), and Σ_{pairs with pattern p} γ(p) = w_p · γ(p)
+    // exactly — the oracle keeps its per-pair unrolled form.
+    val census = graft.util.Caches.cached(
+      pairs.groupBy(agreementCols.map(col): _*)
+        .agg(count(lit(1)).cast(dec).as("__w")))
     val agree = agreementCols.map(col)
+    val w = col("__w")
     // parameter relation: 1 row (lm, m_<f>, u_<f> micro)
-    var params = base.sparkSession.range(1).select(
+    var params = census.sparkSession.range(1).select(
       (lit(Lambda0).as("lm") +:
         agreementCols.flatMap(f =>
           Seq(lit(M0).as(s"m_$f"), lit(U0).as(s"u_$f")))): _*)
+    val zero = lit(0L).cast(dec)
     for (_ <- 1 to rounds) {
       val ms = agreementCols.map(f => col(s"m_$f"))
       val us = agreementCols.map(f => col(s"u_$f"))
-      val g = base.crossJoin(broadcast(params))
+      val g = census.crossJoin(broadcast(params))
         .withColumn("__g", gammaMicro(agree, col("lm"), ms, us))
       // M-step sums: exact integers; params = floor-div micro ratios.
       // Degenerate guards keep a parameter off the 0/1e6 boundary.
-      val aggCols = count(lit(1)).cast(dec).as("n") +:
-        sum(col("__g").cast(dec)).as("sg") +:
+      val aggCols = sum(w).as("n") +:
+        sum(w * col("__g").cast(dec)).as("sg") +:
         agreementCols.flatMap(f => Seq(
-          sum(when(col(f), col("__g")).otherwise(0L).cast(dec))
+          sum(when(col(f), w * col("__g").cast(dec)).otherwise(zero))
             .as(s"sga_$f"),
-          sum(when(col(f), 1000000L).otherwise(0L).cast(dec))
+          sum(when(col(f), w * lit(1000000L).cast(dec)).otherwise(zero))
             .as(s"sa_$f")))
       val sums = g.agg(aggCols.head, aggCols.tail: _*)
       params = sums.select(
@@ -150,12 +173,13 @@ object Linkage {
     }
     val ms = agreementCols.map(f => col(s"m_$f"))
     val us = agreementCols.map(f => col(s"u_$f"))
-    base.crossJoin(broadcast(params))
+    census.crossJoin(broadcast(params))
       .withColumn("__g", gammaMicro(agree, col("lm"), ms, us))
       .groupBy((col("lm") +: agreementCols.flatMap(f =>
         Seq(col(s"m_$f"), col(s"u_$f")))): _*)
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(when(col("__g") > 500000L, 1L).otherwise(0L)).as("n_matched"))
+      .agg(sum(w).cast("long").as("n_pairs"),
+        sum(when(col("__g") > 500000L, w).otherwise(zero))
+          .cast("long").as("n_matched"))
       .select((col("n_pairs") +: col("lm").as("lambda_micro") +:
         agreementCols.flatMap(f => Seq(col(s"m_$f").as(s"${f}_m_micro"),
           col(s"u_$f").as(s"${f}_u_micro"))) :+ col("n_matched")): _*)

@@ -179,10 +179,24 @@ object PrefixSum {
     val wLocal = Window.partitionBy((byCols :+ "__bkt").map(col): _*)
       .orderBy(col(valCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    staged.join(broadcast(offs), byCols :+ "__bkt")
+    // NULL-SAFE group-key join: a `USING`-style equality join would
+    // silently drop census rows whose byCols are NULL (null never
+    // equals null), so the bucket path would return a different row
+    // set than the stat path's `<=>` offset join for the same input
+    // (round-13 ADVICE). The offset columns are renamed so the
+    // explicit condition can reference both sides unambiguously;
+    // __bkt itself is never null (spark_partition_id).
+    val offsK = offs.select((byCols.zipWithIndex.map { case (c, i) =>
+      col(c).as(s"__bo_k$i") } :+
+      col("__bkt").as("__bo_bkt") :+ col("__boff")): _*)
+    val joinCond = byCols.zipWithIndex
+      .map { case (c, i) => staged(c) <=> offsK(s"__bo_k$i") }
+      .foldLeft(staged("__bkt") === offsK("__bo_bkt"))(_ && _)
+    staged.join(broadcast(offsK), joinCond)
       .withColumn(outCol, col("__boff") +
         coalesce(sum(cnt).over(wLocal), lit(0L)))
-      .drop("__bkt", "__boff")
+      .drop((Seq("__bkt", "__boff", "__bo_bkt") ++
+        byCols.indices.map(i => s"__bo_k$i")): _*)
   }
 
   /** Driver-side sort key replicating Spark's ascending numeric order:

@@ -52,12 +52,79 @@ object IngestGrowthBench {
 
     val growth = ingestGrowth(spark, sfDir)
     val large = largeRegime(spark, sfDir)
+    // round-14 verdict task 5: the ≥64-delivery compaction soak is a
+    // separate opt-in axis (several minutes of wall) — pass "soak" as
+    // an extra arg to run it; without it the previous artifact's soak
+    // block (if any) is not regenerated
+    val soak = if (args.contains("soak")) Some(soakRegime(spark, sfDir))
+      else None
     writeOut(s"${outPrefix}BENCH_ingest_growth.json",
-      growth.stripSuffix("}") + s""","large_regime":$large}""")
+      growth.stripSuffix("}") + s""","large_regime":$large""" +
+        soak.map(s => s""","soak":$s""").getOrElse("") + "}")
     val codec = codecReport(spark, sfDir)
     writeOut(s"${outPrefix}BENCH_codec_report.json", codec)
     spark.stop()
   }
+
+  /** LONG-HORIZON compaction soak (round-14 verdict task 5): the
+    * in-loop compaction claim is "wall and file count stay flat with a
+    * bounded sawtooth over an unbounded delivery horizon"
+    * (`StreamingIngest.scala` scaladoc's 10⁵-delivery viability).
+    * Round13IngestLoopSpec proves 8+compact+2 bit-identical; this axis
+    * measures 64 deliveries with `compactEvery`-style maintenance
+    * (beforeBatch = current id, the maybeCompact contract) at a store
+    * regime that starts ≈640× one delivery: per-delivery wall, the
+    * compaction wall when one runs, the band-store file count (the
+    * sawtooth under test — rises ≤ `CompactEvery` batch partitions
+    * above base, then collapses), and the store row count.
+    */
+  private def soakRegime(spark: SparkSession, sfDir: String): String =
+    graft.util.TempDirs.withTempDir("graft-soak") { tmp =>
+      val N = 64
+      val CompactEvery = 8
+      val paths = IngestPaths(s"$tmp/corpus", s"$tmp/store", s"$tmp/quarantine")
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val replicated = (0 until 10).map(r =>
+        docs.select((col("doc_id") + lit(10000000L * (r + 1))).as("doc_id"),
+          concat(col("text"), lit(s" replica$r marker")).as("text")))
+        .reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      StreamingIngest.bootstrapNearDupStore(spark, replicated, paths)
+      val bootstrapS = (System.nanoTime() - t0) / 1e9
+      val bandsTable = StreamingIngest
+        .storeTableName("bands", s"$tmp/store/bands")
+      val rows = (0 until N).map { k =>
+        val bid = k + 1L // batch 0 is the bootstrap convention
+        val in = s"$tmp/in$k"
+        Tables.load(spark, sfDir, "documents")
+          .filter(pmod(col("doc_id"), lit(N.toLong)) === k)
+          .write.mode("overwrite").json(in)
+        val batch = graft.sources.Sources
+          .readValidated(spark, in, DocsSchema, "json")
+        val t1 = System.nanoTime()
+        StreamingIngest.processBatchNearDup(batch, bid, paths)
+          .collect()
+        val wall = (System.nanoTime() - t1) / 1e9
+        // the maybeCompact schedule: after every CompactEvery-th
+        // delivery, merge everything strictly BEFORE the current id
+        val compactS = if (bid % CompactEvery == 0) {
+          val t2 = System.nanoTime()
+          StreamingIngest.compactStores(spark, paths, beforeBatch = bid)
+            .collect()
+          (System.nanoTime() - t2) / 1e9
+        } else 0.0
+        val files = FormatRoundTrip.dataFileCount(spark, s"$tmp/store/bands")
+        val storeRows = spark.table(bandsTable).count()
+        graft.util.Caches.releaseAll()
+        s"""{"batch":$bid,"wall_s":$wall,"compact_s":$compactS,""" +
+          s""""band_files":$files,"store_band_rows":$storeRows}"""
+      }
+      StreamingIngest.dropStoreTables(spark, paths)
+      s"""{"n_deliveries":$N,"compact_every":$CompactEvery,""" +
+        s""""bootstrap_s":$bootstrapS,""" +
+        s""""deliveries":[${rows.mkString(",")}]}"""
+    }
 
   /** Count shuffles whose subtree reads the store (initial physical
     * plan — the Round12IngestStoreSpec probe, transposed to the bench

@@ -41,8 +41,17 @@ object Caches {
     * foreachBatch loop would accumulate checkpoint blocks until the
     * ContextCleaner happens to GC the RDD handles (round-12 ADVICE).
     * The checkpointed Dataset's plan is a `LogicalRDD` leaf over that
-    * RDD — unpersist it directly. Safe on any DataFrame: non-checkpoint
-    * plans simply contain no LogicalRDD leaves.
+    * RDD — unpersist it directly.
+    *
+    * CONTRACT (round-13 ADVICE): this is a DESTRUCTIVE release, not a
+    * cache eviction. A localCheckpoint truncates lineage — once its
+    * backing blocks are dropped they cannot be recomputed, so the
+    * DataFrame (and ANY plan derived from it) must not be executed
+    * again after this call. Call it only at end-of-life, after every
+    * consumer has run. It is a no-op on plans with no LogicalRDD
+    * leaves, but "no-op on non-checkpoints" does not make it safe to
+    * sprinkle: a plan that DOES contain a checkpoint dies on its next
+    * action with missing-block errors.
     */
   def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
