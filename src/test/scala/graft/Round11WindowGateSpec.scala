@@ -169,6 +169,56 @@ class Round11WindowGateSpec extends AnyFunSuite {
     }.nonEmpty
   }
 
+  /** Round-14 (verdict optional task 8): the guard walk ALSO asserts
+    * the guard's census relation is CACHED. `Guards.boundedCensus`
+    * computes its cardinality count as a second aggregate over the
+    * census — if the caller passed an uncached census, that count
+    * re-runs the whole upstream pipeline (the double-scan hazard the
+    * r12 verdict audited by hand). The count aggregate is identifiable
+    * by its `__census_n` output; its leaves must all be in-memory /
+    * local scans, never a file source.
+    */
+  private def physLeavesDeep(p: SparkPlan): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    p.collectLeaves().flatMap {
+      case a: AdaptiveSparkPlanExec => physLeavesDeep(a.executedPlan)
+      case q: QueryStageExec => physLeavesDeep(q.plan)
+      case r: ReusedExchangeExec => physLeavesDeep(r.child)
+      case l => Seq(l)
+    }
+  }
+
+  private def badGuardLeafPhys(p: SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.{LocalTableScanExec, RDDScanExec}
+    p.collectWithSubqueries {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        if a.output.exists(_.name == "__census_n") =>
+        physLeavesDeep(a).collect {
+          case l if !(l.isInstanceOf[InMemoryTableScanExec] ||
+            l.isInstanceOf[LocalTableScanExec] ||
+            l.isInstanceOf[RDDScanExec]) => l.nodeName
+        }
+      case ad: AdaptiveSparkPlanExec => badGuardLeafPhys(ad.executedPlan)
+      case q: QueryStageExec => badGuardLeafPhys(q.plan)
+    }.flatten
+  }
+
+  private def badGuardLeafLogical(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation}
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case a: Aggregate if a.output.exists(_.name == "__census_n") =>
+        a.collectLeaves().collect {
+          case l if !(l.isInstanceOf[InMemoryRelation] ||
+            l.isInstanceOf[LocalRelation]) => l.nodeName
+        }
+      case m: InMemoryRelation => badGuardLeafPhys(m.cachedPlan)
+    }.flatten
+  }
+
   private def physWindows(p: SparkPlan): Seq[String] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
@@ -204,6 +254,8 @@ class Round11WindowGateSpec extends AnyFunSuite {
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val constructedGuard =
     new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val constructedUncachedGuard =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private lazy val constructionListener = {
     val l = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
@@ -212,6 +264,8 @@ class Round11WindowGateSpec extends AnyFunSuite {
         physWindows(qe.executedPlan)
           .foreach(w => constructed.add(s"$w [executed at construction]"))
         if (physHasGuard(qe.executedPlan)) constructedGuard.set(true)
+        badGuardLeafPhys(qe.executedPlan)
+          .foreach(s => constructedUncachedGuard.add(s))
       }
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
@@ -238,18 +292,24 @@ class Round11WindowGateSpec extends AnyFunSuite {
     "allow-listed with a grain justification — and every cited " +
     "boundedCensus guard is PRESENT in that query's plans") {
     val unguarded = scala.collection.mutable.ArrayBuffer[String]()
+    val uncachedCensus = scala.collection.mutable.ArrayBuffer[String]()
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         var planWs = Seq.empty[String]
         var guardSeen = false
+        var badLeaves = Seq.empty[String]
+        constructedUncachedGuard.clear()
         val execWs =
           try constructionWindows {
             val df = fn(spark, sf)
             planWs = emptySpecWindows(df)
             guardSeen = logicalHasGuard(df) || constructedGuard.get()
+            badLeaves = badGuardLeafLogical(df)
           }
           catch { case e: Throwable => Seq(s"probe error: ${e.getMessage}") }
         guardSeen = guardSeen || constructedGuard.get()
+        var s = constructedUncachedGuard.poll()
+        while (s != null) { badLeaves :+= s; s = constructedUncachedGuard.poll() }
         val ws = planWs ++ execWs
         graft.util.Caches.releaseAll()
         spark.sharedState.cacheManager.clearCache()
@@ -258,6 +318,11 @@ class Round11WindowGateSpec extends AnyFunSuite {
         if (allowed.get(name).exists(_._2.contains("boundedCensus-guarded"))
           && !guardSeen)
           unguarded += name
+        // round-14: a planned guard whose census count re-scans a file
+        // source (instead of reading the cached census) is the
+        // double-scan hazard — permanent form of the r12 manual audit
+        if (badLeaves.nonEmpty)
+          uncachedCensus += s"$name: ${badLeaves.distinct.mkString(", ")}"
         if (ws.isEmpty || allowed.contains(name)) Nil
         else Seq(s"$name: ${ws.mkString("; ")}")
     }
@@ -267,6 +332,10 @@ class Round11WindowGateSpec extends AnyFunSuite {
     assert(unguarded.isEmpty,
       "allow-list entries cite a boundedCensus guard their plans do " +
         s"not contain — the citation is stale: ${unguarded.mkString(", ")}")
+    assert(uncachedCensus.isEmpty,
+      "boundedCensus guards whose cardinality count re-scans a file " +
+        "source — pass a CACHED census so the count is a cache read:\n" +
+        uncachedCensus.mkString("\n"))
     // ENFORCE the grain typing: entity-derived censuses are never a
     // legal window input — rebuild them on PrefixSum.cumBefore
     val entityDerived = allowed.collect {
@@ -308,5 +377,25 @@ class Round11WindowGateSpec extends AnyFunSuite {
     assert(!logicalHasGuard(bare),
       "detector must NOT see a guard in the guard-removed twin — " +
         "otherwise the presence check is vacuous")
+  }
+
+  test("uncached-census red-test: a boundedCensus guard over an " +
+    "UNCACHED file-backed census flips the detector; the cached twin " +
+    "is clean") {
+    import org.apache.spark.sql.functions._
+    val censusPlan = Tables.load(spark, sf, "nation")
+      .groupBy("n_regionkey").agg(count(lit(1)).as("c"))
+    val bare = graft.util.Guards
+      .boundedCensus(censusPlan, "Round11WindowGateSpec.uncached",
+        cap = 1000L)
+    assert(badGuardLeafLogical(bare).nonEmpty,
+      "detector must flag the guard count re-scanning the file source")
+    val cached = graft.util.Caches.cached(censusPlan)
+    val guarded = graft.util.Guards
+      .boundedCensus(cached, "Round11WindowGateSpec.cached", cap = 1000L)
+    assert(badGuardLeafLogical(guarded).isEmpty,
+      "detector must pass a guard whose count reads the cached census")
+    graft.util.Caches.releaseAll()
+    spark.sharedState.cacheManager.clearCache()
   }
 }
