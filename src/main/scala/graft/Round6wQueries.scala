@@ -15,14 +15,23 @@ object Round6wQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q186_pagerank_personalized" -> ((s, dir) => {
-      val edges = Graph.coOccurrenceEdges(Tables.load(s, dir, "lineitem"),
-        "l_orderkey", "l_partkey",
-        maxGroupSize = Some(Round6bQueries.CoPurchaseCap))
-      val seeds = edges.select(col("node_a").as("node"))
-        .unionByName(edges.select(col("node_b").as("node")))
+      // edges CACHED at the query level (round-14): the seed relation is
+      // referenced by the eager seed validation, the restart-mass totals
+      // AND the restart fill — uncached, each evaluation re-derived the
+      // whole co-purchase graph (~7 full derivations per run measured).
+      // explode, not union, for the node census (one pass, half the
+      // partitions — the Graph.bothDirections rationale).
+      val edges = graft.util.Caches.cached(
+        Graph.coOccurrenceEdges(Tables.load(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey",
+          maxGroupSize = Some(Round6bQueries.CoPurchaseCap)))
+      // seeds cached too: the operator's eager validation, the Σw
+      // totals and the restart fill each re-evaluate it otherwise
+      val seeds = graft.util.Caches.cached(edges
+        .select(explode(array(col("node_a"), col("node_b"))).as("node"))
         .distinct()
         .filter(pmod(col("node"), lit(PprSeedMod)) === 0)
-        .withColumn("w", lit(1L))
+        .withColumn("w", lit(1L)))
       Graph.pageRankPersonalizedMicro(edges, Round6bQueries.PrIterations,
         seeds)
     }),

@@ -35,6 +35,34 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Both orientations of an undirected edge relation from ONE upstream
+    * execution: `explode(array(fwd, rev))` instead of
+    * `e.unionByName(e.flipped)`. The union shape plans the ENTIRE
+    * upstream derivation once per branch — runtime exchange reuse
+    * recovers the shared stages, but the un-reused tail (final
+    * aggregate, projections) still executes twice, and every downstream
+    * stage sees the union's 2×N partitions (64 tasks at the house
+    * default instead of 32, pure scheduling overhead at any scale). The
+    * explode derives both directions in one pass of one subtree and
+    * keeps the input's partition count. Round-14 measured on the
+    * co-purchase graph: the derivation stages halve, walls in
+    * OPTIMIZATION_r14.md.
+    *
+    * `weight`: optional per-edge weight column riding both directions.
+    */
+  private def bothDirections(edges: DataFrame, aCol: String, bCol: String,
+      weight: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val fwd = weight match {
+      case Some(w) => struct(col(aCol).as("src"), col(bCol).as("dst"), w.as("w"))
+      case None => struct(col(aCol).as("src"), col(bCol).as("dst"))
+    }
+    val rev = weight match {
+      case Some(w) => struct(col(bCol).as("src"), col(aCol).as("dst"), w.as("w"))
+      case None => struct(col(bCol).as("src"), col(aCol).as("dst"))
+    }
+    edges.select(explode(array(fwd, rev)).as("e")).select(col("e.*"))
+  }
+
   /** Undirected co-occurrence edges from a (group, item) relation:
     * distinct item pairs (a < b) sharing a group, weighted by the number
     * of shared groups.
@@ -107,9 +135,12 @@ object Graph {
   def kCoreReport(edges: DataFrame, k: Long, rounds: Int,
       aCol: String = "node_a", bCol: String = "node_b"): DataFrame = {
     require(k >= 1 && rounds >= 1, "k/rounds")
-    val directed0 = edges
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // ONE cached src-partitioned relation feeds the starting-degree
+    // census AND round 1 (round-14: the union shape filled deg0 and
+    // live from two separate upstream executions — the whole edge
+    // derivation ran twice per call)
+    val directed0 = graft.util.Caches.cached(
+      bothDirections(edges, aCol, bCol).repartition(col("src")))
     val deg0 = graft.util.Caches.cached(
       directed0.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("degree0")))
@@ -148,12 +179,19 @@ object Graph {
       case _: NumberFormatException =>
         org.apache.spark.network.util.JavaUtils.byteStringAsBytes(thrRaw)
     }
-    var live = graft.util.Caches.cached(directed0.repartition(col("src")))
+    var live = directed0
     var key = "src"
+    var first = true
     for (_ <- 1 to rounds) {
       val other = if (key == "src") "dst" else "src"
-      val keepCp = live.groupBy(key).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(key)
+      // round 1's degree census IS deg0 — reuse it (one aggregate saved,
+      // and the checkpoint action fills the deg0 cache before directed0
+      // is unpersisted at the round boundary)
+      val census =
+        if (first) deg0.select(col("node").as(key), col("degree0").as("d"))
+        else live.groupBy(key).agg(count(lit(1)).as("d"))
+      first = false
+      val keepCp = census.filter(col("d") >= k).select(key)
         .localCheckpoint()
       val small = bcThreshold > 0 && keepCp.count() * 32L < bcThreshold
       val keep = if (small) broadcast(keepCp) else keepCp
@@ -216,8 +254,10 @@ object Graph {
     // (2 extra source scans, tree-probed)
     val e0 = graft.util.Caches.cached(
       edges.select(col(aCol).as("na"), col(bCol).as("nb")))
-    val directed = e0.unionByName(
-      e0.select(col("nb").as("na"), col("na").as("nb")))
+    // explode, not union: one cache read and half the downstream
+    // partition count (the union shape scans the cache once per branch)
+    val directed = bothDirections(e0, "na", "nb")
+      .select(col("src").as("na"), col("dst").as("nb"))
     val deg = graft.util.Caches.cached(
       directed.groupBy(col("na").as("z")).agg(count(lit(1)).as("deg")))
     // deg >= 2: a degree-1 node centers no wedge, and its ln(1) = 0
@@ -342,10 +382,8 @@ object Graph {
   def labelPropagation(edges: DataFrame, rounds: Int,
       aCol: String = "node_a", bCol: String = "node_b"): DataFrame = {
     require(rounds >= 1, "rounds")
-    val directed = edges
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-    val ed = graft.util.Caches.cached(directed.repartition(col("src")))
+    val ed = graft.util.Caches.cached(
+      bothDirections(edges, aCol, bCol).repartition(col("src")))
     var labels = ed.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
@@ -375,10 +413,12 @@ object Graph {
   def pageRankMicro(edges: DataFrame, iterations: Int,
       aCol: String, bCol: String, weightCol: Option[String]): DataFrame = {
     val w = weightCol.map(col).getOrElse(lit(1L)).cast("long")
-    val directed = edges
-      .select(col(aCol).as("src"), col(bCol).as("dst"), w.as("w"))
-      .unionByName(edges
-        .select(col(bCol).as("src"), col(aCol).as("dst"), w.as("w")))
+    // ONE cached both-directions relation feeds the degree census AND
+    // the degree-annotated edge cache (round-14: the two union-shaped
+    // consumers each re-executed the full upstream edge derivation —
+    // deg fill and ed fill were two complete co-occurrence runs)
+    val directed = graft.util.Caches.cached(
+      bothDirections(edges, aCol, bCol, Some(w)))
     // deg is node-hash-partitioned by its groupBy and CACHED: the rank
     // update and the final report re-enter it without re-aggregating
     // the edge relation
@@ -429,10 +469,16 @@ object Graph {
     */
   def triangleReport(edges: DataFrame,
       aCol: String = "node_a", bCol: String = "node_b"): DataFrame = {
-    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
-    val deg = e.select(col("a").as("node"))
-      .unionByName(e.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // e cached: it feeds the degree census, the orientation join and
+    // (via deg) the final report — uncached, each consumer re-derived
+    // the whole upstream edge relation (round-14: up to 7 re-runs per
+    // call measured on the co-purchase graph). deg cached for its two
+    // decoration joins + the final report join.
+    val e = graft.util.Caches.cached(
+      edges.select(col(aCol).as("a"), col(bCol).as("b")))
+    val deg = graft.util.Caches.cached(
+      e.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("degree")))
     val withDeg = e
       .join(deg.select(col("node").as("a"), col("degree").as("da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("degree").as("db")), Seq("b"))
@@ -484,9 +530,7 @@ object Graph {
     // src-hash-partitioned cache: each round's frontier join reuses the
     // layout (the pageRankMicro trick) — edges shuffle once, not per hop
     val directed = graft.util.Caches.cached(
-      edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-        .repartition(col("src")))
+      bothDirections(edges, aCol, bCol).repartition(col("src")))
     val deg = directed.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("degree"))
     var known = seeds.select(col("node"), lit(0).as("dist")).localCheckpoint()
@@ -552,10 +596,15 @@ object Graph {
         col("a.g") === col("b.g") && col("a.it") < col("b.it"))
       .groupBy(col("a.it").as("it_a"), col("b.it").as("it_b"))
       .agg(count(lit(1)).as("n_both"))
+    // both directions via explode: the union shape would execute the
+    // pair aggregation once per branch (round-14, the bothDirections
+    // rationale — pairs is deliberately uncached, it is pair-grain)
     val directed = pairs
-      .select(col("it_a").as("item"), col("it_b").as("other"), col("n_both"))
-      .unionByName(pairs.select(col("it_b").as("item"),
-        col("it_a").as("other"), col("n_both")))
+      .select(explode(array(
+        struct(col("it_a").as("item"), col("it_b").as("other"), col("n_both")),
+        struct(col("it_b").as("item"), col("it_a").as("other"), col("n_both"))))
+        .as("e"))
+      .select(col("e.*"))
       .join(itemCounts.select(col("it").as("item"),
         col("n_it").as("n_item")), Seq("item"))
       .join(itemCounts.select(col("it").as("other"),
@@ -604,9 +653,10 @@ object Graph {
       seeds: DataFrame, aCol: String = "node_a",
       bCol: String = "node_b", seedNodeCol: String = "node",
       seedWeightCol: String = "w"): DataFrame = {
-    val directed = edges
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // one cached both-directions relation feeds deg AND ed (round-14:
+    // same derive-once rework as pageRankMicro)
+    val directed = graft.util.Caches.cached(
+      bothDirections(edges, aCol, bCol))
     val deg = graft.util.Caches.cached(
       directed.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("degree")))
@@ -680,8 +730,7 @@ object Graph {
       bCol: String = "node_b"): DataFrame = {
     val dec = "decimal(38,0)"
     val directed = graft.util.Caches.cached(
-      edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst"))))
+      bothDirections(edges, aCol, bCol))
     val deg = directed.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
     val pairs = directed
