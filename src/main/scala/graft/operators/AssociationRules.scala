@@ -68,11 +68,16 @@ object AssociationRules {
       .groupBy(col("a.it").as("it_a"), col("b.it").as("it_b"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= minSupport)
+    // explode, not union: the union shape executes the basket self-join
+    // + pair aggregation once per branch (round-14, the
+    // Graph.bothDirections rationale)
     val directed = pairs
-      .select(col("it_a").as("antecedent"), col("it_b").as("consequent"),
-        col("n_both"))
-      .unionByName(pairs.select(col("it_b").as("antecedent"),
-        col("it_a").as("consequent"), col("n_both")))
+      .select(explode(array(
+        struct(col("it_a").as("antecedent"), col("it_b").as("consequent"),
+          col("n_both")),
+        struct(col("it_b").as("antecedent"), col("it_a").as("consequent"),
+          col("n_both")))).as("e"))
+      .select(col("e.*"))
     directed
       .join(itemCounts.withColumnRenamed("it", "antecedent")
         .withColumnRenamed("n_it", "n_ante"), Seq("antecedent"))

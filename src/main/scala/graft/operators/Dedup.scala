@@ -437,8 +437,14 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // explode, not union: the union shape plans the (expensive — LSH
+    // candidate + verify) pair pipeline once per branch inside the
+    // cache fill; explode derives both directions from one execution
+    // (round-14, the Graph.bothDirections rationale)
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
     graft.util.Caches.cached(edges)
     // labels stay DISTRIBUTED across rounds: localCheckpoint (eager)
@@ -740,8 +746,13 @@ object Dedup {
     * estimate degenerates to 0.
     */
   def captureRecapture(pairsA: DataFrame, pairsB: DataFrame): DataFrame = {
-    val a = pairsA.select(col("doc_a"), col("doc_b"))
-    val b = pairsB.select(col("doc_a"), col("doc_b"))
+    // cached: each detector relation feeds its own count AND the
+    // overlap join — uncached, the full upstream LSH pipeline of each
+    // detector executed twice per call (round-14, measured ~2x wall)
+    val a = graft.util.Caches.cached(
+      pairsA.select(col("doc_a"), col("doc_b")))
+    val b = graft.util.Caches.cached(
+      pairsB.select(col("doc_a"), col("doc_b")))
     val both = a.join(b, Seq("doc_a", "doc_b"))
       .agg(count(lit(1)).as("n_both"))
     a.agg(count(lit(1)).as("n_a"))

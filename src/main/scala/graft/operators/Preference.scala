@@ -147,12 +147,14 @@ object Preference {
       z: Double = 1.96): DataFrame = {
     val base = matchups.select(col("item_a"), col("item_b"),
       col("wins_a").cast("long"), col("wins_b").cast("long"))
-    val fwd = base.select(col("item_a").as("item"),
-      col("item_b").as("opponent"), col("wins_a").as("wins"),
-      (col("wins_a") + col("wins_b")).as("n"))
-    val rev = base.select(col("item_b").as("item"),
-      col("item_a").as("opponent"), col("wins_b").as("wins"),
-      (col("wins_a") + col("wins_b")).as("n"))
+    // explode, not union: one upstream execution for both orientations
+    // (round-14, the Graph.bothDirections rationale)
+    val both = base.select(explode(array(
+      struct(col("item_a").as("item"), col("item_b").as("opponent"),
+        col("wins_a").as("wins"), (col("wins_a") + col("wins_b")).as("n")),
+      struct(col("item_b").as("item"), col("item_a").as("opponent"),
+        col("wins_b").as("wins"), (col("wins_a") + col("wins_b")).as("n"))))
+      .as("e")).select(col("e.*"))
     val zz = z * z
     val p = col("wins").cast("double") / col("n").cast("double")
     val nD = col("n").cast("double")
@@ -160,7 +162,7 @@ object Preference {
     val center = (p + lit(zz) / (lit(2.0) * nD)) / denom
     val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nD +
       lit(zz) / (lit(4.0) * nD * nD))) / denom
-    fwd.unionByName(rev).filter(col("n") > 0)
+    both.filter(col("n") > 0)
       .select(col("item"), col("opponent"), col("wins"),
         col("n").as("n_decisions"),
         expr(s"(wins * ${Micro}L) div n").as("win_rate_ppm"),

@@ -260,19 +260,38 @@ object FormatRoundTrip {
     */
   def codecMatrixChecksums(spark: SparkSession, docs: DataFrame,
       tmp: String): DataFrame = {
-    val plainBytes = PlainCodec.map { case (fmt, plain) =>
+    // The 14 cell writes are independent single-task jobs on distinct
+    // paths — submitted from a driver pool they back-fill each other's
+    // tails (guide §2.6) instead of serializing 14 job+commit
+    // latencies; the checksum read-back stays ONE union action.
+    // Results are unchanged: plain baselines complete before any cell
+    // compares against them, and the output is (format, codec)-ordered.
+    def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(8, math.max(1, items.size)))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[B]] =
+          items.map(a => (() => f(a)): java.util.concurrent.Callable[B])
+        pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+      } finally { pool.shutdown(); () }
+    }
+    val plainBytes = inParallel(PlainCodec.toSeq) { case (fmt, plain) =>
       val p = s"$tmp/$fmt-plain"
       writeAs(docs, p, fmt, plain)
       fmt -> dirBytes(spark, p)
-    }
-    CodecMatrix.map { case (fmt, codec) =>
+    }.toMap
+    val cellBytes = inParallel(CodecMatrix) { case (fmt, codec) =>
       val p = s"$tmp/$fmt-$codec"
       writeAs(docs, p, fmt, codec)
+      (fmt, codec, dirBytes(spark, p))
+    }
+    cellBytes.map { case (fmt, codec, bytes) =>
+      val p = s"$tmp/$fmt-$codec"
       val checkCorrupt = fmt == "jsonl" || fmt == "csv"
       withFingerprint(readBack(spark, p, fmt), checkCorrupt)
         .select(lit(fmt).as("format"), lit(codec).as("codec"), col("*"))
-        .withColumn("smaller_than_plain",
-          lit(dirBytes(spark, p) < plainBytes(fmt)))
+        .withColumn("smaller_than_plain", lit(bytes < plainBytes(fmt)))
     }.reduce(_ unionByName _).orderBy("format", "codec")
   }
 

@@ -160,7 +160,15 @@ object StreamingIngest {
     try {
       val corrupt = cached.filter(col("_corrupt_record").isNotNull)
         .select(col("_corrupt_record").as("raw_line"))
-      val nCorrupt = corrupt.count()
+      // ONE census job for n_corrupt AND n_in (round-14: these were two
+      // separate counts — per-batch job count is the e2e loop's main
+      // fixed cost at delivery grain)
+      val censusRow = cached.agg(
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)),
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)))
+        .collect()(0)
+      val nCorrupt = if (censusRow.isNullAt(0)) 0L else censusRow.getLong(0)
+      val nIn = if (censusRow.isNullAt(1)) 0L else censusRow.getLong(1)
       if (nCorrupt > 0)
         corrupt.write.mode("overwrite")
           .parquet(s"${paths.quarantine}/ingest_batch=$batchId")
@@ -237,13 +245,18 @@ object StreamingIngest {
       // EAGER localCheckpoint (id-grain, tiny), not cache: the dropped
       // sets' lineage reads the store tables, and the store INSERT
       // OVERWRITE below may not read from the table it overwrites —
-      // the checkpoint cuts the plan at the materialized ids
-      val dsCached = droppedStore.localCheckpoint()
-      val dwCached = droppedWithin.localCheckpoint()
-      val dropped = dsCached.unionByName(dwCached).distinct()
+      // the checkpoint cuts the plan at the materialized ids. ONE
+      // checkpoint for both drop sets (round-14): a `from_store` tag
+      // keeps the two report counts recoverable from the merged
+      // relation, halving the per-batch checkpoint jobs.
+      val droppedTagged = droppedStore.withColumn("__st", lit(1L))
+        .unionByName(droppedWithin.withColumn("__st", lit(0L)))
+        .groupBy("doc_id").agg(max(col("__st")).as("__st"))
+        .localCheckpoint()
+      val dropped = droppedTagged.select("doc_id")
       val survivors = clean.join(dropped,
         clean(idCol) === dropped("doc_id"), "left_anti").cache()
-      scratch += dsCached; scratch += dwCached; scratch += survivors
+      scratch += droppedTagged; scratch += survivors
       survivors.write.mode("overwrite")
         .parquet(s"${paths.corpus}/ingest_batch=$batchId")
       val keepIds = survivors.select(col(idCol).as("doc_id"))
@@ -261,8 +274,14 @@ object StreamingIngest {
           .select(col("doc_id").cast("long"), col("hs"))
           .repartition(StoreBuckets, col("doc_id")))
 
-      val nIn = clean.count(); val nStore = dsCached.count()
-      val nWithin = dwCached.join(dsCached, Seq("doc_id"), "left_anti").count()
+      // one job over the checkpointed drop census for both drop counts
+      // (n_in rode the corrupt census above; n_kept is the survivor
+      // cache materialization the store inserts consumed anyway)
+      val dropRow = droppedTagged.agg(
+        sum(col("__st")), count(lit(1))).collect()(0)
+      val nStore = if (dropRow.isNullAt(0)) 0L else dropRow.getLong(0)
+      val nWithin =
+        (if (dropRow.isNullAt(1)) 0L else dropRow.getLong(1)) - nStore
       val nKept = survivors.count()
       spark.createDataFrame(
         spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
