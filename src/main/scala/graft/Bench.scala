@@ -112,6 +112,31 @@ object Bench {
     */
   private[graft] val ContentionThreshold = 2.0
 
+  /** CPU-probe contention threshold (round-15, verdict task 7): the IO
+    * probe (a lineitem filter+count) undersenses pure CPU steal — r14
+    * observed untouched CPU-heavy queries at 1.8–2.1× while the IO
+    * probe read 1.05–1.5×. The CPU probe (a fixed 64M-row xxhash64
+    * fold, no I/O) tracks available CPU directly and is much steadier
+    * on a quiet host, so its contention bar sits lower. Windows are
+    * adjudicated on EITHER probe via [[effectiveWindowRatio]], which
+    * rescales the CPU ratio onto the IO threshold scale so
+    * [[moverVerdict]]'s single-threshold contract (and its spec) stays
+    * unchanged. Bar derived from measured distributions (round-15):
+    * normal in-bench spread reads up to ~1.6 max/min (GC and cache
+    * turnover from the surrounding queries ride the probe), while a
+    * deliberately CPU-loaded window reads ≥2× — 1.8 separates the two
+    * without over-flagging ordinary windows into
+    * "unresolved_contention".
+    */
+  private[graft] val CpuContentionThreshold = 1.8
+
+  /** One window ratio on the IO-threshold scale from the window's IO
+    * and CPU calibration ratios: contended ⇔ io > [[ContentionThreshold]]
+    * OR cpu > [[CpuContentionThreshold]].
+    */
+  private[graft] def effectiveWindowRatio(io: Double, cpu: Double): Double =
+    math.max(io, cpu * ContentionThreshold / CpuContentionThreshold)
+
   /** Mover verdict given its post-retry ratio and the window ratios of
     * the segments its evidence came from. A regression only counts as
     * "persists" when at least ONE of its measurement windows was clean;
@@ -125,6 +150,39 @@ object Bench {
     else if (windowRatios.isEmpty ||
       windowRatios.exists(_ <= ContentionThreshold)) "persists"
     else "unresolved_contention"
+
+  /** The trailing COMPACT summary line (round-15, verdict task 2): the
+    * driver keeps only the last ~3.5 KB of Bench stdout, so the full
+    * per-query line (~18 KB at 297 queries) truncates unparseably —
+    * PERF came back `parsed: null` in rounds 13 and 14. This line is
+    * printed as the LAST stdout line and stays under `budgetBytes` +
+    * fixed fields, so any tail window contains one complete JSON
+    * object in the driver's documented shape (metric/value/unit/
+    * queries/sf): run total, calibration anchors, and as many of the
+    * BIGGEST per-query walls as fit (wall-descending, ms precision).
+    * The full per-query map remains in stdout line 1 and in the
+    * bench_full.json artifact — nothing is removed from either.
+    */
+  private[graft] def compactLine(results: Seq[(String, Double)],
+      sfDir: String, method: String, calMin: Double, calMax: Double,
+      cpuCalMin: Double, budgetBytes: Int = 2300): String = {
+    val total = results.map(_._2).sum
+    val sorted = results.sortBy { case (_, v) => -v }
+    val sb = new StringBuilder
+    var n = 0
+    var done = false
+    sorted.foreach { case (k, v) =>
+      val ent = (if (n > 0) "," else "") + "\"" + k + "\":" +
+        ((v * 1000).round / 1000.0)
+      if (!done && sb.length + ent.length <= budgetBytes) {
+        sb.append(ent); n += 1
+      } else done = true
+    }
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":{$sb},""" +
+      s""""n_queries":${results.size},"n_in_line":$n,"sf":"$sfDir",""" +
+      s""""method":"$method","cal_min":$calMin,"cal_max":$calMax,""" +
+      s""""cpu_cal_min":$cpuCalMin,"compact":true,"full":"bench_full.json"}"""
+  }
 
   /** The vs_prev baseline, in priority order: SPARK_GRAFT_BENCH_PREV
     * (a file path) if set, else the last COMMITTED bench_full.json via
@@ -242,14 +300,33 @@ object Bench {
     // store the magnitude plus an explicit flag, and let the summary
     // stats below consume successful samples only.
     val cal = scala.collection.mutable.ArrayBuffer[(Int, Double, String, Boolean)]()
+    // CPU-bound calibration series (round-15, verdict task 7): a fixed
+    // 64M-row xxhash64+sum over spark.range — pure codegen compute, no
+    // input I/O — timed at every calibration point. Under CPU steal this
+    // probe moves proportionally while the IO probe barely does; the
+    // mover adjudication below consults BOTH series.
+    val cpuCal = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    val cpuProbe: () => Double = () => {
+      import org.apache.spark.sql.functions.{sum, pmod, xxhash64, col, lit}
+      val t0 = System.nanoTime()
+      // pmod bounds the summand so the 67M-term sum cannot overflow
+      // Long under ANSI mode (raw xxhash64 values span the full range)
+      spark.range(0L, 1L << 26, 1L, spark.sparkContext.defaultParallelism)
+        .select(sum(pmod(xxhash64(col("id")), lit(1024L))))
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     def calPoint(pos: Int): Unit = {
       val t = timeOnce(calibrate)
       cal += ((pos, math.abs(t), loadavg(), t >= 0))
+      val c = try cpuProbe() catch { case NonFatal(_) => -1.0 }
+      cpuCal += ((pos, c))
     }
     // unrecorded warmup of the calibration shape: JIT + codegen-cache
     // cold-start would otherwise inflate calibration[0], making the
     // timeline read as early contention on a quiet host
     timeOnce(calibrate)
+    try cpuProbe() catch { case NonFatal(_) => () }
     calPoint(0)
     // optional comma-separated query filter for local spot measurement
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -304,13 +381,22 @@ object Bench {
     val roundBrackets = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
     def currentMin(k: String): Double =
       goodMin((firstPass(k) :: retries.getOrElse(k, Nil)): _*)
+    def cpuSeq = cpuCal.toSeq.map(t => (t._1, t._2, t._2 > 0))
+    def runCpuMin = {
+      val ok = cpuCal.filter(_._2 > 0).map(_._2)
+      if (ok.nonEmpty) ok.min else Double.NaN
+    }
+    // per-position ratios on each probe, and the combined effective
+    // ratio the verdicts consume (contended ⇔ either probe over bar)
+    def ioWindow(pos: Int): Double = windowRatio(calSeq, pos, runCalMin)
+    def cpuWindow(pos: Int): Double = windowRatio(cpuSeq, pos, runCpuMin)
     def sweepWindow(k: String): Double =
-      windowRatio(calSeq, qpos(k), runCalMin)
+      effectiveWindowRatio(ioWindow(qpos(k)), cpuWindow(qpos(k)))
     def retryWindows(k: String): Seq[Double] =
       roundBrackets.take(retries.getOrElse(k, Nil).length).map {
         case (a, b) =>
-          math.max(windowRatio(calSeq, a, runCalMin),
-            windowRatio(calSeq, b, runCalMin))
+          math.max(effectiveWindowRatio(ioWindow(a), cpuWindow(a)),
+            effectiveWindowRatio(ioWindow(b), cpuWindow(b)))
       }.toSeq
     var round = 0
     var candidates = firstPass.keys.filter { k =>
@@ -351,9 +437,14 @@ object Bench {
       val ok = cal.filter(_._4).map(_._2)
       if (ok.nonEmpty) ok else cal.map(_._2)
     }
+    val cpuOk = cpuCal.filter(_._2 > 0).map(_._2)
     val calSummary =
-      s""""cal_min":${calTimes.min},"cal_max":${calTimes.max}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","method":"min_of_2+mover_retry+cal_adjudication",$calSummary}"""
+      s""""cal_min":${calTimes.min},"cal_max":${calTimes.max}""" + (
+        if (cpuOk.nonEmpty)
+          s""","cpu_cal_min":${cpuOk.min},"cpu_cal_max":${cpuOk.max}"""
+        else "")
+    val method = "min_of_2+mover_retry+cal_adjudication"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","method":"$method",$calSummary}"""
     println(line)
     // The driver's BENCH artifact keeps only the tail of stdout, which
     // truncates the per-query map once there are 200+ queries — also
@@ -389,13 +480,16 @@ object Bench {
           r > 1.5 || r < 1.0 / 1.5 || retries.contains(k) }
         .sortBy { case (_, _, _, r) => -r }
         .map { case (k, p, c, r) =>
-          // every mover carries its sweep segment's calibration ratio;
-          // retried movers additionally carry each retry round's wall,
-          // each window's ratio, and the contention-aware verdict
-          val sw = (sweepWindow(k) * 1000).round / 1000.0
+          // every mover carries its sweep segment's IO and CPU
+          // calibration ratios; retried movers additionally carry each
+          // retry round's wall, each window's combined ratio, and the
+          // contention-aware verdict (windows adjudicated on the
+          // effective ratio — either probe over its bar)
+          val swIo = (ioWindow(qpos(k)) * 1000).round / 1000.0
+          val swCpu = (cpuWindow(qpos(k)) * 1000).round / 1000.0
           val adj = retries.get(k).map { rts =>
             val ws = retryWindows(k)
-            val verdict = moverVerdict(c / p, sw +: ws)
+            val verdict = moverVerdict(c / p, sweepWindow(k) +: ws)
             val wsJson = ws.map(x => (x * 1000).round / 1000.0)
               .mkString("[", ",", "]")
             s""","retry_s":${rts.mkString("[", ",", "]")},""" +
@@ -403,7 +497,7 @@ object Bench {
           }.getOrElse("")
           s"""{"q":"$k","prev":$p,"cur":$c,""" +
             s""""ratio":${(r * 1000).round / 1000.0},""" +
-            s""""sweep_cal_ratio":$sw$adj}""" }
+            s""""sweep_cal_ratio":$swIo,"sweep_cpu_ratio":$swCpu$adj}""" }
         .mkString("[", ",", "]")
       val prevTotal = prev.values.sum
       s"""{"prev_file":"$prevPath","prev_total":$prevTotal,""" +
@@ -425,8 +519,11 @@ object Bench {
         case c => c.toString
       } + "\"")
       .getOrElse("null")
+    val cpuCalJson = cpuCal.map { case (p, t) =>
+      s"""{"pos":$p,"sec":$t}""" }.mkString("[", ",", "]")
     val full = line.dropRight(1) +
       s""","tries":$triesJson,"calibration":$calJson""" +
+      s""","cpu_calibration":$cpuCalJson""" +
       s""","telemetry":$telemJson,"vs_prev":$vsPrev,"notes":$notes}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_full.json")
@@ -434,6 +531,11 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (full + "\n").getBytes("UTF-8"))
     } catch { case NonFatal(_) => () } // stdout line remains the contract
+    // trailing compact summary — MUST be the last stdout line (the
+    // driver's tail capture; see compactLine's scaladoc)
+    println(compactLine(results.toSeq, sfDir, method,
+      calTimes.min, calTimes.max,
+      if (cpuOk.nonEmpty) cpuOk.min else -1.0))
     spark.stop()
   }
 }

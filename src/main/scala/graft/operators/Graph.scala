@@ -382,8 +382,17 @@ object Graph {
   def labelPropagation(edges: DataFrame, rounds: Int,
       aCol: String = "node_a", bCol: String = "node_b"): DataFrame = {
     require(rounds >= 1, "rounds")
-    val ed = graft.util.Caches.cached(
-      bothDirections(edges, aCol, bCol).repartition(col("src")))
+    // UNION shape here, not bothDirections' explode (round-15, q228):
+    // this fill has exactly ONE cached consumer and no shared census,
+    // so derive-once buys nothing — runtime exchange reuse already
+    // recovers the duplicated upstream shuffle stages — while the
+    // explode halves the fill's map parallelism (it keeps the input's
+    // partition count; the union's two branches schedule as 2× tasks).
+    // Round-14 A/B'd the explode at +10–17% on this operator; reverted.
+    val directed = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val ed = graft.util.Caches.cached(directed.repartition(col("src")))
     var labels = ed.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
@@ -446,6 +455,11 @@ object Graph {
         .select(col("node"),
           (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank_micro"))
         .localCheckpoint()
+      // round 1's checkpoint materialized ed (and deg before it) —
+      // directed has no further consumer, so drop it now instead of at
+      // Caches.releaseAll: holding BOTH edge copies doubles the
+      // storage-memory footprint for the rest of the walk (ADVICE r14)
+      if (round == 0) directed.unpersist(blocking = false)
       round += 1
     }
     deg.join(ranks, Seq("node"))
@@ -703,6 +717,9 @@ object Graph {
           (col("restart_micro") +
             expr("(85 * coalesce(s, 0L)) div 100")).as("rank_micro"))
         .localCheckpoint()
+      // directed's last consumer (ed's fill) ran in round 1 — release
+      // the duplicate edge cache early (ADVICE r14, as in pageRankMicro)
+      if (round == 0) directed.unpersist(blocking = false)
       round += 1
     }
     deg.join(restarts, Seq("node")).join(ranks, Seq("node"))
@@ -729,6 +746,10 @@ object Graph {
   def assortativityReport(edges: DataFrame, aCol: String = "node_a",
       bCol: String = "node_b"): DataFrame = {
     val dec = "decimal(38,0)"
+    // the directed cache lives until the caller's Caches.releaseAll —
+    // unlike the pageRank walks there is only ONE action here (the stat
+    // aggregate), so it cannot be dropped earlier; footprint is one
+    // both-directions edge copy (ADVICE r14 note)
     val directed = graft.util.Caches.cached(
       bothDirections(edges, aCol, bCol))
     val deg = directed.groupBy(col("src").as("node"))

@@ -273,7 +273,16 @@ object FormatRoundTrip {
         import scala.jdk.CollectionConverters._
         val tasks: Seq[java.util.concurrent.Callable[B]] =
           items.map(a => (() => f(a)): java.util.concurrent.Callable[B])
-        pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+        // rethrow the REAL failure, not invokeAll's ExecutionException
+        // wrapper (ADVICE r14: error reporting parity with the old
+        // sequential path)
+        pool.invokeAll(tasks.asJava).asScala.map { fut =>
+          try fut.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw Option(e.getCause).getOrElse(e)
+          }
+        }.toSeq
       } finally { pool.shutdown(); () }
     }
     val plainBytes = inParallel(PlainCodec.toSeq) { case (fmt, plain) =>

@@ -47,6 +47,36 @@ object StreamingIngest {
     */
   final case class IngestPaths(corpus: String, store: String, quarantine: String)
 
+  /** Run a delivery's independent sink writes concurrently from a
+    * driver pool (guide §2.6, the codec-matrix pattern): each write is
+    * a batch-partitioned overwrite of its own path/table, so their
+    * job+commit latencies overlap instead of serializing — at delivery
+    * grain those fixed costs dominate the per-batch wall (round-15).
+    * Replay safety is ORDER-FREE by construction: the dedup decision
+    * only reads `ingest_batch < N`, so a crash that leaves ANY subset
+    * of batch N's sinks written replays to the identical final state
+    * (the kill-restart specs pin the resulting hashes). Rethrows the
+    * first real failure, not invokeAll's ExecutionException wrapper.
+    */
+  private def writeSinksInParallel(tasks: Seq[() => Unit]): Unit =
+    if (tasks.size <= 1) tasks.foreach(_.apply())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+      try {
+        import scala.jdk.CollectionConverters._
+        val cs: Seq[java.util.concurrent.Callable[Unit]] =
+          tasks.map(t => (() => t()): java.util.concurrent.Callable[Unit])
+        pool.invokeAll(cs.asJava).asScala.foreach { fut =>
+          try { fut.get(); () }
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw Option(e.getCause).getOrElse(e)
+          }
+        }
+        ()
+      } finally { pool.shutdown(); () }
+    }
+
   /** One delivery through parse→quarantine→dedup→append, replay-safe.
     * `batch` must carry the document columns plus `_corrupt_record`
     * (the [[graft.sources.Sources.readValidated]] posture); `batchId`
@@ -80,13 +110,18 @@ object StreamingIngest {
       val survivors = fresh.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn").localCheckpoint()
       try {
-        survivors.drop("__fp").write.mode("overwrite")
-          .parquet(s"${paths.corpus}/ingest_batch=$batchId")
+        // corpus + fingerprint-store sinks are independent overwrites
+        // of disjoint targets, both reading the checkpointed survivors
+        // — overlapped (round-15, same order-free replay argument as
+        // writeSinksInParallel's scaladoc)
         val fpTable = ensureStoreTable(spark, "fps", paths.store,
           "fingerprint STRING", "fingerprint")
-        insertBatchPartition(spark, fpTable, batchId,
-          survivors.select(col("__fp").as("fingerprint"))
-            .repartition(StoreBuckets, col("fingerprint")))
+        writeSinksInParallel(Seq(
+          () => survivors.drop("__fp").write.mode("overwrite")
+            .parquet(s"${paths.corpus}/ingest_batch=$batchId"),
+          () => insertBatchPartition(spark, fpTable, batchId,
+            survivors.select(col("__fp").as("fingerprint"))
+              .repartition(StoreBuckets, col("fingerprint")))))
       } finally {
         // checkpoint blocks are not cache entries: release them
         // explicitly or a long-running stream accumulates them until
@@ -257,22 +292,27 @@ object StreamingIngest {
       val survivors = clean.join(dropped,
         clean(idCol) === dropped("doc_id"), "left_anti").cache()
       scratch += droppedTagged; scratch += survivors
-      survivors.write.mode("overwrite")
-        .parquet(s"${paths.corpus}/ingest_batch=$batchId")
       val keepIds = survivors.select(col(idCol).as("doc_id"))
       // the store keeps survivors' FULL band sets (the cap thins the
       // candidate join, never the persisted signatures); static
       // partition INSERT OVERWRITE = the replay-safe batch-partitioned
-      // overwrite, now through the bucketed tables
-      insertBatchPartition(spark, bandsTable, batchId,
-        bandsAll.join(keepIds, "doc_id")
-          .select(col("doc_id").cast("long"), col("band_idx").cast("int"),
-            col("band_key").cast("string"))
-          .repartition(StoreBuckets, col("band_idx"), col("band_key")))
-      insertBatchPartition(spark, ngramsTable, batchId,
-        ngramsNew.join(keepIds, "doc_id")
-          .select(col("doc_id").cast("long"), col("hs"))
-          .repartition(StoreBuckets, col("doc_id")))
+      // overwrite, now through the bucketed tables. The three sinks
+      // (corpus, bands, ngrams) overwrite disjoint paths and all read
+      // the same cached survivor relation — overlapped from a driver
+      // pool (round-15, guide §2.6; see writeSinksInParallel for the
+      // order-free replay argument)
+      writeSinksInParallel(Seq(
+        () => survivors.write.mode("overwrite")
+          .parquet(s"${paths.corpus}/ingest_batch=$batchId"),
+        () => insertBatchPartition(spark, bandsTable, batchId,
+          bandsAll.join(keepIds, "doc_id")
+            .select(col("doc_id").cast("long"), col("band_idx").cast("int"),
+              col("band_key").cast("string"))
+            .repartition(StoreBuckets, col("band_idx"), col("band_key"))),
+        () => insertBatchPartition(spark, ngramsTable, batchId,
+          ngramsNew.join(keepIds, "doc_id")
+            .select(col("doc_id").cast("long"), col("hs"))
+            .repartition(StoreBuckets, col("doc_id")))))
 
       // one job over the checkpointed drop census for both drop counts
       // (n_in rode the corrupt census above; n_kept is the survivor

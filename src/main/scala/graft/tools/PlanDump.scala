@@ -1,9 +1,15 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-/** Dump .explain("formatted") of named queries to plans/r14/<q>_<tag>.txt */
+/** Dump .explain("formatted") of named queries to <outDir>/<q>_<tag>.txt.
+  * Usage: runMain graft.tools.PlanDump <tag> <sfDir> <q1> [q2...]
+  * Output dir from $PLAN_DUMP_DIR (default plans/out), created if absent
+  * (ADVICE r14: no baked-in round number, no NoSuchFileException).
+  */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val tag = args(0); val sfDir = args(1); val names = args.drop(2)
+    val outDir = sys.env.getOrElse("PLAN_DUMP_DIR", "plans/out")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -15,7 +21,7 @@ object PlanDump {
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"plans/r14/${name}_$tag.txt"),
+        java.nio.file.Paths.get(s"$outDir/${name}_$tag.txt"),
         txt.getBytes("UTF-8"))
       println(s"dumped $name")
       spark.sharedState.cacheManager.clearCache()

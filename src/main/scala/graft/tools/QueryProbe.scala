@@ -13,11 +13,19 @@ object QueryProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    // ad-hoc conf overrides for A/B probing: PROBE_CONF="k=v;k=v"
-    sys.env.get("PROBE_CONF").foreach(_.split(";").filter(_.contains("="))
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
-      })
+    // ad-hoc conf overrides for A/B probing: PROBE_CONF="k=v;k=v".
+    // builder.config is silently IGNORED when a session already exists
+    // in this JVM (ADVICE r14: an A/B probe would then report results
+    // for the wrong config) — fail loudly instead.
+    val probeConf = sys.env.get("PROBE_CONF").toSeq
+      .flatMap(_.split(";").filter(_.contains("=")))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    require(probeConf.isEmpty ||
+      SparkSession.getActiveSession.isEmpty &&
+        SparkSession.getDefaultSession.isEmpty,
+      "PROBE_CONF set but a SparkSession already exists in this JVM — " +
+        "its builder confs would be silently ignored")
+    probeConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Tables.all.foreach(t => graft.Tables.load(spark, sfDir, t).count())
