@@ -90,7 +90,11 @@ object ProductQuantization {
   def adcTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       codebookIds: Seq[Long], m: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val sub = subvectors(embeddings, m, idCol, vecCol)
+    // ONE cached subvector relation feeds codebook, encode AND the
+    // query table (round-15: each consumer re-derived the full
+    // scan→slice-explode pipeline — the r14 graph-family pathology)
+    val sub = graft.util.Caches.cached(
+      subvectors(embeddings, m, idCol, vecCol))
     val codebook = codebookFromIds(sub, codebookIds)
     val encoded = encode(sub, codebook)
     // the query's exact distance to every centroid of every subspace —
@@ -165,8 +169,11 @@ object ProductQuantization {
     // `cell` rides the subvector/code relations (carryCols), so the
     // corpus is scanned ONCE and the single-probe candidate restriction
     // is a broadcast join on the carried cell — no second assignment
-    // pass, no corpus-scale vec_id self-join
-    val sub = subvectors(resid, m, "vec_id", "r", carryCols = Seq("cell"))
+    // pass, no corpus-scale vec_id self-join. CACHED (round-15): four
+    // consumers (codebook, encode, query ADC table, query cell) each
+    // re-derived the scan→assign→residual→slice-explode pipeline.
+    val sub = graft.util.Caches.cached(
+      subvectors(resid, m, "vec_id", "r", carryCols = Seq("cell")))
     val codebook = codebookFromIds(sub, codebookIds)
     val encoded = encode(sub, codebook, carryCols = Seq("cell"))
     // query ADC tables: the query's RESIDUAL (wrt its own cell) against

@@ -139,13 +139,20 @@ object ProfileDrift {
   def ksReport(ref: DataFrame, cur: DataFrame, groupCol: String,
       valCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def census(df: DataFrame, cName: String) = df
+    // ONE merged census, not census(ref) FULL OUTER JOIN census(cur)
+    // (round-15): a 0/1 side flag rides each value row and the (g, vm)
+    // aggregate recovers both counts as exact integer sums — one
+    // exchange instead of two plus the join's sorts. Values identical:
+    // a (g, vm) present on only one side lands with the other side's
+    // count 0, exactly what the old join's na.fill produced.
+    def flagged(df: DataFrame, isRef: Int) = df
       .select(col(groupCol).as("g"),
-        round(col(valCol).cast("double") * 1e6).cast("long").as("vm"))
-      .groupBy("g", "vm").agg(count(lit(1)).as(cName))
-    val h = census(ref, "c_ref")
-      .join(census(cur, "c_cur"), Seq("g", "vm"), "full_outer")
-      .na.fill(0L, Seq("c_ref", "c_cur"))
+        round(col(valCol).cast("double") * 1e6).cast("long").as("vm"),
+        lit(isRef.toLong).as("__isref"))
+    val h = flagged(ref, 1).unionByName(flagged(cur, 0))
+      .groupBy("g", "vm")
+      .agg(sum("__isref").as("c_ref"),
+        (count(lit(1)) - sum("__isref")).as("c_cur"))
     val wg = Window.partitionBy("g")
     val wCum = wg.orderBy("vm").rowsBetween(Window.unboundedPreceding, 0)
     val diff = abs(
