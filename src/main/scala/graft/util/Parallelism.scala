@@ -2,8 +2,6 @@ package graft.util
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
-import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Guard against under-partitioned scans feeding compute-heavy stages.
   *
@@ -29,36 +27,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
   */
 object Parallelism {
 
-  /** xxhash64 rejects MapType (unordered — no canonical hash). */
-  private def containsMap(dt: DataType): Boolean = dt match {
-    case _: MapType => true
-    case s: StructType => s.fields.exists(f => containsMap(f.dataType))
-    case a: ArrayType => containsMap(a.elementType)
-    case _ => false
-  }
-
-  /** The guard's repartition, by a DETERMINISTIC hash key instead of
-    * round-robin (round-15): `repartition(n)` pays a local sort of its
-    * input inside the scan stage (sortBeforeRepartition, on by default
-    * so retried tasks reproduce their row→partition assignment) — and
-    * the guard fires exactly when that stage has almost no parallelism,
-    * so the sort is nearly serial. Hashing `pmod(xxhash64(all cols),
-    * 100·n)` is the guide-§2.5 deterministic synthetic key: no sort,
-    * retry-safe by value, 100× more key values than partitions so the
-    * spread stays even. Measured on lineitem sf0.1 (noop sink, 4 runs):
-    * 1.00 s round-robin → 0.60 s hash for the scan+exchange leg.
-    * Exact-duplicate rows share a key; the guard's callers feed it
-    * row-unique relations (documents, embeddings, fact rows), and a
-    * map-typed or empty schema falls back to round-robin.
+  /** MEASURED AND REJECTED (round-15): repartitioning by a
+    * deterministic whole-row hash key — `pmod(xxhash64(all cols),
+    * 100·n)` — instead of round-robin, to skip round-robin's local
+    * sort-before-repartition. An ISOLATED scan→repartition→noop probe
+    * (tools/RepartProbe, lineitem sf0.1) read the hash leg 1.67×
+    * faster, but IN-QUERY the verdict inverts: evaluating xxhash64
+    * over every column of a WIDE row (16 lineitem columns, or a
+    * documents row whose text is KBs) costs far more than the sort it
+    * replaces — interleaved StageProbe on q14_dupes put the 3-task
+    * guard stage at 456–496 ms hashed vs 99–105 ms round-robin, and
+    * the full-bench A/B read q10_null_counts +78% / q14_dupes +120%
+    * with NO end-to-end win on any other query (q11 exactly flat: the
+    * guard leg is off the critical path under AQE's concurrent stage
+    * scheduling). Round-robin's sort is the cheaper half of this
+    * trade; do not retry without per-row-width evidence.
     */
-  private def spread(df: DataFrame, target: Int): DataFrame = {
-    val hashable = df.schema.fields.toSeq
-      .filterNot(f => containsMap(f.dataType)).map(f => col(f.name))
-    if (hashable.isEmpty) df.repartition(target)
-    else df.repartition(target,
-      pmod(xxhash64(hashable: _*), lit(100L * target)))
-  }
-
   def ensure(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
@@ -80,12 +64,12 @@ object Parallelism {
           math.max(conf.filesOpenCostInBytes, bytesPerCore))
         (total + maxSplit - 1) / maxSplit
       }.sum
-      if (est < target) spread(df, target) else df
+      if (est < target) df.repartition(target) else df
     } else {
       // non-file source (local relation, jdbc): fall back to the RDD probe
       // — these are small driver-adjacent inputs where the conversion is
       // negligible
-      if (df.rdd.getNumPartitions < target) spread(df, target) else df
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
     }
   }
 }

@@ -39,16 +39,6 @@ class PlanSpec extends AnyFunSuite {
   private def parquetLeaves(m: Map[String, Int]): Int =
     m.collect { case (k, v) if k.startsWith("Scan parquet") => v }.sum
 
-  /** Mask Parallelism.ensure's synthetic-key repartition
-    * (`hashpartitioning(pmod(xxhash64(...)))`) so "no keyed shuffle"
-    * assertions see through the input-parallelism guard: it moves the
-    * same rows the round-robin guard it replaced did, keyed by a
-    * whole-row hash rather than any DATA key — a test that flags it
-    * would be flagging the guard, not the operator under test.
-    */
-  private def maskSpreadGuard(p: String): String =
-    p.replace("hashpartitioning(pmod(xxhash64(", "SPREAD_GUARD(((")
-
   test("q02: predicate and projection push down to the parquet scan") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters:") &&
@@ -221,12 +211,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("chunking is scan-stage only: no hash shuffle, no window") {
-    val p = maskSpreadGuard(graft.operators.Chunk.chunkByTokens(
+    val p = graft.operators.Chunk.chunkByTokens(
       Tables.load(spark, sf, "documents"), 32, 24)
-      .queryExecution.executedPlan.toString)
-    // Parallelism.ensure may insert one synthetic-key repartition for
-    // the single-row-group fixture (masked above); a DATA-keyed shuffle
-    // or window would mean the operator stopped being scan-stage
+      .queryExecution.executedPlan.toString
+    // Parallelism.ensure may insert one round-robin repartition for the
+    // single-row-group fixture; a KEYED shuffle or window would mean the
+    // operator stopped being scan-stage
     assert(!p.contains("hashpartitioning") && !p.contains("Window"),
       s"chunking must stay scan-stage:\n$p")
   }
@@ -351,15 +341,13 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q86: semantic decontamination broadcasts the eval set; corpus does not shuffle vectors") {
-    val p = maskSpreadGuard(plan("q86_semantic_decon"))
+    val p = plan("q86_semantic_decon")
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"cosine-predicate join must broadcast the eval side:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"eval join must not plan a cartesian product:\n$p")
-    // the only DATA-keyed exchanges are for the tiny stat aggregations,
-    // keyed by vec_id then label — never a shuffle keyed on (or carrying
-    // rows co-located by) the embedding arrays; the parallelism guard's
-    // whole-row-hash repartition is masked above
+    // the only exchanges are for the tiny stat aggregations, keyed by
+    // vec_id then label — never a shuffle carrying the embedding arrays
     assert(!"Exchange hashpartitioning\\([^)]*embedding".r.findAllIn(p).hasNext,
       s"vectors must not shuffle:\n$p")
   }
